@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Scalar function library of the engine.
+  *
+  * Each function is a pure `Column => Column` combinator built from Spark
+  * built-ins (so it stays inside whole-stage codegen), or a thin wrapper
+  * over one of the custom Catalyst expressions in this package
+  * ([[Uuid5]], [[Unaccent]], …). Reference semantics are cited per
+  * function (reference: Rkuro/repcheck-data-integration @ /root/reference).
+  */
+package object functions {
+
+  private[graft] def col2expr(c: Column): Expression = ColumnBridge.expression(c)
+  private[graft] def expr2col(e: Expression): Column = ColumnBridge.column(e)
+
+  // ---------------------------------------------------------------------
+  // Custom Catalyst expressions
+  // ---------------------------------------------------------------------
+
+  /** RFC-4122 v5 (SHA-1) UUID over NAMESPACE_OID — bit-exact analog of
+    * Python `uuid.uuid5(uuid.NAMESPACE_OID, name)`
+    * (reference: scripts/bills/bills_federal.py:27-36). */
+  def uuid5(c: Column): Column = expr2col(Uuid5(col2expr(c)))
+
+  /** NFD-decompose + strip combining marks
+    * (reference: scripts/bills/vote_matching.py:88-92). */
+  def unaccent(c: Column): Column = expr2col(Unaccent(col2expr(c)))
+
+  // ---------------------------------------------------------------------
+  // String / id functions (SURVEY §2.7)
+  // ---------------------------------------------------------------------
+
+  /** F1/F2: keep digits only ("119th Congress" -> "119")
+    * (reference: scripts/bills/bills_federal.py:21-22). */
+  def digitsOnly(c: Column): Column = regexp_replace(c, "[^0-9]", "")
+
+  /** F3: state abbrev from an OCD area id, uppercased
+    * (reference: scripts/bills/vote_matching.py:23-35). */
+  def stateFromAreaId(c: Column): Column =
+    upper(regexp_extract(c, "(?:state|district):([a-z]{2})(?:/|$)", 1))
+
+  /** F4: state from "Baldwin (D-WI)"-style voter names
+    * (reference: scripts/bills/vote_matching.py:38-47). */
+  def stateFromName(c: Column): Column =
+    regexp_extract(c, "(.+) \\(.?-?([A-Z]{2})\\)", 2)
+
+  /** F5: strip any "(...)" suffix, trim, de-accent
+    * (reference: scripts/bills/vote_matching.py:95-103). */
+  def standardizeName(c: Column): Column =
+    unaccent(trim(regexp_replace(c, "\\(.*?\\)", "")))
+
+  /** F10: jurisdiction-id -> division-id
+    * (reference: scripts/utils.py:3-6). */
+  def convertAreaId(c: Column): Column =
+    regexp_replace(regexp_replace(c, "jurisdiction", "division"), "/government", "")
+
+  /** F11: at-large override + leading-zero strip (alpha-safe: "0A" -> "A",
+    * "00" -> "") (reference: scripts/census/census_utils.py:2-15). */
+  val AtLargeStates: Seq[String] = Seq("AK", "DC", "DE", "ND", "SD", "VT", "WY")
+  def districtNumber(stateAbbrev: Column, district: Column): Column =
+    when(stateAbbrev.isin(AtLargeStates: _*), lit("at-large"))
+      .otherwise(regexp_replace(district, "^0+", ""))
+
+  /** F17: "AL" -> "at-large" (reference: scripts/people/people_federal.py:66-69). */
+  def atLargeAlias(c: Column): Column = when(c === "AL", "at-large").otherwise(c)
+
+  /** F9: OCD division id for a federal congressional district, with the DC
+    * branch (reference: scripts/census/federal_house_districts.py:87-91). */
+  def ocdCongressionalDistrict(stateAbbrev: Column, district: Column): Column = {
+    val s = lower(stateAbbrev)
+    when(s === "dc", concat(lit("ocd-division/country:us/district:dc/cd:"), lower(district)))
+      .otherwise(concat(lit("ocd-division/country:us/state:"), s, lit("/cd:"), lower(district)))
+  }
+
+  /** F9 variant: state-legislative ids incl. DC wards
+    * (reference: scripts/census/state_senate_districts.py:83-86). */
+  def ocdStateLegDistrict(stateAbbrev: Column, chamberTag: Column, district: Column): Column = {
+    val s = lower(stateAbbrev)
+    when(s === "dc", concat(lit("ocd-division/country:us/district:dc/ward:"), lower(district)))
+      .otherwise(concat(lit("ocd-division/country:us/state:"), s, lit("/"), chamberTag,
+        lit(":"), lower(district)))
+  }
+
+  /** F9 variant: zipcode areas (reference: scripts/census/zip_codes.py:64). */
+  def ocdZipcode(zip: Column): Column =
+    concat(lit("ocd-division/country:us/zipcode:"), zip)
+
+  /** F8: deterministic bill / vote-event ids
+    * (reference: scripts/bills/bills_federal.py:27-36, bills_state.py:22-32). */
+  def billId(identifier: Column, jurisdictionId: Column): Column =
+    concat(lit("ocd-bill/"), uuid5(concat(identifier, lit("_"), jurisdictionId)))
+  def voteEventId(identifier: Column): Column =
+    concat(lit("ocd-vote-event/"), uuid5(identifier))
+
+  /** F12: multi-format date parse: ISO datetime w/ offset, else bare date;
+    * unparseable -> null (caller decides whether to raise)
+    * (reference: scripts/bills/bills_state.py:35-51). */
+  def parseFlexibleTimestamp(c: Column): Column = coalesce(
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd")))
+
+  /** F14: pseudo-JSON "~{…}" columns: drop the sentinel char, parse with the
+    * given schema; malformed -> null (reference: scripts/bills/vote_matching.py:14-20). */
+  def parsePseudoJson(c: Column, schema: DataType): Column =
+    from_json(substring(c, 2, Int.MaxValue), schema, Map("mode" -> "PERMISSIVE"))
+
+  // ---------------------------------------------------------------------
+  // Fuzzy similarity (SURVEY §2.7 F7) — thefuzz-compatible scorers
+  // ---------------------------------------------------------------------
+
+  /** Indel ratio 0-100 like `fuzz.ratio` (Levenshtein with substitution
+    * cost 2, i.e. 100 * 2*M/(len_a+len_b)). */
+  def fuzzRatio(a: Column, b: Column): Column =
+    expr2col(FuzzRatio(col2expr(a), col2expr(b)))
+
+  /** `fuzz.token_sort_ratio`: lowercase, strip non-alphanumerics, sort
+    * tokens, then indel ratio. */
+  def tokenSortRatio(a: Column, b: Column): Column =
+    fuzzRatio(sortedTokens(a), sortedTokens(b))
+
+  private def sortedTokens(c: Column): Column =
+    array_join(array_sort(filter(
+      split(lower(regexp_replace(c, "[^\\p{L}\\p{N}]+", " ")), " "),
+      t => length(t) > 0)), " ")
+
+  /** WRatio-style composite used by the entity-resolution join. */
+  def wRatio(a: Column, b: Column): Column =
+    greatest(fuzzRatio(lower(a), lower(b)), tokenSortRatio(a, b))
+
+  // ---------------------------------------------------------------------
+  // Text analysis (north-star ops)
+  // ---------------------------------------------------------------------
+
+  /** Whitespace token count; empty/blank -> 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword count estimate: word-boundary regex pieces. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Quality score in [0,1]: penalizes extreme length, high punctuation
+    * density, low alpha ratio, and token repetition. */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}]", "")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val uniq = size(array_distinct(split(lower(trim(text)), "\\s+"))).cast("double")
+    val lenScore = least(len / 200.0, lit(1.0))
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val punctPenalty = when(len > 0, punct / len).otherwise(lit(0.0))
+    val dedupRatio = when(toks > 0, uniq / toks).otherwise(lit(0.0))
+    round(greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.25 + alphaRatio * 0.35 + dedupRatio * 0.3 + (lit(1.0) - punctPenalty) * 0.1)), 6)
+  }
+
+  /** Language-ID heuristic: stopword-hit ratio per language over a fixed
+    * marker vocabulary; ties broken by language code. Returns the argmax
+    * language code, "und" when nothing matches. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "dans", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "mit", "ein", "zu"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "他", "这", "不"))
+
+  def langId(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val total = greatest(size(toks), lit(1)).cast("double")
+    // struct(score, negated-lang? ) — argmax via array_max over (score, lang)
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits = size(filter(toks, t => t.isin(markers: _*))).cast("double")
+      struct((hits / total).as("score"), lit(lang).as("lang"))
+    }
+    // array_max on struct compares score first, then lang lexicographically —
+    // deterministic tie-break. Require a minimum hit ratio to claim a language.
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") >= 0.05, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash document fingerprint (polynomial Karp-Rabin over UTF-8
+    * bytes), as a custom codegen'd expression. */
+  def fingerprint(c: Column): Column = expr2col(RollingHash(col2expr(c)))
+
+  /** Character n-gram shingles of a normalized document. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - n, lit(0))),
+      i => norm.substr(i + lit(1), lit(n))))
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Vector math (similarity search / embedding dedup)
+  // ---------------------------------------------------------------------
+
+  /** Dot product of two equal-length float/double array columns (codegen'd
+    * HOF chain, order of summation = element order — deterministic). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** MinHash signature: k 64-bit min-hashes over a shingle array. Seeded by
+    * position — deterministic across runs and engines. */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH band keys from a minhash signature: `bands` hashes over contiguous
+    * rows of the signature; candidate pairs share (band_index, band_hash). */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))).as("band_hash")))
+
+  /** 64-bit SimHash over whitespace tokens (custom expression). */
+  def simHash(text: Column): Column = expr2col(SimHash(col2expr(text)))
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}
