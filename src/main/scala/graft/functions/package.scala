@@ -190,21 +190,14 @@ package object functions {
     * bytes), as a custom codegen'd expression. */
   def fingerprint(c: Column): Column = expr2col(RollingHash(col2expr(c)))
 
-  /** Character n-gram shingles of a normalized document. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(norm) - n, lit(0))),
-      i => norm.substr(i + lit(1), lit(n))))
-  }
+  /** Distinct character n-gram shingles of a normalized document
+    * (one-pass codegen'd expression — see [[TextShingles]]). */
+  def charShingles(text: Column, n: Int): Column =
+    expr2col(CharShingles(col2expr(text), n))
 
-  /** Word n-gram shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
+  /** Distinct word n-gram shingles (one-pass codegen'd expression). */
+  def wordShingles(text: Column, n: Int): Column =
+    expr2col(WordShingles(col2expr(text), n))
 
   // ---------------------------------------------------------------------
   // Vector math (similarity search / embedding dedup)
@@ -222,11 +215,10 @@ package object functions {
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** MinHash signature: k 64-bit min-hashes over a shingle array. Seeded by
-    * position — deterministic across runs and engines. */
+  /** MinHash signature: k 64-bit min-hashes over a shingle array, one
+    * pass (codegen'd expression; deterministic across runs/engines). */
   def minHashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+    expr2col(MinHashSig(col2expr(shingles), k))
 
   /** LSH band keys from a minhash signature: `bands` hashes over contiguous
     * rows of the signature; candidate pairs share (band_index, band_hash). */

@@ -1,0 +1,62 @@
+package graft.geo
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Column-level geospatial functions backed by JTS, mirroring the PostGIS
+  * surface the reference uses (reference: scripts/census/zip_code_overlap.py:36,
+  * federal_house_districts.py:109, nytimes_precincts.py:66-70).
+  *
+  * Geometry columns are WKB `BinaryType`. These are Scala UDFs (not
+  * codegen'd Catalyst expressions) — acceptable because geo predicates run
+  * once per candidate pair after the grid-cell equi-join prunes the space
+  * (see [[SpatialJoin]]); they are never in a full-scan hot loop.
+  */
+object GeoFunctions {
+
+  private val geomFromGeoJsonUdf = udf((s: String) =>
+    if (s == null) null else GeoJson.toWkb(GeoJson.parse(s)))
+
+  private val pointUdf = udf((x: Double, y: Double) => GeoJson.pointWkb(x, y))
+
+  private val intersectsUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) false
+    else GeoJson.fromWkb(a).intersects(GeoJson.fromWkb(b)))
+
+  private val containsUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+    if (a == null || b == null) false
+    else GeoJson.fromWkb(a).contains(GeoJson.fromWkb(b)))
+
+  private val centroidUdf = udf((a: Array[Byte]) => {
+    val c = GeoJson.fromWkb(a).getCentroid
+    Seq(c.getX, c.getY)
+  })
+
+  private val areaUdf = udf((a: Array[Byte]) => GeoJson.fromWkb(a).getArea)
+
+  private val envelopeUdf = udf((a: Array[Byte]) => {
+    val e = GeoJson.fromWkb(a).getEnvelopeInternal
+    Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
+  })
+
+  /** GeoJSON string (Feature or bare geometry) → WKB. */
+  def stGeomFromGeoJson(c: Column): Column = geomFromGeoJsonUdf(c)
+
+  /** (x, y) → WKB point. */
+  def stPoint(x: Column, y: Column): Column = pointUdf(x, y)
+
+  /** Exact JTS intersects over two WKB columns. */
+  def stIntersects(a: Column, b: Column): Column = intersectsUdf(a, b)
+
+  /** Exact JTS contains over two WKB columns. */
+  def stContains(a: Column, b: Column): Column = containsUdf(a, b)
+
+  /** Centroid as array(x, y). */
+  def stCentroid(a: Column): Column = centroidUdf(a)
+
+  /** Cartesian area. */
+  def stArea(a: Column): Column = areaUdf(a)
+
+  /** Envelope as array(minx, miny, maxx, maxy). */
+  def stEnvelope(a: Column): Column = envelopeUdf(a)
+}

@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Multimodal-column operators: treat image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, and make the Spark-side
+  * plumbing (schema, batching, partition-parallel feature extraction)
+  * real while the actual codec is STUBBED — this container has no
+  * image/audio libraries, so `decodeStub` derives deterministic fake
+  * metadata from the payload bytes. A production deployment swaps
+  * `decodeStub` for a real decoder with the same column contract.
+  */
+object Multimodal {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnBridge.column(e)
+  private def e(col: Column) = ColumnBridge.expression(col)
+
+  /** 16-bucket byte-value histogram (codegen'd custom expression). */
+  def byteHistogram(bin: Column): Column = c(ByteHistogram(e(bin)))
+
+  /** Stride-sample fixed-length "frames" out of an opaque payload. */
+  def frameSample(bin: Column, stride: Int, frameLen: Int): Column =
+    c(FrameSample(e(bin), stride, frameLen))
+
+  /** STUB decoder: deterministic fake (format, width, height) metadata
+    * from payload length and first byte — stands in for an image decode;
+    * the schema contract is what downstream operators program against. */
+  def decodeStub(bin: Column): Column = {
+    val n = length(bin)
+    struct(
+      when(n % 3 === 0, "png").when(n % 3 === 1, "jpg").otherwise("webp").as("format"),
+      (n % 640 + 1).as("width"),
+      ((n * 7) % 480 + 1).as("height"))
+  }
+
+  /** "Resize": truncate the payload to maxBytes (stub for a real
+    * re-encode; preserves the binary-in/binary-out contract). */
+  def resizeStub(bin: Column, maxBytes: Int): Column =
+    substring(bin, 1, maxBytes)
+
+  /** L1-normalized histogram feature vector from a binary payload —
+    * byte-level feature extraction that IS real (not stubbed). */
+  def histogramFeatures(bin: Column): Column = {
+    val h = byteHistogram(bin)
+    val total = greatest(length(bin).cast("double"), lit(1.0))
+    transform(h, x => round(x.cast("double") / total, 6))
+  }
+
+  /** Attach multimodal features to a frame with a binary column. */
+  def featurize(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("meta", decodeStub(col(binCol)))
+      .withColumn("features", histogramFeatures(col(binCol)))
+      .withColumn("n_bytes", length(col(binCol)))
+}

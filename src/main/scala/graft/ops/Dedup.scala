@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Near-duplicate detection operators for large-scale training-data
+  * pipelines. All are pure DataFrame→DataFrame with LSH-style blocking so
+  * the candidate set — never the full cross product — is what shuffles.
+  *
+  * Scale design (100 TB): candidate generation explodes each doc into a
+  * few small (band, hash) keys and equi-joins on them; verification
+  * re-joins the pair list back to the docs table on id (hash join on a
+  * compact pair list) instead of carrying shingle arrays through the
+  * band explode, which would multiply scan output by the band count.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keeps the minimum id as the
+    * canonical representative (deterministic). */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** MinHash+LSH near-dup pairs: word-shingle → k minhashes → `bands`
+    * band keys → equi-join on band key → exact shingle-Jaccard verify.
+    * Returns (a_id, b_id, jaccard) with a_id < b_id. */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val base = docs.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleLen).as("shingles"))
+    val banded = base
+      .withColumn("sig", minHashSignature(col("shingles"), k))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+    val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(base.select(col("id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit chunks
+    * (any pair within Hamming distance 3 of each other shares at least one
+    * intact chunk; we use it as a recall-oriented blocker and verify with
+    * the exact popcount). Returns (a_id, b_id, hamming), a_id < b_id. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val banded = base.select(col("id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bk"))
+    banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        hamming64(col("x.sh"), col("y.sh")).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram Jaccard pairs within a blocking key (e.g. source or
+    * a coarse length bucket). Exact pairwise inside each block — callers
+    * must pick blocks small enough; use [[minHashPairs]] when no natural
+    * block exists. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: Column, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      charShingles(col(textCol), n).as("grams"), blockCol.as("block"))
+    base.as("x").join(base.as("y"), col("x.block") === col("y.block"))
+      .filter(col("x.id") < col("y.id"))
+      .withColumn("jaccard", jaccard(col("x.grams"), col("y.grams")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs within a blocking key. The scale
+    * path replaces the block column with an LSH/IVF bucket id (see
+    * [[Similarity.assignIvfCluster]]). */
+  def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
+      blockCol: Column, threshold: Double = 0.99): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"), blockCol.as("block"))
+    base.as("x").join(base.as("y"), col("x.block") === col("y.block"))
+      .filter(col("x.id") < col("y.id"))
+      .withColumn("cosine", cosineSimilarity(col("x.v"), col("y.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * Scale design (100 TB): `bruteForceTopK` broadcasts the (small) probe
+  * set and linearly scans the corpus — no corpus shuffle; the only wide
+  * exchange is the per-probe top-k window over the scored candidates.
+  * `ivfTopK` is the scale path: corpus rows are pre-assigned to the
+  * nearest of C centroids (broadcast), and a probe only scores its own
+  * cluster — a C-fold scan reduction, trading recall exactly like a
+  * classical IVF-flat index. */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe (probe set must be small
+    * enough to broadcast). Deterministic: ties broken by neighbor id on
+    * the score rounded to 6 decimals. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(p))
+      .withColumn("score", round(cosineSimilarity(col("pv"), col("cv")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** Assign each vector the id of its nearest centroid (L2). Centroids
+    * must be a small broadcastable set with columns (centroid_id, cv). */
+  def assignIvfCluster(vecs: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val scored = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(centroids))
+      .withColumn("dist2", aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => {
+          val d = a.cast("double") - b.cast("double"); d * d
+        }), lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("centroid_id").as("cluster"))
+  }
+
+  /** IVF-flat approximate top-k: probes only score corpus vectors in
+    * their own cluster. `centroidStride` deterministically picks every
+    * Nth vector as a centroid (a real system would run k-means; the
+    * partitioning/shuffle shape is identical). */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidStride: Int = 50): DataFrame = {
+    val centroids = corpus.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    val corpusAssigned = assignIvfCluster(corpus, centroids, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("v").as("cv2"), col("cluster"))
+    val probesAssigned = assignIvfCluster(probes, centroids, idCol, vecCol)
+      .select(col("id").as("probe_id"), col("v").as("pv"), col("cluster"))
+    val scored = corpusAssigned.join(broadcast(probesAssigned), Seq("cluster"))
+      .withColumn("score", round(cosineSimilarity(col("pv"), col("cv2")), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+}

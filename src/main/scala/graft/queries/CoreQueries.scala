@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.warehouse.Warehouse
+
+/** Relational operator surface (SURVEY §2.3–§2.6): scans, filters, joins,
+  * aggregations, windows, merge — each phrased over the synthetic star
+  * schema with a bit-stable DuckDB oracle.
+  *
+  * Scale design notes (100 TB): every aggregation here is partial+final
+  * hash agg (map-side combine); dimension joins are explicit
+  * `broadcast()`; the only wide shuffles are on high-cardinality keys
+  * (orderkey/custkey) which partition evenly; no driver-side loops.
+  */
+object CoreQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P1/P2 — projection + predicate pushdown (SURVEY §2.3)
+    "q01_pruned_scan" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A1/A4 — grouped aggregation, TPC-H Q1 shape (SURVEY §2.5)
+    "q02_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // W1 — per-group top-k ranking (SURVEY §2.6)
+    "q03_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // J2 — referential semi-join (SURVEY §2.4)
+    "q04_semi_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("o_orderkey"))
+      t(s, dir, "orders").join(big, Seq("o_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J2 complement — anti-join ("warn-drop" stream, SURVEY §2.4)
+    "q05_anti_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("o_orderkey"))
+      t(s, dir, "orders").join(big, Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J5 — broadcast dimension lookup joins + rollup (SURVEY §2.4/2.5)
+    "q06_region_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+        .orderBy(col("r_name"))
+    }),
+
+    // A3 — duplicate-key detection (SURVEY §2.5)
+    "q07_dup_keys" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("key"))
+    }),
+
+    // K1 — keyed last-writer-wins merge ("upsert" sink, SURVEY §2.2)
+    "q08_merge_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val existing = orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val incoming = existing.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      Warehouse.mergeByKey(existing, incoming, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // W2 — temporal "current role" resolution (priority + as-of ordering,
+    // reference: scripts/people/people_utils.py:50-77)
+    "q09_current_role" -> ((s, dir) => {
+      val asOf = lit("1995-06-17").cast("timestamp")
+      val ends = col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      val priority = when(col("o_orderdate") <= asOf && asOf < ends, 2)
+        .when(col("o_orderdate") <= asOf, 1)
+        .otherwise(0)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("priority").desc, col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("priority", priority)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("priority") > 0)
+        .select(col("o_custkey"), col("o_orderkey").as("current_order"), col("priority"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // F1/F15/F16 — scalar string functions (SURVEY §2.7)
+    "q11_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        graft.functions.digitsOnly(col("p_brand")).as("brand_num"),
+        element_at(split(col("p_name"), " "), 1).as("name_head"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        upper(trim(col("p_type"))).as("type_upper"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // J1 — blocked fuzzy entity-resolution join: perturbed probe names
+    // matched back to canonical customers; blocking on nationkey, scoring
+    // by levenshtein ratio, window top-1, threshold 80
+    // (reference: scripts/bills/vote_matching.py:106-270)
+    "q14_fuzzy_match" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val probes = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("probe_key"),
+          regexp_replace(col("c_name"), "Customer#", "Customer #").as("probe_name"),
+          col("c_nationkey").as("block_key"))
+      val cands = cust.select(col("c_custkey").as("cand_key"),
+        col("c_name").as("cand_name"), col("c_nationkey").as("block_key"))
+      val score = round(lit(100.0) * (lit(1.0) -
+        levenshtein(col("probe_name"), col("cand_name")).cast("double") /
+          greatest(length(col("probe_name")), length(col("cand_name")), lit(1)).cast("double")), 2)
+      val w = Window.partitionBy(col("probe_key"))
+        .orderBy(col("score").desc, col("cand_key"))
+      probes.join(cands, Seq("block_key"))
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("score") >= 80)
+        .select(col("probe_key"), col("cand_key"), col("score"))
+        .orderBy(col("probe_key"))
+    }),
+
+    // A1 — min_by/max_by derived fields per group
+    // (reference: scripts/bills/bills_federal.py:127-128)
+    "q24_minmax_by" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+          max(col("o_orderdate")).as("latest_date"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A2 — grouped distinct-set accumulation
+    // (reference: scripts/bills/bills_federal.py:114-115,161)
+    "q25_collect_set" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          count_distinct(col("l_suppkey")).as("n_supp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Hierarchical aggregation (ROLLUP) — engine completeness beyond the
+    // reference's flat GROUP BYs
+    "q26_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Frame-spec window — running sum per supplier in ship order
+    "q32_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .withColumn("running_qty", sum(col("l_quantity")).over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q03_top_orders_per_cust" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q06_region_rollup" ->
+      """SELECT r_name, count(*) AS n_cust,
+        |  sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q07_dup_keys" ->
+      """SELECT l_orderkey AS key, count(*) AS n FROM lineitem
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "q08_merge_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q09_current_role" ->
+      """SELECT o_custkey, o_orderkey AS current_order, priority FROM (
+        |  SELECT o_custkey, o_orderkey, priority,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY priority DESC, o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM (
+        |    SELECT o_custkey, o_orderkey, o_orderdate,
+        |      CASE WHEN o_orderdate <= TIMESTAMP '1995-06-17'
+        |             AND TIMESTAMP '1995-06-17' < o_orderdate + INTERVAL 90 DAY THEN 2
+        |           WHEN o_orderdate <= TIMESTAMP '1995-06-17' THEN 1
+        |           ELSE 0 END AS priority
+        |    FROM orders))
+        |WHERE rn = 1 AND priority > 0
+        |ORDER BY o_custkey""".stripMargin,
+    "q11_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num,
+        |  split_part(p_name, ' ', 1) AS name_head,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |  upper(trim(p_type)) AS type_upper
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_fuzzy_match" ->
+      """SELECT probe_key, cand_key, score FROM (
+        |  SELECT probe_key, cand_key, score,
+        |    row_number() OVER (PARTITION BY probe_key
+        |      ORDER BY score DESC, cand_key) AS rn
+        |  FROM (
+        |    SELECT p.probe_key, c.c_custkey AS cand_key,
+        |      round(100.0 * (1.0 -
+        |        CAST(levenshtein(p.probe_name, c.c_name) AS DOUBLE) /
+        |        CAST(greatest(length(p.probe_name), length(c.c_name), 1) AS DOUBLE)), 2) AS score
+        |    FROM (
+        |      SELECT c_custkey AS probe_key,
+        |        regexp_replace(c_name, 'Customer#', 'Customer #') AS probe_name,
+        |        c_nationkey
+        |      FROM customer WHERE c_custkey % 7 = 0) p
+        |    JOIN customer c ON p.c_nationkey = c.c_nationkey))
+        |WHERE rn = 1 AND score >= 80
+        |ORDER BY probe_key""".stripMargin,
+    "q24_minmax_by" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        |  max(o_orderdate) AS latest_date
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q25_collect_set" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q26_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q32_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+  )
+}

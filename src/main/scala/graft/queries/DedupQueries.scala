@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.ops.Dedup
+
+/** Deduplication operators (north-star: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine). The corpus is the documents table
+  * unioned with a deterministic near-duplicate of itself (one appended
+  * token, shifted ids) so every variant has guaranteed positives to find.
+  */
+object DedupQueries {
+
+  /** documents ∪ near-duplicated documents (id + 1_000_000, text + " xq"). */
+  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
+    docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" xq"))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy, min-id keeper
+    "q13_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      doubled.groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy(col("h"))
+    }),
+
+    // MinHash + LSH banding near-dup pairs
+    "q15_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashPairs(corpusWithNearDups(s, dir), "doc_id", "text",
+        k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash near-dup pairs (banded 16-bit chunks, Hamming verify)
+    "q16_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(corpusWithNearDups(s, dir), "doc_id", "text",
+        maxHamming = 8)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Character n-gram Jaccard pairs blocked by source
+    "q17_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(corpusWithNearDups(s, dir), "doc_id", "text",
+        col("source"), n = 3, threshold = 0.6)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Embedding-cosine near-dup pairs: corpus ∪ scaled copies (cosine of
+    // v and 1.5v is exactly 1), blocked by label
+    "q18_embedding_neardup" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
+      Dedup.embeddingNearDups(vecs.unionByName(scaled), "vec_id", "embedding",
+        col("label"), threshold = 0.999)
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q13_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

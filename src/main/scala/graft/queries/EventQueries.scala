@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.Tables.t
+import graft.functions._
+
+/** Event-stream operators (SURVEY §2.10): the batch forms of the
+  * Structured Streaming transforms in [[graft.streaming.EventPipeline]] —
+  * identical DataFrame→DataFrame functions run under readStream in
+  * production and over a static frame here for the oracle.
+  */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling event-time window aggregation (hourly rollup)
+    "q10_event_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // F14 — pseudo-JSON "~{…}" column parse
+    // (reference: scripts/bills/vote_matching.py:14-20)
+    "q27_pseudo_json" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", LongType)))
+      t(s, dir, "events")
+        .withColumn("props_pseudo", concat(lit("~"), col("props")))
+        .select(col("event_id"),
+          parsePseudoJson(col("props_pseudo"), schema).getField("k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Sessionization: a >30-minute gap per user starts a new session —
+    // the batch equivalent of session windows (lag + cumulative flag sum)
+    "q33_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q10_event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q27_pseudo_json" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q33_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |           ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

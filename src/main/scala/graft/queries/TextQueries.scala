@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions._
+
+/** Text-analysis operators over the documents table (north-star ops:
+  * token counting, quality scoring, language-ID, fingerprinting). */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q12_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring — identical arithmetic on both engines so the
+    // rounded double hash-matches
+    "q22_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic: stopword-marker hit ratio, argmax language
+    "q21_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Rolling-hash document fingerprint (custom codegen expression;
+    // no SQL oracle — golden-tested in FunctionsSpec)
+    "q23_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), fingerprint(col("text")).as("fp"),
+        subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F12 — multi-format date parsing (ISO datetime, else bare date)
+    "q28_flexible_dates" -> ((s, dir) => {
+      val raw = t(s, dir, "orders").withColumn("date_str",
+        when(col("o_orderkey") % 2 === 0,
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+      raw.select(col("o_orderkey"),
+        parseFlexibleTimestamp(col("date_str")).as("parsed"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q12_token_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  length(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_quality" ->
+      """SELECT doc_id,
+        |  round(greatest(0.0, least(1.0,
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.25
+        |    + (CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.35
+        |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+        |         THEN CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE)
+        |              / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+        |                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE)
+        |         ELSE 0.0 END) * 0.3
+        |    + (1.0 - (CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
+        |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1)), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_flexible_dates" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0
+        |    THEN try_strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
+        |    ELSE try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') END AS parsed
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

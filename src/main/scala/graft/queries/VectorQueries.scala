@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.ops.Similarity
+
+/** Similarity search over the embeddings table (north-star: brute-force
+  * exact top-k as the baseline, IVF-bucketed approximate as the 100 TB
+  * scale path). */
+object VectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact brute-force cosine top-5 for 20 probe vectors
+    "q19_ann_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // IVF-flat approximate top-3 (deterministic stride centroids)
+    "q20_ann_ivf" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, centroidStride = 50)
+        .orderBy(col("probe_id"), col("rank"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // DuckDB: same double-precision cosine (embeddings cast to DOUBLE[]),
+    // same round-then-rank tie-break on neighbor id
+    "q19_ann_topk" ->
+      """SELECT probe_id, rank, neighbor_id, score FROM (
+        |  SELECT probe_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |      round(list_cosine_similarity(
+        |        CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |    FROM embeddings p
+        |    CROSS JOIN embeddings c
+        |    WHERE p.vec_id < 20))
+        |WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin
+  )
+}

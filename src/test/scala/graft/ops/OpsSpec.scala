@@ -1,0 +1,132 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def people = Seq(
+    ("ocd-person/d7c97bc3-b7cb-585b-b9e3-def97fcb9db6", "Tammy Baldwin", "Tammy", "Baldwin",
+      "ocd-division/country:us/state:wi", "Senate"),
+    ("ocd-person/80f88c07-5f6d-5ca3-8121-9202259a50f2", "John Barrasso", "John", "Barrasso",
+      "ocd-division/country:us/state:wy", "Senate"),
+    ("ocd-person/16a0a125-6ebe-58b3-810f-df10c0e7df1f", "Michael F. Bennet", "Michael", "Bennet",
+      "ocd-division/country:us/state:co", "Senate"))
+    .toDF("id", "name", "first_name", "last_name", "constituent_area_id", "chamber")
+
+  test("entity resolution: reference demo fixture — last-name exact matches") {
+    // reference: scripts/bills/vote_matching.py:281-311
+    val votes = Seq(
+      (1L, "Baldwin (D-WI)", "upper"),
+      (2L, "Barrasso (R-WY)", "upper"),
+      (3L, "Bennet (D-CO)", "upper"))
+      .toDF("vote_id", "voter_name", "chamber")
+    val out = EntityResolution.resolveVoters(votes, people)
+      .orderBy("vote_id").collect()
+    assert(out.map(_.getAs[String]("person_id")).toSeq == Seq(
+      "ocd-person/d7c97bc3-b7cb-585b-b9e3-def97fcb9db6",
+      "ocd-person/80f88c07-5f6d-5ca3-8121-9202259a50f2",
+      "ocd-person/16a0a125-6ebe-58b3-810f-df10c0e7df1f"))
+    assert(out.forall(_.getAs[String]("match_type") == "exact_last"))
+  }
+
+  test("entity resolution: full-name exact, fuzzy, and unmatched paths") {
+    val votes = Seq(
+      (1L, "Tammy Baldwin (D-WI)", "upper"), // exact_full
+      (2L, "Tammy Baldwn (D-WI)", "upper"),  // fuzzy (typo)
+      (3L, "Zzyzx Qwerty (D-WI)", "upper"),  // unmatched
+      (4L, "Michael Bennet (D-CO)", "upper")) // fuzzy via first+last variant
+      .toDF("vote_id", "voter_name", "chamber")
+    val out = EntityResolution.resolveVoters(votes, people)
+      .orderBy("vote_id").collect()
+    assert(out(0).getAs[String]("match_type") == "exact_full")
+    assert(out(1).getAs[String]("match_type") == "fuzzy")
+    assert(out(1).getAs[String]("person_id").endsWith("def97fcb9db6"))
+    assert(out(2).getAs[String]("match_type") == "unmatched")
+    assert(out(3).getAs[String]("person_id").endsWith("df10c0e7df1f"))
+  }
+
+  test("entity resolution: chamber blocks cross-chamber matches") {
+    val mixed = people.withColumn("chamber",
+      when(col("last_name") === "Baldwin", "House").otherwise(col("chamber")))
+    val votes = Seq((1L, "Baldwin (D-WI)", "upper")).toDF("vote_id", "voter_name", "chamber")
+    val out = EntityResolution.resolveVoters(votes, mixed).collect()
+    assert(out(0).getAs[String]("match_type") == "unmatched")
+  }
+
+  private val asOf = Timestamp.valueOf("2026-01-01 00:00:00")
+  private def rolesDf(rows: (String, Seq[(String, String, String, String, String)])*) = {
+    val data = rows.map { case (id, rs) =>
+      (id, rs.map(r => Role(r._1, r._2, r._3, r._4, r._5)))
+    }
+    data.toDF("person_id", "roles")
+  }
+
+  test("role resolution: reference 4-case matrix + tie-breaks") {
+    // reference: scripts/people/people_utils.py:24-84
+    val df = rolesDf(
+      // mayor skipped, contained interval wins
+      "p1" -> Seq(
+        ("mayor", "d0", "j", "2020-01-01", "2030-01-01"),
+        ("upper", "d1", "j", "2020-01-01", "2030-01-01")),
+      // single role returned unconditionally (even mayor)
+      "p2" -> Seq(("mayor", "d2", "j", null, null)),
+      // two fallbacks: LAST one wins (loop overwrites)
+      "p3" -> Seq(
+        ("upper", "d3a", "j", "2020-01-01", null),
+        ("upper", "d3b", "j", null, null)),
+      // out-of-range interval skipped; future-end-only returned
+      "p4" -> Seq(
+        ("upper", "d4a", "j", "2030-01-01", "2040-01-01"),
+        ("upper", "d4b", "j", null, "2035-01-01")),
+      // two contained intervals: FIRST wins (loop returns immediately)
+      "p5" -> Seq(
+        ("upper", "d5a", "j", "2020-01-01", "2030-01-01"),
+        ("upper", "d5b", "j", "2019-01-01", "2031-01-01")),
+      // nothing eligible -> dropped
+      "p6" -> Seq(
+        ("upper", "d6a", "j", "2000-01-01", "2001-01-01"),
+        ("upper", "d6b", "j", null, "2001-01-01")))
+    val out = RoleResolution.currentRoles(df, "person_id", asOf)
+      .collect().map(r => r.getAs[String]("person_id") ->
+        (r.getAs[String]("district"), r.getAs[String]("role_status"))).toMap
+    assert(out("p1") == ("d1", "current"))
+    assert(out("p2") == ("d2", "sole"))
+    assert(out("p3") == ("d3b", "potential"))
+    assert(out("p4") == ("d4b", "current"))
+    assert(out("p5") == ("d5a", "current"))
+    assert(!out.contains("p6"))
+  }
+
+  test("minhash pairs find planted near-dups and skip unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+      (3L, "totally different words about spark catalyst tungsten codegen shuffles"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", k = 32, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("brute-force topk: self is rank-1 with score 1") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(out(0).getAs[Long]("neighbor_id") == 1L && out(0).getAs[Double]("score") == 1.0)
+    assert(out(1).getAs[Long]("neighbor_id") == 2L)
+  }
+}
+
+case class Role(`type`: String, district: String, jurisdiction: String,
+  start_date: String, end_date: String)

@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.geo.GeoJson
+
+class SourcesSpec extends SparkTestBase {
+
+  test("shapefile: polygons with holes + dbf attributes") {
+    val df = Shapefile.read(spark, "src/test/resources/shp/districts.shp")
+    val rows = df.orderBy("GEOID").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("GEOID")).toSeq == Seq("42001", "42002"))
+    assert(rows.map(_.getAs[Long]("DIST")).toSeq == Seq(1L, 2L))
+    val areas = rows.map(r => GeoJson.fromWkb(r.getAs[Array[Byte]]("geometry")).getArea)
+    assert(areas.toSeq == Seq(15.0, 4.0)) // 4x4 square minus 1x1 hole; 2x2 square
+  }
+
+  test("yaml source: person documents parse with declared schema") {
+    val dir = Files.createTempDirectory("yaml").toString
+    Files.writeString(Paths.get(dir, "person-a.yml"),
+      """id: ocd-person/abc
+        |name: Tammy Baldwin
+        |roles:
+        |  - type: upper
+        |    district: Wisconsin
+        |    start_date: '2023-01-03'
+        |""".stripMargin)
+    Files.writeString(Paths.get(dir, "person-b.yml"),
+      """id: ocd-person/def
+        |name: John Barrasso
+        |roles:
+        |  - type: upper
+        |    district: Wyoming
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("roles", ArrayType(StructType(Seq(
+        StructField("type", StringType),
+        StructField("district", StringType),
+        StructField("start_date", StringType)))))))
+    val df = YamlSource.read(spark, s"$dir/*.yml", schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("name") == "Tammy Baldwin")
+    val roles = rows(0).getSeq[org.apache.spark.sql.Row](rows(0).fieldIndex("roles"))
+    assert(roles.head.getAs[String]("district") == "Wisconsin")
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](rows(1).fieldIndex("roles"))
+      .head.getAs[String]("start_date") == null)
+  }
+
+  test("json docs: multiline per-file docs with prefix dispatch") {
+    val dir = Files.createTempDirectory("docs").toString
+    Files.writeString(Paths.get(dir, "bill_001.json"),
+      """{
+        |  "identifier": "HB 102",
+        |  "title": "An Act"
+        |}""".stripMargin)
+    Files.writeString(Paths.get(dir, "vote_event_001.json"),
+      """{"identifier": "roll-22", "title": null}""")
+    val schema = StructType(Seq(
+      StructField("identifier", StringType), StructField("title", StringType)))
+    val bills = JsonDocs.read(spark, dir, "bill", schema)
+    assert(bills.count() == 1)
+    assert(bills.head.getAs[String]("identifier") == "HB 102")
+    val tagged = JsonDocs.readTagged(spark, dir, schema)
+      .select("doc_kind").collect().map(_.getString(0)).toSet
+    assert(tagged == Set("bill", "vote_event"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.warehouse.Warehouse
+
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def evs(n: Int): Seq[Ev] = (0 until n).map { i =>
+    Ev(Timestamp.valueOf(f"2024-01-01 ${i % 5}%02d:${i % 60}%02d:00"),
+      if (i % 2 == 0) "click" else "view", i.toDouble)
+  }
+
+  test("streaming hourly rollup matches the batch twin") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventPipeline.hourlyRollupStreaming(stream.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    stream.addData(evs(200))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly_out")
+      .select("hour", "event_type", "n", "sum_value")
+      .orderBy("hour", "event_type").collect().toSeq
+    val batch = EventPipeline.hourlyRollupBatch(evs(200).toDF())
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("foreachBatch merge sink: two micro-batches upsert by key") {
+    val dir = Files.createTempDirectory("mergesink").toString + "/tbl"
+    val b0 = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "batch")
+    val b1 = Seq((2L, "B", 2), (3L, "c", 2)).toDF("id", "v", "batch")
+    EventPipeline.mergeBatchSink(dir, Seq("id"))(b0, 0)
+    EventPipeline.mergeBatchSink(dir, Seq("id"))(b1, 1)
+    val out = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 2)))
+  }
+
+  test("merge is idempotent (re-applying a batch is a no-op)") {
+    val base = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val batch = Seq((2L, "Y"), (3L, "z")).toDF("id", "v")
+    val once = Warehouse.mergeByKey(base, batch, Seq("id"))
+    val twice = Warehouse.mergeByKey(once, batch, Seq("id"))
+    assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+}
