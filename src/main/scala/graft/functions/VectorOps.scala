@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** One-pass vector math over array<float|double> columns. The HOF
+  * formulation (`aggregate(zip_with(...))`) is interpreted and allocates
+  * a zipped array per row-pair; these run inside whole-stage codegen —
+  * the difference between an ANN scan being compute-bound and
+  * allocation-bound.
+  *
+  * Accumulation order matches the HOF/DuckDB sequential element order so
+  * cosine scores stay bit-identical to the oracle. */
+object VectorOps {
+
+  private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, i, aFloat)
+      val y = get(b, i, bFloat)
+      dot += x * y
+      aa += x * x
+      bb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += get(a, i, aFloat) * get(b, i, bFloat)
+      i += 1
+    }
+    s
+  }
+
+  def l2(a: ArrayData, isFloat: Boolean): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = get(a, i, isFloat)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  def l2dist2(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(a, i, aFloat) - get(b, i, bFloat)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  private[functions] def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $other")
+  }
+}
+
+abstract class BinaryVectorExpression extends BinaryExpression {
+  protected lazy val lFloat: Boolean = VectorOps.isFloatArray(left)
+  protected lazy val rFloat: Boolean = VectorOps.isFloatArray(right)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  protected def fn: String
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    evalVec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected def evalVec(a: ArrayData, b: ArrayData): Double
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.$fn($a, $b, $lFloat, $rFloat)")
+}
+
+case class CosineSim(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def fn: String = "cosine"
+  override protected def evalVec(a: ArrayData, b: ArrayData): Double =
+    VectorOps.cosine(a, b, lFloat, rFloat)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def fn: String = "dot"
+  override protected def evalVec(a: ArrayData, b: ArrayData): Double =
+    VectorOps.dot(a, b, lFloat, rFloat)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+case class L2Dist2(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def fn: String = "l2dist2"
+  override protected def evalVec(a: ArrayData, b: ArrayData): Double =
+    VectorOps.l2dist2(a, b, lFloat, rFloat)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Dist2 =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_dist2"
+}
+
+case class L2Norm(child: Expression) extends UnaryExpression {
+  private lazy val isFloat: Boolean = VectorOps.isFloatArray(child)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.l2(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.l2($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+  override def prettyName: String = "l2_norm"
+}

@@ -203,17 +203,18 @@ package object functions {
   // Vector math (similarity search / embedding dedup)
   // ---------------------------------------------------------------------
 
-  /** Dot product of two equal-length float/double array columns (codegen'd
-    * HOF chain, order of summation = element order — deterministic). */
+  /** Dot product of two equal-length float/double array columns (one-pass
+    * codegen'd expression; summation order = element order). */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    expr2col(DotProduct(col2expr(a), col2expr(b)))
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def l2Norm(a: Column): Column = expr2col(L2Norm(col2expr(a)))
+
+  def l2DistanceSquared(a: Column, b: Column): Column =
+    expr2col(L2Dist2(col2expr(a), col2expr(b)))
 
   def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    expr2col(CosineSim(col2expr(a), col2expr(b)))
 
   /** MinHash signature: k 64-bit min-hashes over a shingle array, one
     * pass (codegen'd expression; deterministic across runs/engines). */
@@ -233,10 +234,8 @@ package object functions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Jaccard similarity of two array columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
-    when(uni === 0, lit(0.0)).otherwise(inter / uni)
-  }
+  /** Jaccard similarity of two set-valued array columns (one-pass
+    * expression; inputs must be element-distinct). */
+  def jaccard(a: Column, b: Column): Column =
+    expr2col(JaccardSim(col2expr(a), col2expr(b)))
 }

@@ -66,11 +66,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Character n-gram Jaccard pairs within a blocking key (e.g. source or
-    * a coarse length bucket). Exact pairwise inside each block — callers
-    * must pick blocks small enough; use [[minHashPairs]] when no natural
-    * block exists. */
+  /** Character n-gram Jaccard pairs. Candidates come from MinHash-LSH
+    * banding over the SAME char n-gram sets (not a quadratic in-block
+    * pairing — a 500-doc block is already 125k exact Jaccards, which is
+    * what turns this O(block²) at scale); the exact n-gram Jaccard then
+    * verifies each candidate. Band geometry trades recall at the
+    * threshold against candidate volume from background similarity —
+    * 8 bands × 4 rows keeps pairs at background j≈0.1 to ~1e-3
+    * collision probability; pick a shingle length n at which unrelated
+    * docs actually look different (char-3 saturates on small
+    * vocabularies; char-6 separates). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 6, threshold: Double = 0.6,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val base = docs.select(col(idCol).as("id"),
+      charShingles(col(textCol), n).as("grams"))
+    val banded = base
+      .withColumn("sig", minHashSignature(col("grams"), k))
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+    val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(base.select(col("id").as("a_id"), col("grams").as("a_g")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("grams").as("b_g")), "b_id")
+      .withColumn("jaccard", jaccard(col("a_g"), col("b_g")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact pairwise n-gram Jaccard within a caller-supplied block —
+    * only for blocks known to be small (the reference-style state/chamber
+    * blocking); prefer [[ngramJaccardPairs]] otherwise. */
+  def ngramJaccardPairsBlocked(docs: DataFrame, idCol: String, textCol: String,
       blockCol: Column, n: Int = 3, threshold: Double = 0.6): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       charShingles(col(textCol), n).as("grams"), blockCol.as("block"))

@@ -39,10 +39,7 @@ object Similarity {
       vecCol: String): DataFrame = {
     val scored = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(broadcast(centroids))
-      .withColumn("dist2", aggregate(
-        zip_with(col("v"), col("cv"), (a, b) => {
-          val d = a.cast("double") - b.cast("double"); d * d
-        }), lit(0.0), (acc, x) => acc + x))
+      .withColumn("dist2", l2DistanceSquared(col("v"), col("cv")))
     val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("centroid_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id"), col("v"), col("centroid_id").as("cluster"))

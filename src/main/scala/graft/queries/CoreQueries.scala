@@ -142,9 +142,14 @@ object CoreQueries {
           col("c_nationkey").as("block_key"))
       val cands = cust.select(col("c_custkey").as("cand_key"),
         col("c_name").as("cand_name"), col("c_nationkey").as("block_key"))
-      val score = round(lit(100.0) * (lit(1.0) -
-        levenshtein(col("probe_name"), col("cand_name")).cast("double") /
-          greatest(length(col("probe_name")), length(col("cand_name")), lit(1)).cast("double")), 2)
+      // early-abandon levenshtein: a pair needing > 5 edits can't clear the
+      // 80 threshold at these name lengths, so clamp its score to 0 — the
+      // top-1-above-threshold outcome is unchanged but each comparison
+      // stops after the distance band is exceeded
+      val boundedLev = levenshtein(col("probe_name"), col("cand_name"), 5)
+      val score = when(boundedLev === -1, lit(0.0)).otherwise(
+        round(lit(100.0) * (lit(1.0) - boundedLev.cast("double") /
+          greatest(length(col("probe_name")), length(col("cand_name")), lit(1)).cast("double")), 2))
       val w = Window.partitionBy(col("probe_key"))
         .orderBy(col("score").desc, col("cand_key"))
       probes.join(cands, Seq("block_key"))

@@ -46,10 +46,10 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // Character n-gram Jaccard pairs blocked by source
+    // Character n-gram Jaccard pairs (LSH candidates + exact verify)
     "q17_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(corpusWithNearDups(s, dir), "doc_id", "text",
-        col("source"), n = 3, threshold = 0.6)
+        n = 6, threshold = 0.6)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
