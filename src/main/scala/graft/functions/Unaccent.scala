@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * untouched when it is pure ASCII (the overwhelmingly common case).
   */
 object Unaccent {
-  def eval(s: UTF8String): UTF8String = {
+  def unaccent(s: UTF8String): UTF8String = {
     // ASCII fast path: numBytes == numChars implies no combining marks.
     val str = s.toString
     var ascii = true
@@ -38,9 +38,9 @@ case class Unaccent(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    Unaccent.eval(input.asInstanceOf[UTF8String])
+    Unaccent.unaccent(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Unaccent.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Unaccent.unaccent($c)")
   override protected def withNewChildInternal(newChild: Expression): Unaccent =
     copy(child = newChild)
   override def prettyName: String = "unaccent"

@@ -32,7 +32,7 @@ object Uuid5 {
   private val HexDigits = "0123456789abcdef".toCharArray
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def eval(name: UTF8String): UTF8String = {
+  def uuid5(name: UTF8String): UTF8String = {
     val md = sha1.get()
     md.reset()
     md.update(NamespaceOid)
@@ -57,9 +57,9 @@ case class Uuid5(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    Uuid5.eval(input.asInstanceOf[UTF8String])
+    Uuid5.uuid5(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Uuid5.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Uuid5.uuid5($c)")
   override protected def withNewChildInternal(newChild: Expression): Uuid5 =
     copy(child = newChild)
   override def prettyName: String = "uuid5"

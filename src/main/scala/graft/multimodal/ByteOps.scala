@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * in the generated stage, no row-at-a-time UDF boundary. */
 object ByteHistogram {
   /** 16-bucket histogram over byte values (bucket = b >>> 4). */
-  def eval(bytes: Array[Byte]): GenericArrayData = {
+  def histogram(bytes: Array[Byte]): GenericArrayData = {
     val h = new Array[Long](16)
     var i = 0
     while (i < bytes.length) {
@@ -25,9 +25,9 @@ case class ByteHistogram(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    ByteHistogram.eval(input.asInstanceOf[Array[Byte]])
+    ByteHistogram.histogram(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.multimodal.ByteHistogram.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.multimodal.ByteHistogram.histogram($c)")
   override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
     copy(child = newChild)
   override def prettyName: String = "byte_histogram"
@@ -37,7 +37,7 @@ case class ByteHistogram(child: Expression) extends UnaryExpression {
   * shape of video frame-sampling (stride through an opaque payload,
   * emit smaller binary chunks). */
 object FrameSample {
-  def eval(bytes: Array[Byte], stride: Int, frameLen: Int): GenericArrayData = {
+  def sample(bytes: Array[Byte], stride: Int, frameLen: Int): GenericArrayData = {
     val n = math.max(1, stride)
     val frames = Array.newBuilder[Any]
     var off = 0
@@ -54,9 +54,9 @@ case class FrameSample(child: Expression, stride: Int, frameLen: Int)
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    FrameSample.eval(input.asInstanceOf[Array[Byte]], stride, frameLen)
+    FrameSample.sample(input.asInstanceOf[Array[Byte]], stride, frameLen)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.multimodal.FrameSample.eval($c, $stride, $frameLen)")
+    defineCodeGen(ctx, ev, c => s"graft.multimodal.FrameSample.sample($c, $stride, $frameLen)")
   override protected def withNewChildInternal(newChild: Expression): FrameSample =
     copy(child = newChild)
   override def prettyName: String = "frame_sample"
