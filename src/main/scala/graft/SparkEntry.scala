@@ -29,7 +29,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracle),
       (VectorQueries.queries, VectorQueries.oracle),
       (GeoQueries.queries, GeoQueries.oracle),
-      (MultimodalQueries.queries, MultimodalQueries.oracle))
+      (MultimodalQueries.queries, MultimodalQueries.oracle),
+      (SqlQueries.queries, SqlQueries.oracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _)

@@ -30,8 +30,11 @@ object Dedup {
       k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
+    // shingle set is consumed three times (banding + both verify joins);
+    // persist so the text is shingled once, not per consumer
     val base = docs.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleLen).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base
       .withColumn("sig", minHashSignature(col("shingles"), k))
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
@@ -82,6 +85,7 @@ object Dedup {
     val rows = k / bands
     val base = docs.select(col(idCol).as("id"),
       charShingles(col(textCol), n).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base
       .withColumn("sig", minHashSignature(col("grams"), k))
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))

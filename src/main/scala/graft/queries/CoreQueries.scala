@@ -135,13 +135,18 @@ object CoreQueries {
     // by levenshtein ratio, window top-1, threshold 80
     // (reference: scripts/bills/vote_matching.py:106-270)
     "q14_fuzzy_match" -> ((s, dir) => {
+      // blocking = (nationkey, name suffix) — the second key is the
+      // standard ER trick (suffix/phonetic block) that keeps the
+      // candidate set linear instead of block-quadratic
       val cust = t(s, dir, "customer")
       val probes = cust.filter(col("c_custkey") % 7 === 0)
         .select(col("c_custkey").as("probe_key"),
           regexp_replace(col("c_name"), "Customer#", "Customer #").as("probe_name"),
           col("c_nationkey").as("block_key"))
+        .withColumn("block_sfx", substring(col("probe_name"), -2, 2))
       val cands = cust.select(col("c_custkey").as("cand_key"),
-        col("c_name").as("cand_name"), col("c_nationkey").as("block_key"))
+        col("c_name").as("cand_name"), col("c_nationkey").as("block_key"),
+        substring(col("c_name"), -2, 2).as("block_sfx"))
       // early-abandon levenshtein: a pair needing > 5 edits can't clear the
       // 80 threshold at these name lengths, so clamp its score to 0 — the
       // top-1-above-threshold outcome is unchanged but each comparison
@@ -152,7 +157,7 @@ object CoreQueries {
           greatest(length(col("probe_name")), length(col("cand_name")), lit(1)).cast("double")), 2))
       val w = Window.partitionBy(col("probe_key"))
         .orderBy(col("score").desc, col("cand_key"))
-      probes.join(cands, Seq("block_key"))
+      probes.join(cands, Seq("block_key", "block_sfx"))
         .withColumn("score", score)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("score") >= 80)
@@ -286,7 +291,8 @@ object CoreQueries {
         |        regexp_replace(c_name, 'Customer#', 'Customer #') AS probe_name,
         |        c_nationkey
         |      FROM customer WHERE c_custkey % 7 = 0) p
-        |    JOIN customer c ON p.c_nationkey = c.c_nationkey))
+        |    JOIN customer c ON p.c_nationkey = c.c_nationkey
+        |      AND right(p.probe_name, 2) = right(c.c_name, 2)))
         |WHERE rn = 1 AND score >= 80
         |ORDER BY probe_key""".stripMargin,
     "q24_minmax_by" ->

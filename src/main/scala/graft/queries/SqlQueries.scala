@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions._
+
+/** Engine-completeness SQL surface: percentiles, set operators, pivot,
+  * CUBE, ordered string aggregation, correlated subqueries (via the SQL
+  * front-end), range-frame windows, accent stripping, deterministic ids,
+  * and sketch-based distinct counting. */
+object SqlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact interpolated percentiles per group. Computed over integer
+    // cents: the interpolation fraction then lands ≥ 0.05 from any
+    // round(…,1) boundary, so the two engines' algebraically-equal but
+    // ULP-different interpolation formulas cannot round apart.
+    "q36_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(cents, 0.5)"), 1).as("p50_cents"),
+          round(expr("percentile(cents, 0.9)"), 1).as("p90_cents"),
+          round(expr("percentile(l_quantity, 0.25)"), 1).as("q1_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Set operators: UNION / INTERSECT / EXCEPT (all distinct)
+    "q37_setops" -> ((s, dir) => {
+      val lo = t(s, dir, "orders").filter(col("o_totalprice") < 50000)
+        .select(col("o_custkey").as("k"))
+      val hi = t(s, dir, "orders").filter(col("o_totalprice") >= 100000)
+        .select(col("o_custkey").as("k"))
+      val union = lo.union(hi).distinct().withColumn("src", lit("union"))
+      val inter = lo.intersect(hi).withColumn("src", lit("intersect"))
+      val exc = lo.except(hi).withColumn("src", lit("except"))
+      union.unionByName(inter).unionByName(exc)
+        .orderBy(col("src"), col("k"))
+        .select(col("src"), col("k"))
+    }),
+
+    // Pivot: order counts by priority × status (fixed pivot columns)
+    "q38_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // CUBE over region × nation
+    "q41_cube" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // Ordered string aggregation
+    "q42_string_agg" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), "|").as("suppliers"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Correlated scalar subquery through the SQL front-end
+    "q43_correlated_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM v_orders o
+        WHERE o_totalprice > 1.8 * (
+          SELECT avg(o_totalprice) FROM v_orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    }),
+
+    // RANGE-frame window: sum of same-customer order prices within ±30 days
+    "q44_range_window" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("v_orders2")
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+          CAST(round(sum(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+            RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND INTERVAL 30 DAYS FOLLOWING
+          ) * 100) AS BIGINT) AS window_cents
+        FROM v_orders2
+        ORDER BY o_custkey, o_orderkey""")
+    }),
+
+    // F6 — accent stripping over synthesized accented names
+    "q40_unaccent" -> ((s, dir) => {
+      val accented = translate(col("p_name"), "aeo", "áéō")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        accented.as("accented"),
+        unaccent(accented).as("plain"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F8/F9 — deterministic uuid5 + OCD id formatting (no SQL oracle:
+    // DuckDB lacks SHA-1; bit-exactness is golden-tested vs CPython)
+    "q39_ids" -> ((s, dir) => {
+      t(s, dir, "orders").limit(1000).select(
+        col("o_orderkey"),
+        billId(concat(lit("ORD "), col("o_orderkey")),
+          lit("ocd-division/country:us")).as("bill_id"),
+        voteEventId(concat(lit("vote:"), col("o_orderkey"))).as("vote_event_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Sketch-based distinct counting (HLL++) — approximate by design, so
+    // rows-only; the scale story for COUNT(DISTINCT) at 100 TB
+    "q45_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q36_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5), 1) AS p50_cents,
+        |  round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9), 1) AS p90_cents,
+        |  round(quantile_cont(l_quantity, 0.25), 1) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q37_setops" ->
+      """WITH lo AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice < 50000),
+        |     hi AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice >= 100000)
+        |SELECT * FROM (
+        |  SELECT 'union' AS src, k FROM (SELECT DISTINCT k FROM (SELECT k FROM lo UNION SELECT k FROM hi))
+        |  UNION ALL
+        |  SELECT 'intersect' AS src, k FROM (SELECT k FROM lo INTERSECT SELECT k FROM hi)
+        |  UNION ALL
+        |  SELECT 'except' AS src, k FROM (SELECT k FROM lo EXCEPT SELECT k FROM hi))
+        |ORDER BY src, k""".stripMargin,
+    "q38_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q41_cube" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q42_string_agg" ->
+      """SELECT s_nationkey,
+        |  string_agg(s_name, '|' ORDER BY s_name) AS suppliers
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q43_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders o
+        |WHERE o_totalprice > 1.8 * (
+        |  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q44_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND INTERVAL 30 DAYS FOLLOWING
+        |  ) * 100) AS BIGINT) AS window_cents
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q40_unaccent" ->
+      """SELECT p_partkey,
+        |  translate(p_name, 'aeo', 'áéō') AS accented,
+        |  strip_accents(translate(p_name, 'aeo', 'áéō')) AS plain
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}
