@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions._
+import graft.multimodal.{ByteHistogram, FrameSample}
+
+/** SQL registration of the engine's custom expressions, both as a
+  * [[SparkSessionExtensions]] injector for cluster deployment
+  * (`spark.sql.extensions=graft.GraftExtensions`) and as an in-session
+  * installer for an already-running session. After registration the
+  * whole function library is reachable from `spark.sql(...)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registry.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "uuid5" -> (es => Uuid5(es.head)),
+    "unaccent" -> (es => Unaccent(es.head)),
+    "fuzz_ratio" -> (es => FuzzRatio(es(0), es(1))),
+    "simhash64" -> (es => SimHash(es.head)),
+    "rolling_hash" -> (es => RollingHash(es.head)),
+    "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
+    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "l2_norm" -> (es => L2Norm(es.head)),
+    "l2_dist2" -> (es => L2Dist2(es(0), es(1))),
+    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
+    "char_shingles" -> (es => CharShingles(es(0), intArg(es(1), "n"))),
+    "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "k"))),
+    "byte_histogram" -> (es => ByteHistogram(es.head)),
+    "frame_sample" -> (es =>
+      FrameSample(es(0), intArg(es(1), "stride"), intArg(es(2), "frameLen"))),
+    "topk_by_score" -> (es =>
+      TopKByScore(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()))
+
+  /** Register every function into an existing session's catalog. */
+  def install(spark: SparkSession): Unit =
+    registry.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -231,6 +231,11 @@ package object functions {
   /** 64-bit SimHash over whitespace tokens (custom expression). */
   def simHash(text: Column): Column = expr2col(SimHash(col2expr(text)))
 
+  /** Per-group top-k aggregate (bounded heap, partial-aggregation
+    * friendly): array<struct<id,score>> best-first. */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    expr2col(TopKByScore(col2expr(score), col2expr(id), k).toAggregateExpression())
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

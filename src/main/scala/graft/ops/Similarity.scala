@@ -19,19 +19,28 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each probe (probe set must be small
     * enough to broadcast). Deterministic: ties broken by neighbor id on
-    * the score rounded to 6 decimals. */
+    * the score rounded to 6 decimals.
+    *
+    * Ranking uses the [[graft.functions.TopKByScore]] bounded-heap
+    * aggregate, not a row_number window: partial aggregation keeps top-k
+    * per partition map-side, so only O(probes × k) rows cross the
+    * shuffle instead of the full O(corpus × probes) scored set. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(p))
       .withColumn("score", round(cosineSimilarity(col("pv"), col("cv")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("score"))
+    rankTopK(scored, k)
   }
+
+  /** groupBy(probe_id) + bounded-heap top-k → exploded (rank, id, score). */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("probe_id"))
+      .agg(topKByScore(col("score"), col("neighbor_id"), k).as("topk"))
+      .select(col("probe_id"), posexplode(col("topk")).as(Seq("r0", "nb")))
+      .select(col("probe_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("nb.id").as("neighbor_id"), col("nb.score").as("score"))
 
   /** Assign each vector the id of its nearest centroid (L2). Centroids
     * must be a small broadcastable set with columns (centroid_id, cv). */
@@ -59,10 +68,6 @@ object Similarity {
       .select(col("id").as("probe_id"), col("v").as("pv"), col("cluster"))
     val scored = corpusAssigned.join(broadcast(probesAssigned), Seq("cluster"))
       .withColumn("score", round(cosineSimilarity(col("pv"), col("cv2")), 6))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("score"))
+    rankTopK(scored, k)
   }
 }

@@ -1,0 +1,35 @@
+package graft
+
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.install(spark)
+    Seq(("HB 102_ocd-division/country:us/state:pa", Seq(1.0f, 2.0f), Seq(2.0f, 4.0f)))
+      .toDF("s", "a", "b").createOrReplaceTempView("v_ext")
+    val row = spark.sql("""
+      SELECT uuid5(s) AS u, unaccent('Crème brûlée') AS ua,
+        fuzz_ratio('Jon Tester', 'John Tester') AS fr,
+        round(cosine_sim(a, b), 9) AS cs,
+        size(word_shingles('a b c d', 2)) AS ws,
+        simhash64(s) AS sh
+      FROM v_ext""").head
+    assert(row.getAs[String]("u") == "283445c3-4955-5954-bd32-090e32e48040")
+    assert(row.getAs[String]("ua") == "Creme brulee")
+    assert(row.getAs[Int]("fr") == 95)
+    assert(row.getAs[Double]("cs") == 1.0)
+    assert(row.getAs[Int]("ws") == 3)
+  }
+
+  test("topk_by_score aggregate works in SQL GROUP BY") {
+    GraftExtensions.install(spark)
+    Seq((1, 0.9, 10L), (1, 0.8, 11L), (1, 0.95, 12L), (2, 0.5, 20L))
+      .toDF("g", "score", "id").createOrReplaceTempView("v_topk")
+    val out = spark.sql("""
+      SELECT g, topk_by_score(score, id, 2) AS tk FROM v_topk GROUP BY g ORDER BY g""")
+      .collect()
+    val g1 = out(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(_.getLong(0)) == Seq(12L, 10L))
+    assert(out(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(20L))
+  }
+}

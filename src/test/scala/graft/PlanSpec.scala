@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * filters reaching the parquet scan, column pruning, broadcast joins for
+  * dimensions, map-side partial top-k, and the spatial join planning as
+  * an equi-join rather than a nested loop. */
+class PlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: predicate pushdown and column pruning reach the parquet scan") {
+    val p = plan(SparkEntry.queries("q01_pruned_scan")(spark, sf))
+    assert(p.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(p.contains("l_quantity"), "quantity filter not pushed")
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!p.contains("l_tax"), s"scan reads unneeded columns")
+  }
+
+  test("q06: dimension joins are broadcast hash joins") {
+    val p = plan(SparkEntry.queries("q06_region_rollup")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "dimension join not broadcast")
+    assert(!p.contains("SortMergeJoin"), "unexpected sort-merge join for tiny dims")
+  }
+
+  test("q04: semi-join stays a semi-join") {
+    val p = plan(SparkEntry.queries("q04_semi_join")(spark, sf))
+    assert(p.contains("LeftSemi"), "semi-join lost")
+  }
+
+  test("q02: aggregation is partial (map-side combine) + final") {
+    val p = plan(SparkEntry.queries("q02_pricing_summary")(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      "no partial aggregation before the shuffle")
+  }
+
+  test("top-k ANN: bounded-heap aggregate runs partial before the exchange") {
+    val vecs = Tables.t(spark, sf, "embeddings")
+    val df = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 3)
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"), "typed aggregate not planned")
+    assert(p.contains("partial_topk_by_score"), "top-k not map-side partial")
+    assert(!p.contains("Window"), "top-k fell back to a window sort")
+  }
+
+  test("spatial join plans as equi-join on grid cells, not nested loop") {
+    val p = plan(SparkEntry.queries("q30_spatial_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "spatial join degenerated to a nested loop")
+    assert(!p.contains("CartesianProduct"), "spatial join is a cross product")
+  }
+
+  test("whole-stage codegen covers the scalar-function pipeline") {
+    val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
+    val cg = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtree"), s"no codegen stage in:\n${cg.take(800)}")
+  }
+}
