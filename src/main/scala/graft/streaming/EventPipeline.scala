@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.warehouse.Warehouse
 
@@ -14,6 +17,11 @@ import graft.warehouse.Warehouse
   * via q10/q33) and under `readStream` (watermark + windowed state). The
   * merge sink is the `foreachBatch` body.
   */
+case class RawEvent(user_id: Long, ts: java.sql.Timestamp)
+case class OpenSession(sessionSeq: Long, startTs: Long, lastTs: Long, n: Long)
+case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
+  session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
 object EventPipeline {
 
   /** Hourly tumbling-window rollup. On a stream, apply after
@@ -31,6 +39,36 @@ object EventPipeline {
     events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Custom-state sessionization over a stream: a >gap pause closes the
+    * user's session, which is emitted downstream (Append mode). State =
+    * the open session per user; survives across micro-batches via
+    * [[GroupState]]. The batch twin is q33_sessionize (lag + cumulative
+    * flag sum over a static frame). */
+  def sessionizeStateful(events: Dataset[RawEvent], gapSeconds: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[RawEvent], state: GroupState[OpenSession]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts.getTime - s.lastTs <= gapSeconds * 1000L =>
+                open = Some(s.copy(lastTs = e.ts.getTime, n = s.n + 1))
+              case Some(s) =>
+                closed += ClosedSession(uid, s.sessionSeq, s.n,
+                  new Timestamp(s.startTs), new Timestamp(s.lastTs))
+                open = Some(OpenSession(s.sessionSeq + 1, e.ts.getTime, e.ts.getTime, 1))
+              case None =>
+                open = Some(OpenSession(1, e.ts.getTime, e.ts.getTime, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 
   /** foreachBatch body: merge a micro-batch into the keyed table at
     * `tablePath` (create on first batch). Parquet overwrite of the merged
