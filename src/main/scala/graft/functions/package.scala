@@ -186,6 +186,12 @@ package object functions {
     when(best.getField("score") >= 0.05, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** F18: PDF-extracted-text cleanup — drop form feeds and newlines,
+    * de-accent, strip remaining non-ASCII
+    * (reference: scripts/ai/summarize_bills_federal.py:67-82). */
+  def pdfTextCleanup(c: Column): Column =
+    regexp_replace(unaccent(regexp_replace(c, "[\\x0c\\n\\r]+", " ")), "[^\\x00-\\x7F]", "")
+
   /** Rolling-hash document fingerprint (polynomial Karp-Rabin over UTF-8
     * bytes), as a custom codegen'd expression. */
   def fingerprint(c: Column): Column = expr2col(RollingHash(col2expr(c)))

@@ -116,6 +116,51 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation: every doc adopts the smallest id reachable
+    * through pairs. Converges in O(log(longest chain)) rounds because
+    * labels hop through both endpoints each round; each round is two
+    * hash joins + one aggregation (no driver-side graph). Returns
+    * (id, component) where component = min id of the cluster. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true) // materialize once; truncate upstream lineage
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // propagate: my new label = min(my label, min over neighbors' labels).
+      // Each round is checkpointed eagerly — iterative plans otherwise grow
+      // a doubling lineage that drowns the optimizer.
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels.join(neighborLabels, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Apply a dedup decision: keep one representative per component (the
+    * minimum id) and every doc not in any pair. */
+  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
+    docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-dup pairs within a blocking key. The scale
     * path replaces the block column with an LSH/IVF bucket id (see
     * [[Similarity.assignIvfCluster]]). */

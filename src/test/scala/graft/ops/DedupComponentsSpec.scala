@@ -1,0 +1,61 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class DedupComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** reference union-find for cross-checking */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("connected components: chain, clique, singletons-in-pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 10L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L && comps(4L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+  }
+
+  test("connected components match union-find on random graphs") {
+    val rnd = new Random(42)
+    val n = 60
+    val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val want = unionFind(n, edges)
+    val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"), maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // compare only nodes that appear in edges (components drops isolated nodes)
+    val inEdges = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    inEdges.foreach { v => assert(got(v) == want(v), s"node $v: got ${got(v)} want ${want(v)}") }
+  }
+
+  test("applyDedup keeps one representative per near-dup cluster") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (10L, "b"), (42L, "unique"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.applyDedup(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L, 42L))
+  }
+
+  test("pdfTextCleanup strips form feeds, newlines, accents, non-ascii") {
+    val got = Seq("page one\u000cpage two\nwith Crème brûlée — ok")
+      .toDF("t").select(graft.functions.pdfTextCleanup(col("t"))).head.getString(0)
+    assert(got == "page one page two with Creme brulee  ok")
+  }
+}
