@@ -30,7 +30,8 @@ object SparkEntry {
       (VectorQueries.queries, VectorQueries.oracle),
       (GeoQueries.queries, GeoQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
-      (SqlQueries.queries, SqlQueries.oracle))
+      (SqlQueries.queries, SqlQueries.oracle),
+      (GraphQueries.queries, GraphQueries.oracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions._
+import graft.ops.Dedup
+
+/** Graph-shaped and composite operators: relational 2-hop traversal
+  * (the person↔area edge-table pattern, SURVEY J6), dedup application
+  * via connected components, and PDF-text cleanup. */
+object GraphQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 2-hop traversal over the customer—part bipartite graph: for probe
+    // customers, the distinct partner customers reachable through a
+    // co-purchased part. Probe-side filter pushes down before the hop.
+    "q46_graph_2hop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val edges = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      val probeEdges = edges.filter(col("cust") < 50)
+        .select(col("cust").as("probe_cust"), col("part"))
+      probeEdges.join(edges, Seq("part"))
+        .filter(col("cust") =!= col("probe_cust"))
+        .groupBy(col("probe_cust"))
+        .agg(count_distinct(col("cust")).as("n_partners"),
+          count_distinct(col("part")).as("n_shared_parts"))
+        .orderBy(col("probe_cust"))
+    }),
+
+    // Dedup application end-to-end: LSH pairs -> connected components ->
+    // one representative per cluster (rows-only; components are iterative)
+    "q47_dedup_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xq"))))
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+        k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
+      Dedup.applyDedup(corpus, "doc_id", pairs)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F18 — PDF-extracted-text cleanup over text with injected artifacts
+    "q48_pdf_cleanup" -> ((s, dir) => {
+      val dirty = concat(lit("p1\u000c"), translate(col("text"), "ae", "áé"), lit("\nend"))
+      t(s, dir, "documents").select(
+        col("doc_id"), pdfTextCleanup(dirty).as("clean"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q46_graph_2hop" ->
+      """WITH edges AS (
+        |  SELECT o_custkey AS cust, l_partkey AS part
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT p.cust AS probe_cust,
+        |  count(DISTINCT e.cust) AS n_partners,
+        |  count(DISTINCT e.part) AS n_shared_parts
+        |FROM (SELECT cust, part FROM edges WHERE cust < 50) p
+        |JOIN edges e ON p.part = e.part
+        |WHERE e.cust <> p.cust
+        |GROUP BY p.cust ORDER BY p.cust""".stripMargin,
+    "q48_pdf_cleanup" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    strip_accents(
+        |      regexp_replace('p1' || chr(12) || translate(text, 'ae', 'áé') || chr(10) || 'end',
+        |        '[\x0c\n\r]+', ' ', 'g')),
+        |    '[^\x00-\x7F]', '', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
