@@ -158,8 +158,14 @@ package object functions {
     val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
     val punctPenalty = when(len > 0, punct / len).otherwise(lit(0.0))
     val dedupRatio = when(toks > 0, uniq / toks).otherwise(lit(0.0))
-    round(greatest(lit(0.0), least(lit(1.0),
-      lenScore * 0.25 + alphaRatio * 0.35 + dedupRatio * 0.3 + (lit(1.0) - punctPenalty) * 0.1)), 6)
+    val q = greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.25 + alphaRatio * 0.35 + dedupRatio * 0.3 + (lit(1.0) - punctPenalty) * 0.1))
+    // explicit floor(x*1e6 + 0.5)/1e6 instead of round(): the score is a
+    // small-denominator rational that can land EXACTLY on a .5e-6
+    // boundary, where Spark's BigDecimal HALF_UP and DuckDB's
+    // multiply-std::round-divide disagree; spelling the same double ops
+    // on both sides makes the result bit-identical
+    floor(q * 1000000.0 + 0.5) / 1000000.0
   }
 
   /** Language-ID heuristic: stopword-hit ratio per language over a fixed

@@ -197,10 +197,14 @@ object CoreQueries {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
-    // Frame-spec window — running sum per supplier in ship order
+    // Frame-spec window — running sum per supplier in ship order.
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    // the sort key includes quantity+price: remaining ties are full-row
+    // duplicates, whose running sums form the same multiset either way.
     "q32_running_sum" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "lineitem")
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
@@ -316,7 +320,7 @@ object CoreQueries {
     "q32_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin

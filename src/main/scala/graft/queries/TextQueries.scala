@@ -65,7 +65,7 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_quality" ->
       """SELECT doc_id,
-        |  round(greatest(0.0, least(1.0,
+        |  floor(greatest(0.0, least(1.0,
         |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.25
         |    + (CASE WHEN length(text) > 0
         |         THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
@@ -78,7 +78,8 @@ object TextQueries {
         |         ELSE 0.0 END) * 0.3
         |    + (1.0 - (CASE WHEN length(text) > 0
         |         THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
-        |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1)), 6) AS quality
+        |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q28_flexible_dates" ->
       """SELECT o_orderkey,

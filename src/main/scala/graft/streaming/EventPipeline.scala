@@ -40,6 +40,13 @@ object EventPipeline {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Exactly-once style streaming dedup: drop events whose id was
+    * already seen within the watermark horizon — the ingestion guard in
+    * front of the merge sink (state is bounded by the watermark). */
+  def dedupeStream(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+
   /** Custom-state sessionization over a stream: a >gap pause closes the
     * user's session, which is emitted downstream (Append mode). State =
     * the open session per user; survives across micro-batches via

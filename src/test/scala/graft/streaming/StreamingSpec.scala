@@ -37,6 +37,22 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val deduped = EventPipeline.dedupeStream(
+      stream.toDF().withColumn("event_id", $"value".cast("long")),
+      "event_id", "ts", "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val batch = evs(10)
+    stream.addData(batch)
+    stream.addData(batch) // exact replay
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 10)
+  }
+
   test("foreachBatch merge sink: two micro-batches upsert by key") {
     val dir = Files.createTempDirectory("mergesink").toString + "/tbl"
     val b0 = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "batch")
