@@ -20,6 +20,17 @@ class SourcesSpec extends SparkTestBase {
     assert(areas.toSeq == Seq(15.0, 4.0)) // 4x4 square minus 1x1 hole; 2x2 square
   }
 
+  test("shapefile DataSource V2: spark.read.format(\"shapefile\")") {
+    val df = spark.read.format("shapefile")
+      .load("src/test/resources/shp/districts.shp")
+    val rows = df.orderBy("GEOID").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("GEOID")).toSeq == Seq("42001", "42002"))
+    assert(GeoJson.fromWkb(rows(0).getAs[Array[Byte]]("geometry")).getArea == 15.0)
+    // projection pruning still yields correct columns through DSv2
+    assert(df.select("DIST").orderBy("DIST").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("yaml source: person documents parse with declared schema") {
     val dir = Files.createTempDirectory("yaml").toString
     Files.writeString(Paths.get(dir, "person-a.yml"),
