@@ -20,7 +20,25 @@ object CoreQueries {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private val asOfQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of (point-in-time) join: each order picks up the customer's
+    // reference order from the latest strictly-earlier order date
+    // (union-sort-propagate implementation — one shuffle, see
+    // graft.ops.AsOfJoin)
+    "q49_asof_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val perDate = orders.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("ref_order"))
+      graft.ops.AsOfJoin.asOf(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        perDate, "o_custkey", "o_orderdate", "o_orderdate", strict = true)
+        .select(col("o_orderkey"), col("o_custkey"), col("ref_order").as("prev_order"))
+        .orderBy(col("o_orderkey"))
+    }))
+
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // P1/P2 — projection + predicate pushdown (SURVEY §2.3)
     "q01_pruned_scan" -> ((s, dir) => {
@@ -211,9 +229,20 @@ object CoreQueries {
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     })
-  )
+  ) ++ asOfQueries
 
   val oracle: Map[String, String] = Map(
+    "q49_asof_join" ->
+      """WITH per_date AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS ref_order
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    lag(ref_order) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev_order
+        |  FROM per_date)
+        |SELECT o.o_orderkey, o.o_custkey, w.prev_order
+        |FROM orders o JOIN w USING (o_custkey, o_orderdate)
+        |ORDER BY o_orderkey""".stripMargin,
     "q01_pruned_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
