@@ -25,27 +25,33 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: word-shingle → k minhashes → `bands`
     * band keys → equi-join on band key → exact shingle-Jaccard verify.
-    * Returns (a_id, b_id, jaccard) with a_id < b_id. */
+    * Returns (a_id, b_id, jaccard) with a_id < b_id.
+    *
+    * No caching anywhere: a 100 TB corpus's shingle sets cannot be
+    * persisted (round 1 tried and leaked the cache). Instead the compact
+    * LSH candidate pair list is joined back to the raw text and shingles
+    * are recomputed only for rows that survive candidate generation —
+    * the banding pass shingles each doc exactly once, and the verify pass
+    * re-shingles only the (tiny) candidate subset. */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    // shingle set is consumed three times (banding + both verify joins);
-    // persist so the text is shingled once, not per consumer
-    val base = docs.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleLen).as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base
-      .withColumn("sig", minHashSignature(col("shingles"), k))
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val banded = base.select(col("id"),
+      explode(lshBandKeys(
+        minHashSignature(wordShingles(col("txt"), shingleLen), k), bands, rows)).as("bk"))
     val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // verify joins carry only (a_id, b_id); AQE broadcasts the pair list
+    // against the corpus scan, so text never crosses a shuffle
     candidates
-      .join(base.select(col("id").as("a_id"), col("shingles").as("a_sh")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("shingles").as("b_sh")), "b_id")
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .join(base.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
+      .withColumn("jaccard", jaccard(
+        wordShingles(col("a_txt"), shingleLen), wordShingles(col("b_txt"), shingleLen)))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -83,20 +89,21 @@ object Dedup {
       n: Int = 6, threshold: Double = 0.6,
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
-    val base = docs.select(col(idCol).as("id"),
-      charShingles(col(textCol), n).as("grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base
-      .withColumn("sig", minHashSignature(col("grams"), k))
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+    // same no-cache shape as minHashPairs: band over inline shingles,
+    // re-shingle only the candidate subset in the verify joins
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val banded = base.select(col("id"),
+      explode(lshBandKeys(
+        minHashSignature(charShingles(col("txt"), n), k), bands, rows)).as("bk"))
     val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     candidates
-      .join(base.select(col("id").as("a_id"), col("grams").as("a_g")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("grams").as("b_g")), "b_id")
-      .withColumn("jaccard", jaccard(col("a_g"), col("b_g")))
+      .join(base.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
+      .withColumn("jaccard", jaccard(
+        charShingles(col("a_txt"), n), charShingles(col("b_txt"), n)))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -117,39 +124,74 @@ object Dedup {
   }
 
   /** Connected components over a near-dup pair list by iterative
-    * min-label propagation: every doc adopts the smallest id reachable
-    * through pairs. Converges in O(log(longest chain)) rounds because
-    * labels hop through both endpoints each round; each round is two
-    * hash joins + one aggregation (no driver-side graph). Returns
-    * (id, component) where component = min id of the cluster. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * min-label propagation with pointer jumping: each round every doc
+    * adopts min(own label, neighbors' labels, label of its own label).
+    * The pointer-jump step (label-of-label) halves the remaining chain
+    * length each round, so convergence is O(log diameter) rounds — a
+    * plain one-hop propagation would need O(diameter). Each round is
+    * three hash joins + one aggregation, eagerly checkpointed (no
+    * driver-side graph, no lineage blow-up). Returns (id, component)
+    * where component = min id of the cluster.
+    *
+    * Throws if `maxIter` rounds pass without convergence — silently
+    * returning partial components would merge/split dedup clusters
+    * incorrectly downstream. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    // Each round's localCheckpoint(true) pins blocks in the BlockManager;
+    // without explicit cleanup a k-round run holds k full label sets
+    // (round 1's cache leak, at label-set scale). Superseded rounds are
+    // unpersisted via getPersistentRDDs diffing — only the final labels
+    // checkpoint survives the call. (Snapshot diffing assumes no
+    // concurrent job persists RDDs mid-call, which holds for this
+    // driver-side loop.)
+    val sc = pairs.sparkSession.sparkContext
+    def persisted = sc.getPersistentRDDs
+    def dropBlocks(ids: scala.collection.Set[Int]): Unit =
+      ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    val preexisting = persisted.keySet
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true) // materialize once; truncate upstream lineage
+    val edgeIds = persisted.keySet -- preexisting
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
       .localCheckpoint(true)
+    var labelIds = persisted.keySet -- edgeIds -- preexisting
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // propagate: my new label = min(my label, min over neighbors' labels).
-      // Each round is checkpointed eagerly — iterative plans otherwise grow
-      // a doubling lineage that drowns the optimizer.
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_component"))
-      val next = labels.join(neighborLabels, Seq("id"), "left")
+      val propagated = labels.join(neighborLabels, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
+      // pointer jump: follow my label to ITS label (components are always
+      // ids that appear as edge endpoints, so the lookup always resolves)
+      val beforeNext = persisted.keySet
+      val next = propagated.as("l")
+        .join(propagated.select(col("id").as("pid"), col("component").as("pcomp")),
+          col("l.component") === col("pid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.component"), coalesce(col("pcomp"), col("l.component")))
+            .as("component"))
         .localCheckpoint(true)
+      val nextIds = persisted.keySet -- beforeNext
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") =!= col("old")).limit(1).count()
+      dropBlocks(labelIds -- nextIds) // previous round superseded
       labels = next
+      labelIds = nextIds
       converged = changed == 0
       iter += 1
     }
+    dropBlocks(edgeIds) // final labels checkpoint is self-contained
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "raise maxIter (cluster diameter exceeds 2^maxIter after pointer jumping)")
     labels
   }
 
@@ -161,9 +203,9 @@ object Dedup {
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
-  /** Embedding cosine near-dup pairs within a blocking key. The scale
-    * path replaces the block column with an LSH/IVF bucket id (see
-    * [[Similarity.assignIvfCluster]]). */
+  /** Embedding cosine near-dup pairs within a caller-supplied blocking
+    * key — only for blocks known small (an upstream partition/label);
+    * prefer [[embeddingNearDupsIvf]] when no natural block exists. */
   def embeddingNearDups(vecs: DataFrame, idCol: String, vecCol: String,
       blockCol: Column, threshold: Double = 0.99): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"), blockCol.as("block"))
@@ -173,5 +215,42 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding cosine near-dup pairs blocked by IVF bucket — the scale
+    * path, needing no label column. Every vector is assigned to its
+    * `nProbe` highest-cosine centroids (multi-probe keeps near-boundary
+    * neighbors in at least one shared bucket; cosine assignment is
+    * scale-invariant, so v and c·v land in identical buckets). Bucket
+    * assignment uses the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate — partial aggregation collapses the corpus×centroids
+    * scored rows map-side, so only nProbe rows per vector shuffle.
+    * Candidates equi-join on bucket id; the exact cosine verifies each
+    * deduped candidate pair (vectors re-joined by id, never carried
+    * through the bucket explode). Centroids are stride-picked like
+    * [[Similarity.ivfTopK]] (a real deployment plugs in k-means
+    * centroids; the plan shape is identical). */
+  def embeddingNearDupsIvf(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.99, centroidStride: Int = 50,
+      nProbe: Int = 2): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = base.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("centroid_id"), col("v").as("cv"))
+    val assigned = base.join(broadcast(centroids))
+      .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
+      .groupBy(col("id"))
+      .agg(topKByScore(col("sim"), col("centroid_id"), nProbe).as("bks"))
+      .select(col("id"), explode(col("bks")).as("bk"))
+      .select(col("id"), col("bk.id").as("bucket"))
+    val candidates = assigned.as("x").join(assigned.as("y"), col("x.bucket") === col("y.bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("cosine", cosineSimilarity(col("a_v"), col("b_v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -251,7 +251,7 @@ object CoreQueries {
     "q02_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -274,7 +274,7 @@ object CoreQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "q06_region_rollup" ->
       """SELECT r_name, count(*) AS n_cust,
-        |  sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey

@@ -54,13 +54,15 @@ object DedupQueries {
     }),
 
     // Embedding-cosine near-dup pairs: corpus ∪ scaled copies (cosine of
-    // v and 1.5v is exactly 1), blocked by label
+    // v and 1.5v is exactly 1), blocked by multi-probe IVF bucket — the
+    // scale path; no label column needed (cosine bucket assignment is
+    // scale-invariant, so each scaled twin shares its original's buckets)
     "q18_embedding_neardup" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
-      Dedup.embeddingNearDups(vecs.unionByName(scaled), "vec_id", "embedding",
-        col("label"), threshold = 0.999)
+      Dedup.embeddingNearDupsIvf(vecs.unionByName(scaled), "vec_id", "embedding",
+        threshold = 0.999, centroidStride = 50, nProbe = 2)
         .orderBy(col("a_id"), col("b_id"))
     })
   )

@@ -64,13 +64,17 @@ object EventQueries {
     "q27_pseudo_json" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    // NB: events.parquet stores TIMESTAMP(NANOS); Spark reads it truncated to
+    // micros, so the oracle must CAST(ts AS TIMESTAMP) (DuckDB ns→us truncation)
+    // in the innermost scan, and the windowed sum must be cast back to BIGINT
+    // (DuckDB sum() yields HUGEINT) — both are representation pins, not semantics.
     "q33_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM (
         |  SELECT user_id, ts, event_id,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, ts, event_id,
         |      CASE WHEN prev_ts IS NULL
@@ -79,7 +83,7 @@ object EventQueries {
         |    FROM (
         |      SELECT user_id, ts, event_id,
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |      FROM events)))
+        |      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events))))
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin
   )

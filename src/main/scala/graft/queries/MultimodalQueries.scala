@@ -27,13 +27,17 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Partition-parallel feature extraction + frame sampling (rows-only)
+    // Partition-parallel feature extraction + frame sampling (rows-only).
+    // The feature vector itself is exposed as a scalar digest: the driver's
+    // rows-only checker sorts rows in pandas, which cannot hash a raw
+    // array<double> cell (round-1 q35 crash). MultimodalSpec covers the
+    // array form directly.
     "q35_multimodal_features" -> ((s, dir) => {
       val df = t(s, dir, "documents")
         .withColumn("payload", encode(col("text"), "UTF-8"))
       Multimodal.featurize(df, "payload")
         .select(col("doc_id"), col("n_bytes"),
-          col("features"),
+          xxhash64(to_json(col("features"))).as("features_digest"),
           size(Multimodal.frameSample(col("payload"), 64, 16)).as("n_frames"),
           length(Multimodal.resizeStub(col("payload"), 128)).as("resized_bytes"))
         .orderBy(col("doc_id"))

@@ -78,6 +78,22 @@ class SemanticsSpec extends SparkTestBase {
     assert(kept.nonEmpty && kept.size < docIds.length * 2)
   }
 
+  test("dedup queries leave no explicit caches behind (no persist leaks)") {
+    // start from a clean BlockManager: earlier tests' final-label
+    // checkpoints are dead weight by now
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    q("q15_minhash_lsh").collect()
+    q("q17_ngram_jaccard").collect()
+    q("q47_dedup_apply").collect()
+    // connectedComponents' final label set is a localCheckpoint the caller
+    // still reads — the ONLY block set allowed to linger. Any second one is
+    // a persist leak (round 1's shingle caches) or an undropped CC round.
+    val lingering = spark.sparkContext.getPersistentRDDs
+    assert(lingering.size <= 1,
+      s"${lingering.size} cached RDD block sets linger: " +
+        lingering.values.map(r => s"${r.id}:${r.getStorageLevel.description}").mkString(", "))
+  }
+
   test("q45 approximate distinct count is within the configured error") {
     q("q45_approx_distinct").collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble

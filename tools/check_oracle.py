@@ -24,6 +24,15 @@ def canon(df):
     return df
 
 
+def stringify(df):
+    """Dtype-sensitive canonical strings, mirroring the driver's
+    value-representation hash (stricter than numeric equality): DuckDB
+    HUGEINT surfaces as float64 ("123.0") vs Spark BIGINT ("123"), and
+    TIMESTAMP_NS keeps sub-microsecond tails — both must FAIL here even
+    though the values compare numerically equal (round-1 q02/q06/q33)."""
+    return df.astype(str)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -53,13 +62,35 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             n_bad += 1
             continue
-        try:
-            import pandas.testing as pt
-            pt.assert_frame_equal(w, g, check_dtype=False, check_exact=True)
+        ws, gs = stringify(w), stringify(g)
+        if ws.equals(gs):
             print(f"OK   {name} ({len(w)} rows)")
             n_ok += 1
-        except AssertionError as e:
-            print(f"FAIL {name}: {str(e)[:400]}")
+        else:
+            diff = (ws != gs)
+            cells = [(r, c) for c in ws.columns for r in ws.index[diff[c]]][:3]
+            detail = "; ".join(
+                f"row {r} col {c}: spark={gs.at[r, c]!r} oracle={ws.at[r, c]!r}"
+                for r, c in cells)
+            print(f"FAIL {name}: value-representation mismatch ({diff.to_numpy().sum()} cells): {detail}")
+            n_bad += 1
+
+    # rows-only results (no oracle SQL): the driver still loads + sorts them
+    # in pandas — a raw array column crashes its checker (round-1 q35), so
+    # reproduce that sort here
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if name in oracle or not os.path.isdir(path):
+            continue
+        try:
+            df = pq.read_table(path).to_pandas()
+            df.sort_values(by=list(df.columns))
+            assert len(df) > 0, "zero rows"
+            print(f"OK   {name} (rows-only, {len(df)} rows sortable)")
+            n_ok += 1
+        except Exception as e:
+            print(f"FAIL {name}: rows-only check: {str(e)[:200]}")
             n_bad += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
     return 1 if n_bad else 0
