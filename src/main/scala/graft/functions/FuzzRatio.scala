@@ -14,15 +14,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression; the DP is O(|a|*|b|) with two rolling rows.
   */
 object FuzzRatio {
-  def ratio(a: UTF8String, b: UTF8String): Int = {
-    val s = a.toString
-    val t = b.toString
+  def ratio(a: UTF8String, b: UTF8String): Int =
+    ratioStr(a.toString, b.toString)
+
+  private def ratioStr(s: String, t: String): Int = {
     val la = s.length
     val lb = t.length
     if (la == 0 && lb == 0) return 100
     if (la == 0 || lb == 0) return 0
     val m = lcsLength(s, t)
     math.round(200.0 * m / (la + lb)).toInt
+  }
+
+  /** `fuzz.partial_ratio`: best indel ratio of the shorter string against
+    * every len(shorter)-length window of the longer (the optimal-alignment
+    * semantics of thefuzz's rapidfuzz backend; an exhaustive window sweep
+    * rather than fuzzywuzzy's difflib block anchors). Early-exits on a
+    * perfect window. O(|t|·|s|²) — fine for name-length strings; ratio is
+    * monotone under max, so per-window rounding equals round-of-max. */
+  def partialScore(a: UTF8String, b: UTF8String): Int = {
+    val s0 = a.toString
+    val t0 = b.toString
+    val (s, t) = if (s0.length <= t0.length) (s0, t0) else (t0, s0)
+    if (s.isEmpty) return if (t.isEmpty) 100 else 0
+    var best = 0
+    var i = 0
+    val last = t.length - s.length
+    while (i <= last && best < 100) {
+      val r = ratioStr(s, t.substring(i, i + s.length))
+      if (r > best) best = r
+      i += 1
+    }
+    best
   }
 
   private def lcsLength(s: String, t: String): Int = {
@@ -57,4 +80,17 @@ case class FuzzRatio(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FuzzRatio =
     copy(left = l, right = r)
   override def prettyName: String = "fuzz_ratio"
+}
+
+case class PartialRatio(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    FuzzRatio.partialScore(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.FuzzRatio.partialScore($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PartialRatio =
+    copy(left = l, right = r)
+  override def prettyName: String = "fuzz_partial_ratio"
 }

@@ -39,6 +39,15 @@ object GeoFunctions {
     Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)
   })
 
+  private val coveredCellsUdf = udf((a: Array[Byte], cellSize: Double) => {
+    val e = GeoJson.fromWkb(a).getEnvelopeInternal
+    val (minCx, maxCx) = (math.floor(e.getMinX / cellSize).toLong,
+      math.floor(e.getMaxX / cellSize).toLong)
+    val (minCy, maxCy) = (math.floor(e.getMinY / cellSize).toLong,
+      math.floor(e.getMaxY / cellSize).toLong)
+    for { cx <- minCx to maxCx; cy <- minCy to maxCy } yield (cx, cy)
+  })
+
   /** GeoJSON string (Feature or bare geometry) → WKB. */
   def stGeomFromGeoJson(c: Column): Column = geomFromGeoJsonUdf(c)
 
@@ -59,4 +68,11 @@ object GeoFunctions {
 
   /** Envelope as array(minx, miny, maxx, maxy). */
   def stEnvelope(a: Column): Column = envelopeUdf(a)
+
+  /** Grid cells (cx, cy) covered by the geometry's envelope — one WKB
+    * deserialization per row, emitting the cell keys directly (the
+    * four-corner arithmetic stays inside the UDF so Catalyst cannot
+    * re-inline the envelope computation per corner). */
+  def stCoveredCells(a: Column, cellSize: Column): Column =
+    coveredCellsUdf(a, cellSize)
 }

@@ -1,6 +1,6 @@
 package graft.geo
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import GeoFunctions._
@@ -12,40 +12,48 @@ import GeoFunctions._
   * which PostGIS answers with a GiST index and the reference drives with
   * one query per person.
   *
-  * Physical plan here: each geometry's envelope is exploded into the set
-  * of fixed-size grid cells it covers; candidates are found with a plain
-  * equi-join on cell id (a hash shuffle that scales horizontally — no
-  * nested loop); `dropDuplicates` collapses multi-cell hits; the exact
-  * JTS predicate filters false positives. This is pure DataFrame code —
-  * Catalyst plans the cell join like any other equi-join (AQE handles
-  * cell skew, e.g. a geometry spanning many cells).
+  * Physical plan here, tuned so nothing wide crosses a shuffle twice:
+  *  1. each side is keyed by a row id; `(id, cell)` pairs are produced by
+  *     [[GeoFunctions.stCoveredCells]] — ONE WKB deserialization per row,
+  *     and only ids + cell keys enter the candidate exchange (geometry
+  *     blobs never fan out per covered cell);
+  *  2. candidates are a plain equi-join on cell id (hash shuffle, scales
+  *     horizontally, AQE handles cell skew), deduplicated on the compact
+  *     `(lid, rid)` pair BEFORE any geometry is rejoined — a multi-cell
+  *     overlap costs one pair row, not one geometry copy per shared cell;
+  *  3. the exact JTS predicate runs once per unique candidate pair, on
+  *     geometries re-joined by id;
+  *  4. surviving pairs pull the full rows back by id.
   */
 object SpatialJoin {
 
-  /** Explode a WKB geometry column into covered grid-cell keys. */
-  private def cellKeys(geom: Column, cellSize: Double): Column = {
-    val env = stEnvelope(geom)
-    val minCx = floor(env.getItem(0) / cellSize).cast("long")
-    val minCy = floor(env.getItem(1) / cellSize).cast("long")
-    val maxCx = floor(env.getItem(2) / cellSize).cast("long")
-    val maxCy = floor(env.getItem(3) / cellSize).cast("long")
-    flatten(transform(sequence(minCx, maxCx), cx =>
-      transform(sequence(minCy, maxCy), cy =>
-        struct(cx.as("cx"), cy.as("cy")))))
-  }
-
   /** Inner spatial join on ST_Intersects. `left`/`right` must each carry a
     * WKB geometry column named by `leftGeom`/`rightGeom`; all other columns
-    * are preserved (names must not collide). */
+    * are preserved (names must not collide). Join multiplicity follows SQL
+    * join semantics: each intersecting row pair emits one output row. */
   def intersectsJoin(left: DataFrame, right: DataFrame,
       leftGeom: String, rightGeom: String, cellSize: Double): DataFrame = {
     val lKeys = left.columns.filter(_ != leftGeom).map(col).toIndexedSeq
     val rKeys = right.columns.filter(_ != rightGeom).map(col).toIndexedSeq
-    val l = left.withColumn("__cell", explode(cellKeys(col(leftGeom), cellSize)))
-    val r = right.withColumn("__cell", explode(cellKeys(col(rightGeom), cellSize)))
-    l.join(r, "__cell")
+    // row ids are stable here: both branches of the self-reuse read the
+    // same deterministic source plan (parquet scan → projection)
+    val l = left.withColumn("__lid", monotonically_increasing_id())
+    val r = right.withColumn("__rid", monotonically_increasing_id())
+    val lGeoms = l.select(col("__lid"), col(leftGeom))
+    val rGeoms = r.select(col("__rid"), col(rightGeom))
+    val lCells = lGeoms.select(col("__lid"),
+      explode(stCoveredCells(col(leftGeom), lit(cellSize))).as("__cell"))
+    val rCells = rGeoms.select(col("__rid"),
+      explode(stCoveredCells(col(rightGeom), lit(cellSize))).as("__cell"))
+    val pairs = lCells.join(rCells, "__cell")
+      .select(col("__lid"), col("__rid"))
+      .dropDuplicates("__lid", "__rid")
+    val verified = pairs
+      .join(lGeoms, "__lid")
+      .join(rGeoms, "__rid")
       .filter(stIntersects(col(leftGeom), col(rightGeom)))
+      .select(col("__lid"), col("__rid"))
+    verified.join(l, "__lid").join(r, "__rid")
       .select((lKeys ++ rKeys): _*)
-      .dropDuplicates()
   }
 }

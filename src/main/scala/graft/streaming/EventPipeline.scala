@@ -42,10 +42,14 @@ object EventPipeline {
 
   /** Exactly-once style streaming dedup: drop events whose id was
     * already seen within the watermark horizon — the ingestion guard in
-    * front of the merge sink (state is bounded by the watermark). */
+    * front of the merge sink (state is bounded by the watermark).
+    * Keyed on the id ALONE: a redelivered event often carries a fresh
+    * ingest timestamp, so including the ts column in the key would let
+    * re-sends through (`dropDuplicatesWithinWatermark` dedups on id while
+    * still expiring state by the event-time watermark). */
   def dedupeStream(events: DataFrame, idCol: String, tsCol: String,
       watermark: String): DataFrame =
-    events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCol)
 
   /** Custom-state sessionization over a stream: a >gap pause closes the
     * user's session, which is emitted downstream (Append mode). State =

@@ -57,6 +57,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "spatial join is a cross product")
   }
 
+  test("spatial join: candidate exchange carries ids + cells, not WKB blobs") {
+    // AQE off so executedPlan is the concrete exchange tree, traversable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q30_spatial_join")(spark, sf)
+      // the cell join's build side may broadcast at tiny SF — either way,
+      // whatever exchange moves the cell key must not move geometry
+      val cellExchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+            if e.output.exists(_.name == "__cell") => e
+      }
+      assert(cellExchanges.nonEmpty, "no cell-key exchange in plan")
+      cellExchanges.foreach { e =>
+        // geometry is the only BinaryType column; a blob here means WKB
+        // fans out once per covered grid cell
+        assert(!e.output.exists(_.dataType == org.apache.spark.sql.types.BinaryType),
+          s"geometry crosses the candidate shuffle: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(

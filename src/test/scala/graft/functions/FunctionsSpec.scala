@@ -47,6 +47,43 @@ class FunctionsSpec extends SparkTestBase {
     assert(got == pairs.map(_._3))
   }
 
+  test("wRatio matches the published WRatio algorithm (goldens via stdlib CPython)") {
+    // goldens computed with a CPython 3.11 stdlib re-implementation of
+    // fuzzywuzzy/thefuzz WRatio (full_process, 1.5/8 length-ratio branches,
+    // 0.95/0.9/0.6 scaling, token sort+set, sliding-window partial_ratio)
+    val golden = Seq(
+      // standardized voter names vs person names — the reference's actual
+      // pairs (vote_matching.py standardize → extractOne): all clear 80
+      // on the partial branch, where the old max(ratio, token_sort) gave 70
+      ("Baldwin", "Tammy Baldwin", 90),
+      ("Barrasso", "John Barrasso", 90),
+      ("Bennet", "Michael F. Bennet", 90),
+      ("Smith", "Smith-Jones (D-CA)", 90),
+      // similar-length branch (no partial, 0.95-scaled token ratios)
+      ("Baldwin (D-WI)", "Tammy Baldwin", 70),
+      ("Barrasso (R-WY)", "John Barrasso", 72),
+      ("Bennet (D-CO)", "Michael F. Bennet", 67),
+      ("Tammy Baldwin", "Tammy Baldwin", 100),
+      ("Baldwn (D-WI)", "Tammy Baldwin", 55),
+      ("Zzyzx Qwerty", "Tammy Baldwin", 24),
+      ("Cruz (R-TX)", "Ted Cruz", 67),
+      ("Ocasio-Cortez (D-NY)", "Alexandria Ocasio-Cortez", 80),
+      // >8× length gap: partial scale drops to 0.6
+      ("Lee", "A ridiculously long committee description mentioning Lee once", 60))
+    val got = golden.map { case (a, b, _) =>
+      Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.wRatio(col("a"), col("b"))).head.getInt(0)
+    }
+    assert(got == golden.map(_._3), s"got $got")
+  }
+
+  test("partialRatio finds the best window") {
+    val df = Seq(("baldwin", "tammy baldwin"), ("xyz", "abcdef")).toDF("a", "b")
+    val got = df.select(graft.functions.partialRatio(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(100, 0))
+  }
+
   test("tokenSortRatio is order-insensitive") {
     val df = Seq(("Dove Kamlager", "Kamlager Dove")).toDF("a", "b")
     val r = df.select(graft.functions.tokenSortRatio(col("a"), col("b"))).head.getInt(0)

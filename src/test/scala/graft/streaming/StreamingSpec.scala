@@ -48,6 +48,9 @@ class StreamingSpec extends SparkTestBase {
     val batch = evs(10)
     stream.addData(batch)
     stream.addData(batch) // exact replay
+    // re-send with the same ids but shifted timestamps (a redelivery that
+    // was re-stamped at ingest) — must still be dropped: dedup key is id
+    stream.addData(batch.map(e => e.copy(ts = new java.sql.Timestamp(e.ts.getTime + 60000L))))
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dedup_out").count() == 10)
