@@ -95,6 +95,112 @@ object CivicPipeline {
 
   private def lower_(c: org.apache.spark.sql.Column) = lower(c)
 
+  /** States whose district naming scheme has no area-id mapping yet, plus
+    * `us` (handled by the federal pipeline)
+    * (reference: scripts/people/people_state.py:113-127). */
+  val SkippedStateDirs: Seq[String] = Seq("vt", "nh", "pr", "nd", "us")
+
+  /** State-legislature people (reference: scripts/people/people_state.py:26-148).
+    *
+    * `districtMapping`: rows (state, chamber, district_name, area_id) — the
+    * flattened named-district lookup (MA in the reference's
+    * reference_data/state_people_district_mapping.json; rows from its
+    * "special" section carry chamber = "special"). Broadcast — it is a few
+    * hundred rows per named-district state.
+    *
+    * Branch semantics, all plan-side (no driver loop over people):
+    *  - skip-list states filtered by source directory (:122-127);
+    *  - ME "Passamaquoddy Tribe" non-voting reps dropped (:30-32);
+    *  - MA named districts resolved chamber-first, then "special"; an
+    *    unmapped MA district RAISES (the reference's RuntimeError) via
+    *    `raise_error` on the offending row (:61-73);
+    *  - DC At-Large/Chairman → the whole district, Ward N → ward:n (:77-83);
+    *  - NE unicameral "legislature" → sldu (:86-87);
+    *  - ID lower keeps digits only (:89-92);
+    *  - default upper/lower → sldu/sldl lowercased (:94-98); an unknown
+    *    role type raises (:100);
+    *  - chamber label: DC → City Council, else upper→Senate, lower→House,
+    *    legislature→Legislature (:36-47).
+    */
+  def peopleStateFromYaml(spark: SparkSession, yamlGlob: String, asOf: Timestamp,
+      districtMapping: DataFrame): DataFrame = {
+    val raw = YamlSource.read(spark, yamlGlob, personYamlSchema)
+      .withColumn("state_abbrev",
+        regexp_extract(col("source_file"), "([a-z]{2})/legislature/", 1))
+      .filter(!col("state_abbrev").isin(SkippedStateDirs: _*))
+    val withRole = RoleResolution.currentRoles(raw, "id", asOf)
+      .withColumnRenamed("type", "role_type")
+    val people = raw
+      .select("id", "name", "given_name", "family_name", "email", "state_abbrev")
+      .join(withRole, Seq("id"))
+      .filter(!(col("state_abbrev") === "me" &&
+        col("district") === "Passamaquoddy Tribe"))
+
+    val st = col("state_abbrev")
+    val chMap = districtMapping.select(
+      col("state").as("m_state"), col("chamber").as("m_chamber"),
+      col("district_name").as("m_district"), col("area_id").as("m_area"))
+    val spMap = districtMapping.filter(col("chamber") === "special").select(
+      col("state").as("s_state"), col("district_name").as("s_district"),
+      col("area_id").as("s_area"))
+    val mapped = people
+      .join(broadcast(chMap), st === col("m_state") &&
+        col("role_type") === col("m_chamber") &&
+        col("district") === col("m_district"), "left")
+      .join(broadcast(spMap), st === col("s_state") &&
+        col("district") === col("s_district"), "left")
+
+    // coalesce + when evaluate lazily per row, so raise_error fires only
+    // for rows that actually fall through every branch
+    val maArea = coalesce(col("m_area"), col("s_area"),
+      raise_error(concat(lit("Missing Massachusetts district! district: "),
+        col("district"))))
+    val dcArea = when(col("district").isin("At-Large", "Chairman"),
+        lit("ocd-division/country:us/district:dc"))
+      .otherwise(concat(lit("ocd-division/country:us/district:dc/ward:"),
+        regexp_replace(col("district"), "^Ward ", "")))
+    val constituent = when(st === "ma", maArea)
+      .when(st === "dc", dcArea)
+      .when(st === "ne" && col("role_type") === "legislature",
+        concat(lit("ocd-division/country:us/state:ne/sldu:"), lower_(col("district"))))
+      .when(st === "id" && col("role_type") === "lower",
+        concat(lit("ocd-division/country:us/state:id/sldl:"), digitsOnly(col("district"))))
+      .when(col("role_type") === "upper",
+        concat(lit("ocd-division/country:us/state:"), st, lit("/sldu:"), lower_(col("district"))))
+      .when(col("role_type") === "lower",
+        concat(lit("ocd-division/country:us/state:"), st, lit("/sldl:"), lower_(col("district"))))
+      .otherwise(raise_error(concat(lit("Unknown role type: "), col("role_type"))))
+    val chamber = when(st === "dc", "City Council")
+      .when(col("role_type") === "upper", "Senate")
+      .when(col("role_type") === "lower", "House")
+      .when(col("role_type") === "legislature", "Legislature")
+
+    mapped
+      .withColumn("constituent_area_id", constituent)
+      .withColumn("jurisdiction_area_id", convertAreaId(col("jurisdiction")))
+      .withColumn("chamber", chamber)
+      .select("id", "name", "given_name", "family_name", "email", "state_abbrev",
+        "constituent_area_id", "jurisdiction_area_id", "chamber", "role_status")
+  }
+
+  /** K3 — named-district mapping built from an areas frame (reference:
+    * scripts/people/people_district_mapping.py:10-35, which walks an areas
+    * CSV and emits district_name → area_id JSON). Input rows: (id,
+    * fips_code, name). Only MA (fips 25) has a normalization rule; any
+    * other fips raises, mirroring the reference. Output: (state, chamber,
+    * district_name, area_id) — the shape [[peopleStateFromYaml]] consumes
+    * (persisting it as JSON is a one-line driver-side write). */
+  def districtMappingFromAreas(areas: DataFrame, chamber: String): DataFrame =
+    areas.select(
+      lit("ma").as("state"),
+      lit(chamber).as("chamber"),
+      when(col("fips_code") === "25",
+        trim(regexp_replace(regexp_replace(col("name"), "Massachusetts", ""),
+          "District", "")))
+        .otherwise(raise_error(concat(lit("Unimplemented fips code "), col("fips_code"))))
+        .as("district_name"),
+      col("id").as("area_id"))
+
   // -------------------------------------------------------------------
   // Bills + vote events from per-file JSON docs
   // (reference: scripts/bills/bills_federal.py)
@@ -105,14 +211,24 @@ object CivicPipeline {
     StructField("title", StringType),
     StructField("legislative_session", StringType),
     StructField("from_organization", StringType),
+    StructField("subject", ArrayType(StringType)),
     StructField("actions", ArrayType(StructType(Seq(
       StructField("date", StringType),
       StructField("description", StringType)))))))
 
+  /** Bills from per-file JSON docs. A bill with no/empty `actions` gets
+    * null first/latest action dates (reference:
+    * scripts/bills/bills_state.py:100-105); a non-empty `subject` raises
+    * like the reference's unhandled-case guard (:96-98) — the raise is
+    * woven into the `title` projection so column pruning cannot skip it. */
   def billsFromJsonDocs(spark: SparkSession, dir: String,
       jurisdictionId: String): DataFrame = {
     JsonDocs.read(spark, dir, "bill", billJsonSchema)
       .withColumn("session", digitsOnly(col("legislative_session")))
+      .withColumn("title",
+        when(size(col("subject")) > 0,
+          raise_error(concat(lit("Unhandled bill subject for "), col("identifier"))))
+          .otherwise(col("title")))
       .withColumn("id", billId(col("identifier"), lit(jurisdictionId)))
       .withColumn("action_dates",
         transform(col("actions"), a => parseFlexibleTimestamp(a.getField("date"))))
@@ -133,6 +249,7 @@ object CivicPipeline {
     StructField("start_date", StringType),
     StructField("result", StringType),
     StructField("bill", StringType),
+    StructField("bill_identifier", StringType), // state docs carry it directly
     StructField("organization", StringType),
     StructField("votes", ArrayType(StructType(Seq(
       StructField("option", StringType),
@@ -142,22 +259,38 @@ object CivicPipeline {
 
   /** Vote events: referential semi-join to known bills (J2; unmatched
     * events become the returned `dropped` frame), then per-vote entity
-    * resolution (J1) rewriting voter_id to the matched person id. */
+    * resolution (J1) rewriting voter_id to the matched person id.
+    *
+    * `joinOnSession`: the federal pipeline keys the bill lookup on
+    * (identifier, session); the state pipeline matches on the bill
+    * identifier ALONE (reference: scripts/bills/bills_state.py:161-165 —
+    * membership in the jurisdiction's `bill_ids` list) and reads the
+    * direct `bill_identifier` field instead of the pseudo-JSON `bill`
+    * blob (:164). Pass `joinOnSession = false` for state-shaped docs. */
   def voteEventsFromJsonDocs(spark: SparkSession, dir: String,
-      bills: DataFrame, people: DataFrame): (DataFrame, DataFrame) = {
+      bills: DataFrame, people: DataFrame,
+      joinOnSession: Boolean = true): (DataFrame, DataFrame) = {
     val raw = JsonDocs.read(spark, dir, "vote_event", voteEventJsonSchema)
       .withColumn("session", digitsOnly(col("legislative_session")))
       .withColumn("bill_identifier",
-        parsePseudoJson(col("bill"),
-          StructType(Seq(StructField("identifier", StringType)))).getField("identifier"))
+        coalesce(col("bill_identifier"),
+          parsePseudoJson(col("bill"),
+            StructType(Seq(StructField("identifier", StringType)))).getField("identifier")))
       .withColumn("chamber",
         parsePseudoJson(col("organization"),
           StructType(Seq(StructField("classification", StringType)))).getField("classification"))
       .withColumn("id", voteEventId(col("identifier")))
+    val joinCols =
+      if (joinOnSession) Seq("bill_identifier", "session") else Seq("bill_identifier")
+    // identifier-only mode: a bill re-filed across sessions maps to the
+    // same bill_id (uuid5 of identifier + jurisdiction), so dedupe the
+    // lookup to keep the join 1:1
     val billKeys = bills.select(col("identifier").as("bill_identifier"),
       col("session"), col("id").as("bill_id"))
-    val kept = raw.join(billKeys, Seq("bill_identifier", "session"), "inner")
-    val dropped = raw.join(billKeys, Seq("bill_identifier", "session"), "left_anti")
+      .select((joinCols :+ "bill_id").map(col): _*)
+      .dropDuplicates(joinCols)
+    val kept = raw.join(billKeys, joinCols, "inner")
+    val dropped = raw.join(billKeys, joinCols, "left_anti")
 
     // per-vote resolution: explode, resolve, re-group preserving order
     val votes = kept.select(col("id"), col("chamber"),
@@ -182,7 +315,11 @@ object CivicPipeline {
           v.getField("voter_id").as("voter_id"),
           v.getField("note").as("note"))))
       .drop("votes_resolved")
-    val out = kept.drop("votes").join(rebuilt, Seq("id"))
+    // left join: an event with an empty votes array has no exploded rows,
+    // so an inner join here would silently drop the whole event
+    val out = kept.drop("votes").join(rebuilt, Seq("id"), "left")
+      .withColumn("votes", coalesce(col("votes"), array().cast(
+        "array<struct<option:string,voter_name:string,voter_id:string,note:string>>")))
       .select("id", "identifier", "session", "motion_text", "start_date",
         "result", "chamber", "bill_id", "votes")
     (out, dropped.select("id", "identifier", "session", "bill_identifier"))

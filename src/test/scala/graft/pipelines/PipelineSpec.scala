@@ -71,6 +71,99 @@ class PipelineSpec extends SparkTestBase {
       == "ocd-division/country:us")
   }
 
+  private def writeStatePerson(root: String, state: String, file: String,
+      id: String, roleType: String, district: String,
+      juris: String = "ocd-jurisdiction/country:us/state:xx/government"): Unit = {
+    val d = Paths.get(root, state, "legislature")
+    Files.createDirectories(d)
+    Files.writeString(d.resolve(file),
+      s"""id: ocd-person/$id
+         |name: Person $id
+         |given_name: P
+         |family_name: $id
+         |roles:
+         |  - type: $roleType
+         |    district: "$district"
+         |    jurisdiction: ${juris.replace("xx", state)}
+         |    start_date: '2023-01-03'
+         |    end_date: '2029-01-03'
+         |""".stripMargin)
+  }
+
+  private lazy val maMapping = Seq(
+    ("ma", "upper", "Cape and Islands", "ocd-division/country:us/state:ma/sldu:d40"),
+    ("ma", "special", "Special Seat", "ocd-division/country:us/state:ma/sldl:special1"))
+    .toDF("state", "chamber", "district_name", "area_id")
+
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+
+  test("state people pipeline: MA/NE/ID/DC branches, territory + tribal skips") {
+    val dir = Files.createTempDirectory("statepeople").toString
+    writeStatePerson(dir, "ma", "sen.yml", "ma-sen", "upper", "Cape and Islands")
+    writeStatePerson(dir, "ma", "spec.yml", "ma-spec", "lower", "Special Seat")
+    writeStatePerson(dir, "ne", "leg.yml", "ne-leg", "legislature", "23")
+    writeStatePerson(dir, "id", "rep.yml", "id-rep", "lower", "17B")
+    writeStatePerson(dir, "dc", "ward.yml", "dc-ward", "legislature", "Ward 3")
+    writeStatePerson(dir, "dc", "al.yml", "dc-al", "legislature", "At-Large")
+    writeStatePerson(dir, "me", "tribe.yml", "me-tribe", "lower", "Passamaquoddy Tribe")
+    writeStatePerson(dir, "vt", "skip.yml", "vt-skip", "upper", "Essex Caledonia")
+    writeStatePerson(dir, "pa", "sen.yml", "pa-sen", "upper", "10")
+    val out = CivicPipeline.peopleStateFromYaml(spark, s"$dir/*/legislature/*.yml",
+      Timestamp.valueOf("2026-01-01 00:00:00"), maMapping)
+    val byId = out.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId.keySet == Set("ocd-person/ma-sen", "ocd-person/ma-spec",
+      "ocd-person/ne-leg", "ocd-person/id-rep", "ocd-person/dc-ward",
+      "ocd-person/dc-al", "ocd-person/pa-sen")) // me tribal + vt dropped
+    def area(id: String) = byId(s"ocd-person/$id").getAs[String]("constituent_area_id")
+    def chamber(id: String) = byId(s"ocd-person/$id").getAs[String]("chamber")
+    assert(area("ma-sen") == "ocd-division/country:us/state:ma/sldu:d40")
+    assert(area("ma-spec") == "ocd-division/country:us/state:ma/sldl:special1")
+    assert(area("ne-leg") == "ocd-division/country:us/state:ne/sldu:23")
+    assert(chamber("ne-leg") == "Legislature")
+    assert(area("id-rep") == "ocd-division/country:us/state:id/sldl:17")
+    assert(area("dc-ward") == "ocd-division/country:us/district:dc/ward:3")
+    assert(area("dc-al") == "ocd-division/country:us/district:dc")
+    assert(chamber("dc-al") == "City Council")
+    assert(area("pa-sen") == "ocd-division/country:us/state:pa/sldu:10")
+    assert(chamber("pa-sen") == "Senate")
+    assert(byId("ocd-person/pa-sen").getAs[String]("jurisdiction_area_id")
+      == "ocd-division/country:us/state:pa")
+  }
+
+  test("state people pipeline: unmapped MA district raises") {
+    val dir = Files.createTempDirectory("statepeople2").toString
+    writeStatePerson(dir, "ma", "bad.yml", "ma-bad", "upper", "Nonexistent District")
+    val out = CivicPipeline.peopleStateFromYaml(spark, s"$dir/*/legislature/*.yml",
+      Timestamp.valueOf("2026-01-01 00:00:00"), maMapping)
+    val e = intercept[Exception](out.collect())
+    assert(rootCause(e).getMessage.contains("Missing Massachusetts district"),
+      s"unexpected: ${rootCause(e).getMessage}")
+  }
+
+  test("state people pipeline: unknown role type raises") {
+    val dir = Files.createTempDirectory("statepeople3").toString
+    writeStatePerson(dir, "ga", "odd.yml", "ga-odd", "czar", "1")
+    val out = CivicPipeline.peopleStateFromYaml(spark, s"$dir/*/legislature/*.yml",
+      Timestamp.valueOf("2026-01-01 00:00:00"), maMapping)
+    val e = intercept[Exception](out.collect())
+    assert(rootCause(e).getMessage.contains("Unknown role type"),
+      s"unexpected: ${rootCause(e).getMessage}")
+  }
+
+  test("district mapping builder normalizes MA names and raises elsewhere") {
+    val areas = Seq(
+      ("ocd-division/country:us/state:ma/sldu:d40", "25", "Massachusetts Cape and Islands District"))
+      .toDF("id", "fips_code", "name")
+    val m = CivicPipeline.districtMappingFromAreas(areas, "upper").collect()(0)
+    assert(m.getAs[String]("district_name") == "Cape and Islands")
+    assert(m.getAs[String]("area_id") == "ocd-division/country:us/state:ma/sldu:d40")
+    val bad = Seq(("x", "36", "New York 1st")).toDF("id", "fips_code", "name")
+    val e = intercept[Exception](
+      CivicPipeline.districtMappingFromAreas(bad, "upper").collect())
+    assert(rootCause(e).getMessage.contains("Unimplemented fips code"))
+  }
+
   test("bills + votes pipeline: ids, action dates, semi-join, voter resolution") {
     val dir = Files.createTempDirectory("docs").toString
     Files.writeString(Paths.get(dir, "bill_0001.json"),
@@ -131,6 +224,69 @@ class PipelineSpec extends SparkTestBase {
     val votes = ev(0).getSeq[org.apache.spark.sql.Row](ev(0).fieldIndex("votes"))
     assert(votes.head.getAs[String]("voter_id") == "ocd-person/baldwin")
     assert(dropped.collect().map(_.getAs[String]("identifier")).toSeq == Seq("roll-99"))
+  }
+
+  test("state bills + votes: identifier-only join, empty-actions, subject guard") {
+    val dir = Files.createTempDirectory("statedocs").toString
+    // a bill with NO actions — dates must come out null, not crash
+    // (reference: bills_state.py:100-105)
+    Files.writeString(Paths.get(dir, "bill_0001.json"),
+      """{
+        |  "identifier": "SB 7",
+        |  "title": "Short Act",
+        |  "legislative_session": "2025",
+        |  "from_organization": "~{\"classification\": \"upper\"}",
+        |  "subject": [],
+        |  "actions": []
+        |}""".stripMargin)
+    // a vote event with a DIRECT bill_identifier field and a session that
+    // does NOT match the bill's — state mode must still join (identifier
+    // only, bills_state.py:161-165)
+    Files.writeString(Paths.get(dir, "vote_event_0001.json"),
+      """{
+        |  "identifier": "sv-1",
+        |  "legislative_session": "2026s1",
+        |  "motion_text": "passage",
+        |  "start_date": "2026-03-01",
+        |  "result": "pass",
+        |  "bill_identifier": "SB 7",
+        |  "organization": "~{\"classification\": \"upper\"}",
+        |  "votes": []
+        |}""".stripMargin)
+    val juris = "ocd-division/country:us/state:pa"
+    val bills = CivicPipeline.billsFromJsonDocs(spark, dir, juris)
+    val b = bills.head
+    assert(b.getAs[Timestamp]("first_action_date") == null)
+    assert(b.getAs[Timestamp]("latest_action_date") == null)
+    val people = Seq(("ocd-person/x", "Some One", "Some", "One",
+      "ocd-division/country:us/state:pa", "Senate"))
+      .toDF("id", "name", "first_name", "last_name", "constituent_area_id", "chamber")
+    // federal mode (session in the key) drops the event; state mode keeps it
+    val (evFed, droppedFed) =
+      CivicPipeline.voteEventsFromJsonDocs(spark, dir, bills, people)
+    assert(evFed.count() == 0 && droppedFed.count() == 1)
+    val (evState, droppedState) =
+      CivicPipeline.voteEventsFromJsonDocs(spark, dir, bills, people, joinOnSession = false)
+    val ev = evState.collect()
+    assert(ev.length == 1 && droppedState.count() == 0)
+    assert(ev(0).getAs[String]("bill_id") == b.getAs[String]("id"))
+  }
+
+  test("state bills: non-empty subject raises like the reference") {
+    val dir = Files.createTempDirectory("subjdocs").toString
+    Files.writeString(Paths.get(dir, "bill_0001.json"),
+      """{
+        |  "identifier": "SB 8",
+        |  "title": "Tagged Act",
+        |  "legislative_session": "2025",
+        |  "from_organization": "~{\"classification\": \"upper\"}",
+        |  "subject": ["taxation"],
+        |  "actions": []
+        |}""".stripMargin)
+    val bills = CivicPipeline.billsFromJsonDocs(spark, dir, "ocd-division/country:us/state:pa")
+    val e = intercept[Exception](bills.collect())
+    assert(rootCause(e).getMessage.contains("Unhandled bill subject"),
+      s"unexpected: ${rootCause(e).getMessage}")
   }
 
   test("person-zip edges: spatial overlap replaces per-person round-trips") {
