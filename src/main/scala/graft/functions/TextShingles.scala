@@ -96,6 +96,195 @@ object TextShingles {
   }
 }
 
+/** Fused n-gram hashing: shingle → 64-bit rolling hash → k-permutation
+  * MinHash in ONE pass with ZERO per-shingle allocations. The array-based
+  * [[TextShingles]] path materializes ~1000 UTF8Strings per document and
+  * murmurs each one k times; at 100 TB scan rates that allocation + k-fold
+  * hashing IS the dedup cost (round-2 profiling: 9 s of a 32 s bench in
+  * one query). Here each window costs one rolling-hash update plus k
+  * multiply-adds, and the exact-Jaccard verify compares sorted hash sets
+  * (64-bit collisions are negligible against shingle-set sizes ~10³). */
+object NgramHash {
+  private val P = 0x100000001b3L // FNV-64 prime as polynomial multiplier
+
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def splitmix(i: Long): Long = mix(i * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL)
+
+  private val MaxK = 64
+  // k affine permutations (odd multiplier + offset), fixed + deterministic
+  private val A: Array[Long] = Array.tabulate(MaxK)(i => splitmix(2L * i) | 1L)
+  private val B: Array[Long] = Array.tabulate(MaxK)(i => splitmix(2L * i + 1))
+
+  /** Rolling hashes of char n-gram windows over the lowercased,
+    * whitespace-collapsed text (multiset; minhash needs no dedupe —
+    * duplicate windows cannot change a minimum). */
+  def charWindowHashes(s: UTF8String, n: Int): Array[Long] = {
+    val raw = s.toString.toLowerCase
+    // manual trim+collapse into a char array (no regex, no new String)
+    val buf = new Array[Char](raw.length)
+    var len = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) { if (len > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { buf(len) = ' '; len += 1; pendingSpace = false }
+        buf(len) = c; len += 1
+      }
+      i += 1
+    }
+    if (len <= n) {
+      var h = 0L
+      var j = 0
+      while (j < len) { h = h * P + buf(j); j += 1 }
+      return Array(mix(h))
+    }
+    val out = new Array[Long](len - n + 1)
+    var pow = 1L
+    i = 0
+    while (i < n - 1) { pow *= P; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * P + buf(i); i += 1 }
+    out(0) = mix(h)
+    i = 1
+    while (i + n <= len) {
+      h = (h - buf(i - 1) * pow) * P + buf(i + n - 1)
+      out(i) = mix(h)
+      i += 1
+    }
+    out
+  }
+
+  /** Rolling hashes of word n-gram windows: per-token polynomial hash,
+    * then a polynomial over n consecutive token hashes. Token walk is a
+    * single pass over the lowercased chars — no substring allocation. */
+  def wordWindowHashes(s: UTF8String, n: Int): Array[Long] = {
+    val text = s.toString.toLowerCase
+    val toks = new scala.collection.mutable.ArrayBuffer[Long]
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || Character.isWhitespace(text.charAt(i))) {
+        if (inTok) { toks += mix(h); h = 0L; inTok = false }
+      } else { h = h * P + text.charAt(i); inTok = true }
+      i += 1
+    }
+    val m = toks.length
+    if (m <= n) {
+      var g = 0L
+      var j = 0
+      while (j < m) { g = g * P + toks(j); j += 1 }
+      return Array(mix(g))
+    }
+    val out = new Array[Long](m - n + 1)
+    var pow = 1L
+    i = 0
+    while (i < n - 1) { pow *= P; i += 1 }
+    var g = 0L
+    i = 0
+    while (i < n) { g = g * P + toks(i); i += 1 }
+    out(0) = mix(g)
+    i = 1
+    while (i + n <= m) {
+      g = (g - toks(i - 1) * pow) * P + toks(i + n - 1)
+      out(i) = mix(g)
+      i += 1
+    }
+    out
+  }
+
+  def sigFromWindows(ws: Array[Long], k: Int): GenericArrayData = {
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    var j = 0
+    while (j < ws.length) {
+      val w = ws(j)
+      var i = 0
+      while (i < k) {
+        val v = A(i) * w + B(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def charMinHash(s: UTF8String, n: Int, k: Int): GenericArrayData =
+    sigFromWindows(charWindowHashes(s, n), k)
+
+  def wordMinHash(s: UTF8String, n: Int, k: Int): GenericArrayData =
+    sigFromWindows(wordWindowHashes(s, n), k)
+
+  /** Exact set-Jaccard over two window-hash multisets (sort + dedupe +
+    * merge; runs only on LSH-surviving candidate pairs). */
+  def hashedJaccard(a0: Array[Long], b0: Array[Long]): Double = {
+    java.util.Arrays.sort(a0)
+    java.util.Arrays.sort(b0)
+    var ia = 0; var ib = 0
+    var inter = 0L; var union = 0L
+    while (ia < a0.length && ib < b0.length) {
+      val x = a0(ia); val y = b0(ib)
+      union += 1
+      if (x == y) {
+        inter += 1
+        while (ia < a0.length && a0(ia) == x) ia += 1
+        while (ib < b0.length && b0(ib) == y) ib += 1
+      } else if (x < y) { while (ia < a0.length && a0(ia) == x) ia += 1 }
+      else { while (ib < b0.length && b0(ib) == y) ib += 1 }
+    }
+    while (ia < a0.length) { val x = a0(ia); union += 1; while (ia < a0.length && a0(ia) == x) ia += 1 }
+    while (ib < b0.length) { val y = b0(ib); union += 1; while (ib < b0.length && b0(ib) == y) ib += 1 }
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  def charJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
+    hashedJaccard(charWindowHashes(a, n), charWindowHashes(b, n))
+
+  def wordJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
+    hashedJaccard(wordWindowHashes(a, n), wordWindowHashes(b, n))
+}
+
+case class NgramMinHash(child: Expression, n: Int, k: Int, word: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    if (word) NgramHash.wordMinHash(input.asInstanceOf[UTF8String], n, k)
+    else NgramHash.charMinHash(input.asInstanceOf[UTF8String], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (word) "wordMinHash" else "charMinHash"
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramHash.$fn($c, $n, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NgramMinHash =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_minhash"
+}
+
+case class NgramJaccard(left: Expression, right: Expression, n: Int, word: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (word) NgramHash.wordJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+    else NgramHash.charJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (word) "wordJaccard" else "charJaccard"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NgramHash.$fn($a, $b, $n)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramJaccard =
+    copy(left = l, right = r)
+  override def prettyName: String = "ngram_jaccard"
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true

@@ -255,6 +255,25 @@ package object functions {
   def wordShingles(text: Column, n: Int): Column =
     expr2col(WordShingles(col2expr(text), n))
 
+  /** Fused text → k-minhash signature over rolling char n-gram hashes:
+    * no shingle materialization, one multiply-add per (window, perm) —
+    * the 100 TB-rate dedup kernel (see [[NgramHash]]). */
+  def charNgramMinHash(text: Column, n: Int, k: Int): Column =
+    expr2col(NgramMinHash(col2expr(text), n, k, word = false))
+
+  /** Fused word-n-gram variant of [[charNgramMinHash]]. */
+  def wordNgramMinHash(text: Column, n: Int, k: Int): Column =
+    expr2col(NgramMinHash(col2expr(text), n, k, word = true))
+
+  /** Exact set-Jaccard of two texts' char n-gram hash sets (verify-side
+    * twin of [[charNgramMinHash]]; runs on candidate pairs only). */
+  def charNgramJaccard(a: Column, b: Column, n: Int): Column =
+    expr2col(NgramJaccard(col2expr(a), col2expr(b), n, word = false))
+
+  /** Word-n-gram variant of [[charNgramJaccard]]. */
+  def wordNgramJaccard(a: Column, b: Column, n: Int): Column =
+    expr2col(NgramJaccard(col2expr(a), col2expr(b), n, word = true))
+
   // ---------------------------------------------------------------------
   // Vector math (similarity search / embedding dedup)
   // ---------------------------------------------------------------------

@@ -23,35 +23,34 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** MinHash+LSH near-dup pairs: word-shingle → k minhashes → `bands`
-    * band keys → equi-join on band key → exact shingle-Jaccard verify.
-    * Returns (a_id, b_id, jaccard) with a_id < b_id.
+  /** MinHash+LSH near-dup pairs: fused word-shingle rolling hash → k
+    * minhashes → `bands` band keys → equi-join on band key → exact
+    * hashed-shingle-set Jaccard verify. Returns (a_id, b_id, jaccard)
+    * with a_id < b_id.
     *
-    * No caching anywhere: a 100 TB corpus's shingle sets cannot be
-    * persisted (round 1 tried and leaked the cache). Instead the compact
-    * LSH candidate pair list is joined back to the raw text and shingles
-    * are recomputed only for rows that survive candidate generation —
-    * the banding pass shingles each doc exactly once, and the verify pass
-    * re-shingles only the (tiny) candidate subset. */
+    * NO cache, NO checkpoint, and nothing wide in any exchange: the
+    * banding pass computes the signature with [[graft.functions.wordNgramMinHash]]
+    * (one rolling-hash update + k multiply-adds per window, zero
+    * per-shingle allocations), so recomputing beats caching — round 1
+    * persisted materialized shingle arrays and leaked them; round 2
+    * measured the fused kernel faster than the warm cache it replaced.
+    * Verify re-reads only the candidate rows' text via two id equi-joins
+    * (AQE broadcasts the compact pair list). */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val banded = base.select(col("id"),
-      explode(lshBandKeys(
-        minHashSignature(wordShingles(col("txt"), shingleLen), k), bands, rows)).as("bk"))
+      explode(lshBandKeys(wordNgramMinHash(col("txt"), shingleLen, k), bands, rows)).as("bk"))
     val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // verify joins carry only (a_id, b_id); AQE broadcasts the pair list
-    // against the corpus scan, so text never crosses a shuffle
     candidates
       .join(base.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
       .join(base.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
-      .withColumn("jaccard", jaccard(
-        wordShingles(col("a_txt"), shingleLen), wordShingles(col("b_txt"), shingleLen)))
+      .withColumn("jaccard", wordNgramJaccard(col("a_txt"), col("b_txt"), shingleLen))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -89,12 +88,10 @@ object Dedup {
       n: Int = 6, threshold: Double = 0.6,
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
-    // same no-cache shape as minHashPairs: band over inline shingles,
-    // re-shingle only the candidate subset in the verify joins
+    // same fused cache-free shape as minHashPairs, over char n-grams
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val banded = base.select(col("id"),
-      explode(lshBandKeys(
-        minHashSignature(charShingles(col("txt"), n), k), bands, rows)).as("bk"))
+      explode(lshBandKeys(charNgramMinHash(col("txt"), n, k), bands, rows)).as("bk"))
     val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
@@ -102,8 +99,7 @@ object Dedup {
     candidates
       .join(base.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
       .join(base.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
-      .withColumn("jaccard", jaccard(
-        charShingles(col("a_txt"), n), charShingles(col("b_txt"), n)))
+      .withColumn("jaccard", charNgramJaccard(col("a_txt"), col("b_txt"), n))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }

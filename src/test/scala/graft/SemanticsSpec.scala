@@ -85,9 +85,9 @@ class SemanticsSpec extends SparkTestBase {
     q("q15_minhash_lsh").collect()
     q("q17_ngram_jaccard").collect()
     q("q47_dedup_apply").collect()
-    // connectedComponents' final label set is a localCheckpoint the caller
-    // still reads — the ONLY block set allowed to linger. Any second one is
-    // a persist leak (round 1's shingle caches) or an undropped CC round.
+    // the pair generators are fused + cache-free; the only block set
+    // allowed to linger is connectedComponents' final (id, component)
+    // checkpoint from q47. Anything more is a persist leak.
     val lingering = spark.sparkContext.getPersistentRDDs
     assert(lingering.size <= 1,
       s"${lingering.size} cached RDD block sets linger: " +
