@@ -50,6 +50,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "top-k fell back to a window sort")
   }
 
+  test("q18 IVF embedding dedup: bucket assignment aggregates map-side, no window") {
+    val p = plan(SparkEntry.queries("q18_embedding_neardup")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), "bucket top-k not a typed aggregate")
+    assert(p.contains("partial_topk_by_score"), "bucket assignment not map-side partial")
+    assert(!p.contains("Window"), "bucket assignment fell back to a window sort")
+    assert(!p.contains("CartesianProduct"), "embedding dedup is a cross product")
+  }
+
   test("spatial join plans as equi-join on grid cells, not nested loop") {
     val p = plan(SparkEntry.queries("q30_spatial_join")(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -65,6 +65,21 @@ class SourcesSpec extends SparkTestBase {
       .head.getAs[String]("start_date") == null)
   }
 
+  test("gzip sources scan transparently (S6's engine half; fetch is a driver util)") {
+    // the reference gunzips NYT files driver-side (nytimes_precincts.py:21-54);
+    // Spark's text/json/csv scans decompress .gz by extension, so the engine
+    // needs no operator — pin that behavior against a real gzip fixture
+    val dir = Files.createTempDirectory("gz").toString
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/events.jsonl.gz"))
+    out.write("""{"id":1,"v":"a"}""".getBytes("UTF-8")); out.write('\n')
+    out.write("""{"id":2,"v":"b"}""".getBytes("UTF-8")); out.write('\n')
+    out.close()
+    val df = spark.read.schema("id LONG, v STRING").json(s"$dir/events.jsonl.gz")
+    assert(df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("json docs: multiline per-file docs with prefix dispatch") {
     val dir = Files.createTempDirectory("docs").toString
     Files.writeString(Paths.get(dir, "bill_001.json"),
