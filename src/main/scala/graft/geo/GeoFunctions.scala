@@ -63,6 +63,14 @@ object GeoFunctions {
   /** Centroid as array(x, y). */
   def stCentroid(a: Column): Column = centroidUdf(a)
 
+  private val centroidOnceUdf = centroidUdf.asNondeterministic()
+
+  /** [[stCentroid]] marked non-deterministic purely as a CollapseProject
+    * barrier: a caller projecting both coordinates via getItem gets ONE
+    * WKB deserialization instead of one per coordinate (the value is in
+    * fact deterministic; the flag only stops expression duplication). */
+  def stCentroidOnce(a: Column): Column = centroidOnceUdf(a)
+
   /** Cartesian area. */
   def stArea(a: Column): Column = areaUdf(a)
 

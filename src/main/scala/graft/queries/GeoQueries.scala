@@ -37,13 +37,15 @@ object GeoQueries {
         .orderBy(col("c_custkey"), col("n_nationkey"))
     }),
 
-    // G1/G3 — GeoJSON parse, centroid, area
+    // G1/G3 — GeoJSON parse, centroid, area. stCentroidOnce evaluates the
+    // centroid UDF once per row even though both coordinates are projected
+    // (plain stCentroid would be re-inlined per getItem by CollapseProject).
     "q31_geo_centroid" -> ((s, dir) => {
-      nationRects(s, dir).select(
-        col("n_nationkey"),
-        stCentroid(col("geom")).getItem(0).as("cx"),
-        stCentroid(col("geom")).getItem(1).as("cy"),
-        stArea(col("geom")).as("area"))
+      nationRects(s, dir)
+        .select(col("n_nationkey"), stCentroidOnce(col("geom")).as("c"),
+          stArea(col("geom")).as("area"))
+        .select(col("n_nationkey"),
+          col("c").getItem(0).as("cx"), col("c").getItem(1).as("cy"), col("area"))
         .orderBy(col("n_nationkey"))
     })
   )
