@@ -33,6 +33,7 @@ object GraftExtensions {
     "uuid5" -> (es => Uuid5(es.head)),
     "unaccent" -> (es => Unaccent(es.head)),
     "fuzz_ratio" -> (es => FuzzRatio(es(0), es(1))),
+    "fuzz_partial_ratio" -> (es => PartialRatio(es(0), es(1))),
     "simhash64" -> (es => SimHash(es.head)),
     "rolling_hash" -> (es => RollingHash(es.head)),
     "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
@@ -43,6 +44,14 @@ object GraftExtensions {
     "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
     "char_shingles" -> (es => CharShingles(es(0), intArg(es(1), "n"))),
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "k"))),
+    "char_ngram_minhash" -> (es =>
+      NgramMinHash(es(0), intArg(es(1), "n"), intArg(es(2), "k"), word = false)),
+    "word_ngram_minhash" -> (es =>
+      NgramMinHash(es(0), intArg(es(1), "n"), intArg(es(2), "k"), word = true)),
+    "char_ngram_jaccard" -> (es =>
+      NgramJaccard(es(0), es(1), intArg(es(2), "n"), word = false)),
+    "word_ngram_jaccard" -> (es =>
+      NgramJaccard(es(0), es(1), intArg(es(2), "n"), word = true)),
     "byte_histogram" -> (es => ByteHistogram(es.head)),
     "frame_sample" -> (es =>
       FrameSample(es(0), intArg(es(1), "stride"), intArg(es(2), "frameLen"))),

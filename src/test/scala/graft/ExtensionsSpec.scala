@@ -21,6 +21,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getAs[Int]("ws") == 3)
   }
 
+  test("fused ngram + partial-ratio functions are callable from SQL") {
+    GraftExtensions.install(spark)
+    val row = spark.sql("""
+      SELECT size(char_ngram_minhash('the quick brown fox', 6, 32)) AS ck,
+        size(word_ngram_minhash('the quick brown fox jumps', 3, 16)) AS wk,
+        char_ngram_jaccard('abcdefgh', 'abcdefgh', 6) AS cj_same,
+        word_ngram_jaccard('a b c', 'x y z', 2) AS wj_diff,
+        fuzz_partial_ratio('baldwin', 'tammy baldwin') AS pr""").head
+    assert(row.getAs[Int]("ck") == 32)
+    assert(row.getAs[Int]("wk") == 16)
+    assert(row.getAs[Double]("cj_same") == 1.0)
+    assert(row.getAs[Double]("wj_diff") == 0.0)
+    assert(row.getAs[Int]("pr") == 100)
+  }
+
   test("topk_by_score aggregate works in SQL GROUP BY") {
     GraftExtensions.install(spark)
     Seq((1, 0.9, 10L), (1, 0.8, 11L), (1, 0.95, 12L), (2, 0.5, 20L))
