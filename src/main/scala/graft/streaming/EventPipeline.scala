@@ -55,30 +55,57 @@ object EventPipeline {
     * user's session, which is emitted downstream (Append mode). State =
     * the open session per user; survives across micro-batches via
     * [[GroupState]]. The batch twin is q33_sessionize (lag + cumulative
-    * flag sum over a static frame). */
+    * flag sum over a static frame).
+    *
+    * State is BOUNDED: the input must carry a watermark (see
+    * [[sessionizeStream]]), and each open session arms an event-time
+    * timeout at lastTs + gap — when the watermark passes it, the session
+    * is emitted and its state removed. Without this (round 1 used
+    * NoTimeout) an idle user's state lived forever and their final
+    * session never closed. */
   def sessionizeStateful(events: Dataset[RawEvent], gapSeconds: Long): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[RawEvent], state: GroupState[OpenSession]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          var open = state.getOption
-          val closed = Seq.newBuilder[ClosedSession]
-          sorted.foreach { e =>
-            open match {
-              case Some(s) if e.ts.getTime - s.lastTs <= gapSeconds * 1000L =>
-                open = Some(s.copy(lastTs = e.ts.getTime, n = s.n + 1))
-              case Some(s) =>
-                closed += ClosedSession(uid, s.sessionSeq, s.n,
-                  new Timestamp(s.startTs), new Timestamp(s.lastTs))
-                open = Some(OpenSession(s.sessionSeq + 1, e.ts.getTime, e.ts.getTime, 1))
-              case None =>
-                open = Some(OpenSession(1, e.ts.getTime, e.ts.getTime, 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.sessionSeq, s.n,
+              new Timestamp(s.startTs), new Timestamp(s.lastTs)))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.lastTs <= gapSeconds * 1000L =>
+                  open = Some(s.copy(lastTs = e.ts.getTime, n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.sessionSeq, s.n,
+                    new Timestamp(s.startTs), new Timestamp(s.lastTs))
+                  open = Some(OpenSession(s.sessionSeq + 1, e.ts.getTime, e.ts.getTime, 1))
+                case None =>
+                  open = Some(OpenSession(1, e.ts.getTime, e.ts.getTime, 1))
+              }
             }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000L)
+            }
+            closed.result().iterator
           }
-          open.foreach(state.update)
-          closed.result().iterator
       }
+  }
+
+  /** [[sessionizeStateful]] with the watermark the event-time timeout
+    * requires: the full streaming sessionizer (watermark → keyed state →
+    * Append sink). */
+  def sessionizeStream(events: Dataset[RawEvent], gapSeconds: Long,
+      watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    sessionizeStateful(
+      events.withWatermark("ts", watermark).as[RawEvent], gapSeconds)
   }
 
   /** foreachBatch body: merge a micro-batch into the keyed table at
