@@ -193,6 +193,26 @@ object Dedup {
 
   /** Apply a dedup decision: keep one representative per component (the
     * minimum id) and every doc not in any pair. */
+  /** Near-dup-aware (leakage-safe) train/test split for training
+    * corpora: every near-duplicate CLUSTER lands wholly on one side, so
+    * a test document can never leak into train as a near-copy of itself.
+    * Clusters come from [[connectedComponents]] over the pair list;
+    * singleton docs are their own cluster. The side is a deterministic
+    * hash of the cluster representative (xxhash64 with a fixed seed), so
+    * the assignment is reproducible across runs and engines and needs no
+    * extra shuffle beyond the component join. Returns the docs plus
+    * (component, split) with split ∈ train | test. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      testPct: Int = 10, seed: Int = 42): DataFrame = {
+    require(testPct >= 0 && testPct <= 100, s"testPct out of range: $testPct")
+    val comps = connectedComponents(pairs)
+    docs.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(pmod(xxhash64(col("component"), lit(seed)), lit(100)) < testPct, "test")
+          .otherwise("train"))
+  }
+
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))

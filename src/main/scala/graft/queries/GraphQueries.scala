@@ -46,6 +46,21 @@ object GraphQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/test split: near-dup clusters (LSH pairs ->
+    // connected components) assigned wholly to one side by a
+    // deterministic component hash (rows-only; components are iterative)
+    "q50_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xq"))))
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+        k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
+      Dedup.leakageSafeSplit(corpus, "doc_id", pairs, testPct = 10)
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F18 — PDF-extracted-text cleanup over text with injected artifacts
     "q48_pdf_cleanup" -> ((s, dir) => {
       val dirty = concat(lit("p1\u000c"), translate(col("text"), "ae", "áé"), lit("\nend"))

@@ -94,6 +94,25 @@ class SemanticsSpec extends SparkTestBase {
         lingering.values.map(r => s"${r.id}:${r.getStorageLevel.description}").mkString(", "))
   }
 
+  test("q50 leakage-safe split: no near-dup pair straddles train/test") {
+    val rows = q("q50_leakage_split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every doc assigned exactly one side; both sides populated at 10%
+    val sides = rows.values.map(_._2).toSet
+    assert(sides == Set("train", "test"), s"sides: $sides")
+    // same component -> same side (the leakage guarantee), and the planted
+    // twin shares its original's component, hence its side
+    rows.groupBy(_._2._1).foreach { case (compId, members) =>
+      assert(members.values.map(_._2).toSet.size == 1,
+        s"component $compId straddles the split")
+    }
+    val docIds = Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    docIds.foreach { id =>
+      assert(rows(id)._2 == rows(id + 1000000)._2, s"twin of $id crossed the split")
+    }
+  }
+
   test("q45 approximate distinct count is within the configured error") {
     q("q45_approx_distinct").collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
