@@ -56,7 +56,9 @@ object GraftExtensions {
     "frame_sample" -> (es =>
       FrameSample(es(0), intArg(es(1), "stride"), intArg(es(2), "frameLen"))),
     "topk_by_score" -> (es =>
-      TopKByScore(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()))
+      TopKByScore(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()),
+    "heavy_hitters" -> (es =>
+      HeavyHitters(es(0), intArg(es(1), "m")).toAggregateExpression()))
 
   /** Register every function into an existing session's catalog. */
   def install(spark: SparkSession): Unit =

@@ -311,6 +311,12 @@ package object functions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     expr2col(TopKByScore(col2expr(score), col2expr(id), k).toAggregateExpression())
 
+  /** Approximate frequent-token aggregate over a text column (bounded
+    * Misra-Gries counters, m per partition crossing the shuffle):
+    * array<struct<token,count>>, counts are lower bounds. */
+  def heavyHitters(text: Column, m: Int): Column =
+    expr2col(HeavyHitters(col2expr(text), m).toAggregateExpression())
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

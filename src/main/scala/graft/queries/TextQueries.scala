@@ -44,6 +44,30 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact corpus vocabulary top-k: explode → groupBy token — the
+    // oracle-checked twin of q52's bounded-memory sketch. Whitespace
+    // tokenization on the lowercased text; total order (count desc, token)
+    "q51_token_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
+    // Misra-Gries heavy hitters: the 100 TB path for q51's question —
+    // O(partitions × m) rows cross the shuffle instead of every token
+    // occurrence (rows-only; SemanticsSpec proves containment vs exact)
+    "q52_heavy_hitters" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .agg(heavyHitters(col("text"), 64).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token").as("token"), col("e.count").as("count_lb"))
+        .orderBy(col("count_lb").desc, col("token"))
+        .limit(20)
+    }),
+
     // F12 — multi-format date parsing (ISO datetime, else bare date)
     "q28_flexible_dates" -> ((s, dir) => {
       val raw = t(s, dir, "orders").withColumn("date_str",
@@ -81,6 +105,12 @@ object TextQueries {
         |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1))
         |    * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_token_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "q28_flexible_dates" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 2 = 0

@@ -113,6 +113,29 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q52 heavy hitters: exact top tokens retained, counts are sound lower bounds") {
+    val exact = q("q51_token_topk").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // full sketch contents (q52 itself shows only the top 20 of 64 counters)
+    val sketch = Tables.t(spark, sf, "documents")
+      .agg(graft.functions.heavyHitters(col("text"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token"), col("e.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalTokens = Tables.t(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0).count()
+    val eps = totalTokens / 65 // m = 64 ⇒ error ≤ N/(m+1)
+    // MG guarantee: every token with true count > N/(m+1) is retained,
+    // and a retained count never exceeds the true count or undercounts
+    // it by more than N/(m+1)
+    exact.filter(_._2 > eps).foreach { case (tok, n) =>
+      assert(sketch.contains(tok), s"frequent token '$tok' ($n) missing from sketch")
+      val lb = sketch(tok)
+      assert(lb <= n && n - lb <= eps, s"'$tok': lb $lb vs exact $n (eps $eps)")
+    }
+  }
+
   test("q45 approximate distinct count is within the configured error") {
     q("q45_approx_distinct").collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
