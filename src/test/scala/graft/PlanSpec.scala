@@ -50,6 +50,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "top-k fell back to a window sort")
   }
 
+  test("q51/q52: corpus scans prune to the text column") {
+    Seq("q51_token_topk", "q52_heavy_hitters").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf))
+      assert(p.contains("text"), s"$name: text column not read")
+      assert(!p.contains("lang") && !p.contains("source"),
+        s"$name: scan reads columns the query never uses")
+    }
+  }
+
   test("q18 IVF embedding dedup: bucket assignment aggregates map-side, no window") {
     val p = plan(SparkEntry.queries("q18_embedding_neardup")(spark, sf))
     assert(p.contains("ObjectHashAggregate"), "bucket top-k not a typed aggregate")
