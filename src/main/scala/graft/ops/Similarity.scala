@@ -43,25 +43,79 @@ object Similarity {
         col("nb.id").as("neighbor_id"), col("nb.score").as("score"))
 
   /** Assign each vector the id of its nearest centroid (L2). Centroids
-    * must be a small broadcastable set with columns (centroid_id, cv). */
+    * must be a small broadcastable set with columns (centroid_id, cv).
+    *
+    * Argmin is `min(struct(dist2, centroid_id))` under a groupBy — a
+    * PARTIAL (map-side) aggregate that collapses each vector's C scored
+    * rows before the exchange, so the shuffle carries one row per vector.
+    * (The round-1 row_number window shuffled corpus × C rows to sort
+    * them; tie-break — smaller centroid_id — is identical.) */
   def assignIvfCluster(vecs: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val scored = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(broadcast(centroids))
       .withColumn("dist2", l2DistanceSquared(col("v"), col("cv")))
-    val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("centroid_id").as("cluster"))
+    scored.groupBy(col("id"))
+      .agg(first(col("v")).as("v"),
+        min(struct(col("dist2"), col("centroid_id"))).as("best"))
+      .select(col("id"), col("v"), col("best.centroid_id").as("cluster"))
+  }
+
+  /** Lloyd's k-means over the embedding column, as plain DataFrame
+    * rounds: broadcast-assign every vector to its nearest centroid
+    * ([[assignIvfCluster]] — map-side argmin), recompute each centroid
+    * as the element-wise mean (posexplode → groupBy (cluster, dim) →
+    * avg → rebuild, all partial-aggregated). Only (cluster, dim, sum)
+    * rows cross the shuffle. Centroids (k × dim doubles) are collected
+    * per round — they are the index's dimension table, driver-small by
+    * definition — which also truncates the iterative lineage. Init is a
+    * deterministic hash-ordered pick; empty clusters drop out. */
+  def kMeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    val init = vecs
+      .select(col(idCol).as("centroid_id"), col(vecCol).cast("array<double>").as("cv"))
+      .orderBy(xxhash64(col("centroid_id")), col("centroid_id")).limit(k)
+    refineCentroids(vecs, init, idCol, vecCol, iters)
+  }
+
+  /** Lloyd rounds from a given initial centroid set (see
+    * [[kMeansCentroids]] for the plan shape). */
+  def refineCentroids(vecs: DataFrame, init: DataFrame, idCol: String,
+      vecCol: String, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val doubled = vecs.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    var centroids = init
+      .select(col("centroid_id"), col("cv").cast("array<double>").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignIvfCluster(doubled, centroids, idCol, "__v")
+      val means = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mx")))).as("ds"))
+        .select(col("cluster").as("centroid_id"),
+          transform(col("ds"), d => d.getField("mx")).as("cv"))
+      centroids = spark.createDataFrame(
+        means.select("centroid_id", "cv").as[(Long, Seq[Double])].collect().toSeq)
+        .toDF("centroid_id", "cv")
+    }
+    centroids
   }
 
   /** IVF-flat approximate top-k: probes only score corpus vectors in
     * their own cluster. `centroidStride` deterministically picks every
-    * Nth vector as a centroid (a real system would run k-means; the
-    * partitioning/shuffle shape is identical). */
+    * Nth vector as a centroid; `kmeansIters` > 0 refines that pick with
+    * Lloyd rounds over the corpus (same partitioning/shuffle shape
+    * either way — refinement only moves the cluster boundaries). */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroidStride: Int = 50): DataFrame = {
-    val centroids = corpus.filter(col(idCol) % centroidStride === 0)
+      vecCol: String, k: Int, centroidStride: Int = 50,
+      kmeansIters: Int = 0): DataFrame = {
+    val centroids0 = corpus.filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    val centroids =
+      if (kmeansIters <= 0) centroids0
+      else refineCentroids(corpus, centroids0, idCol, vecCol, kmeansIters)
     val corpusAssigned = assignIvfCluster(corpus, centroids, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("v").as("cv2"), col("cluster"))
     val probesAssigned = assignIvfCluster(probes, centroids, idCol, vecCol)

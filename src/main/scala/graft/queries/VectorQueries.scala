@@ -21,11 +21,12 @@ object VectorQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // IVF-flat approximate top-3 (deterministic stride centroids)
+    // IVF-flat approximate top-3: stride-seeded centroids refined with
+    // two Lloyd k-means rounds (the honest index-build path)
     "q20_ann_ivf" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 3, centroidStride = 50)
+        "vec_id", "embedding", k = 3, centroidStride = 50, kmeansIters = 2)
         .orderBy(col("probe_id"), col("rank"))
     })
   )
