@@ -80,8 +80,15 @@ case class HeavyHitters(
       val text = raw.asInstanceOf[UTF8String].toString.toLowerCase
       var start = -1
       var i = 0
+      // token boundary = Java regex \s — [ \t\n\x0B\f\r] — NOT
+      // Character.isWhitespace: the exact twin q51 splits on \s+, and the
+      // two tokenizations must agree or the sketch's counts stop being
+      // lower bounds of the exact counts (Unicode separators like U+2028
+      // are isWhitespace-true but \s-false)
+      def isBoundary(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
       while (i <= text.length) {
-        if (i == text.length || Character.isWhitespace(text.charAt(i))) {
+        if (i == text.length || isBoundary(text.charAt(i))) {
           if (start >= 0) {
             buf.addOne(UTF8String.fromString(text.substring(start, i)))
             start = -1

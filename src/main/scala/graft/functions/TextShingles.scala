@@ -116,7 +116,7 @@ object NgramHash {
 
   private def splitmix(i: Long): Long = mix(i * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL)
 
-  private val MaxK = 64
+  val MaxK = 64
   // k affine permutations (odd multiplier + offset), fixed + deterministic
   private val A: Array[Long] = Array.tabulate(MaxK)(i => splitmix(2L * i) | 1L)
   private val B: Array[Long] = Array.tabulate(MaxK)(i => splitmix(2L * i + 1))
@@ -255,6 +255,10 @@ object NgramHash {
 
 case class NgramMinHash(child: Expression, n: Int, k: Int, word: Boolean)
     extends UnaryExpression {
+  require(n >= 1, s"ngram_minhash: n must be >= 1, got $n")
+  require(k >= 1 && k <= NgramHash.MaxK,
+    s"ngram_minhash: k must be in [1, ${NgramHash.MaxK}], got $k " +
+      "(raise NgramHash.MaxK to widen the permutation table)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =

@@ -175,7 +175,9 @@ package object functions {
     val part = partialRatio(pa, pb).cast("double") * pScale
     val scored = when(lenRatio < 1.5, greatest(base, tsor, tset))
       .otherwise(greatest(base, part, tsor * pScale, tset * pScale))
-    when(la === 0 || lb === 0, lit(0)).otherwise(round(scored).cast("int"))
+    // bround = HALF_EVEN, matching CPython round() in thefuzz's utils.intr;
+    // plain round (HALF_UP) drifts on exact .5 products like 70 * 0.95
+    when(la === 0 || lb === 0, lit(0)).otherwise(bround(scored).cast("int"))
   }
 
   // ---------------------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.geo
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import GeoFunctions._
@@ -27,6 +27,17 @@ import GeoFunctions._
   */
 object SpatialJoin {
 
+  /** 128-bit content id (two independently-seeded xxhash64 over every
+    * column): stable across plan re-evaluations, unlike
+    * monotonically_increasing_id, whose values depend on intra-partition
+    * row order — this plan reads each input in three branches, and a
+    * non-deterministic input (anything post-shuffle) would correlate
+    * DIFFERENT rows across branches under an order-derived id. Identical
+    * duplicate rows share an id by construction; the geometry frames are
+    * deduped per id and the final joins restore row multiplicity. */
+  private def contentId(cols: Seq[Column]): Column =
+    struct(xxhash64(cols: _*).as("h1"), xxhash64((lit(613) +: cols): _*).as("h2"))
+
   /** Inner spatial join on ST_Intersects. `left`/`right` must each carry a
     * WKB geometry column named by `leftGeom`/`rightGeom`; all other columns
     * are preserved (names must not collide). Join multiplicity follows SQL
@@ -35,12 +46,10 @@ object SpatialJoin {
       leftGeom: String, rightGeom: String, cellSize: Double): DataFrame = {
     val lKeys = left.columns.filter(_ != leftGeom).map(col).toIndexedSeq
     val rKeys = right.columns.filter(_ != rightGeom).map(col).toIndexedSeq
-    // row ids are stable here: both branches of the self-reuse read the
-    // same deterministic source plan (parquet scan → projection)
-    val l = left.withColumn("__lid", monotonically_increasing_id())
-    val r = right.withColumn("__rid", monotonically_increasing_id())
-    val lGeoms = l.select(col("__lid"), col(leftGeom))
-    val rGeoms = r.select(col("__rid"), col(rightGeom))
+    val l = left.withColumn("__lid", contentId(left.columns.map(col).toIndexedSeq))
+    val r = right.withColumn("__rid", contentId(right.columns.map(col).toIndexedSeq))
+    val lGeoms = l.select(col("__lid"), col(leftGeom)).dropDuplicates("__lid")
+    val rGeoms = r.select(col("__rid"), col(rightGeom)).dropDuplicates("__rid")
     val lCells = lGeoms.select(col("__lid"),
       explode(stCoveredCells(col(leftGeom), lit(cellSize))).as("__cell"))
     val rCells = rGeoms.select(col("__rid"),

@@ -144,6 +144,15 @@ object Dedup {
     def persisted = sc.getPersistentRDDs
     def dropBlocks(ids: scala.collection.Set[Int]): Unit =
       ids.foreach(id => persisted.get(id).foreach(_.unpersist(blocking = false)))
+    // a previous call's final-labels checkpoint is dead weight once a new
+    // run starts (repeated bench passes would otherwise accumulate one
+    // pinned label set per invocation). Constraint: a caller must finish
+    // consuming one connectedComponents result before starting another —
+    // true for every composition in this library.
+    priorLabelIds.synchronized {
+      dropBlocks(priorLabelIds.toSet)
+      priorLabelIds.clear()
+    }
     val preexisting = persisted.keySet
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -184,12 +193,17 @@ object Dedup {
       iter += 1
     }
     dropBlocks(edgeIds) // final labels checkpoint is self-contained
+    priorLabelIds.synchronized { priorLabelIds ++= labelIds }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds; " +
           "raise maxIter (cluster diameter exceeds 2^maxIter after pointer jumping)")
     labels
   }
+
+  /** Block-set ids of the most recent [[connectedComponents]] result,
+    * dropped at the start of the next call. */
+  private val priorLabelIds = scala.collection.mutable.Set.empty[Int]
 
   /** Apply a dedup decision: keep one representative per component (the
     * minimum id) and every doc not in any pair. */

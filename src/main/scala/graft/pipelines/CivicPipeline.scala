@@ -133,8 +133,11 @@ object CivicPipeline {
     val people = raw
       .select("id", "name", "given_name", "family_name", "email", "state_abbrev")
       .join(withRole, Seq("id"))
+      // null-safe equality: a ME row with a NULL district must NOT be
+      // swallowed by three-valued logic — only the named tribal district
+      // is skipped (reference: people_state.py:30-32)
       .filter(!(col("state_abbrev") === "me" &&
-        col("district") === "Passamaquoddy Tribe"))
+        (col("district") <=> "Passamaquoddy Tribe")))
 
     val st = col("state_abbrev")
     val chMap = districtMapping.select(
@@ -220,15 +223,17 @@ object CivicPipeline {
     * null first/latest action dates (reference:
     * scripts/bills/bills_state.py:100-105); a non-empty `subject` raises
     * like the reference's unhandled-case guard (:96-98) — the raise is
-    * woven into the `title` projection so column pruning cannot skip it. */
+    * woven into the `identifier` projection (which `id`, the vote join
+    * key, and every downstream consumer derive from), so no column
+    * pruning can skip it. */
   def billsFromJsonDocs(spark: SparkSession, dir: String,
       jurisdictionId: String): DataFrame = {
     JsonDocs.read(spark, dir, "bill", billJsonSchema)
       .withColumn("session", digitsOnly(col("legislative_session")))
-      .withColumn("title",
+      .withColumn("identifier",
         when(size(col("subject")) > 0,
           raise_error(concat(lit("Unhandled bill subject for "), col("identifier"))))
-          .otherwise(col("title")))
+          .otherwise(col("identifier")))
       .withColumn("id", billId(col("identifier"), lit(jurisdictionId)))
       .withColumn("action_dates",
         transform(col("actions"), a => parseFlexibleTimestamp(a.getField("date"))))
