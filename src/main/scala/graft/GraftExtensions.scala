@@ -41,6 +41,7 @@ object GraftExtensions {
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_norm" -> (es => L2Norm(es.head)),
     "l2_dist2" -> (es => L2Dist2(es(0), es(1))),
+    "srp_signature" -> (es => SrpSignature(es(0), intArg(es(1), "bits"))),
     "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
     "char_shingles" -> (es => CharShingles(es(0), intArg(es(1), "n"))),
     "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "k"))),

@@ -131,3 +131,51 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
   override def prettyName: String = "l2_norm"
 }
+
+/** Signed-random-projection (SRP) LSH signature: bit b is the sign of
+  * the vector's dot product with a deterministic pseudo-random ±1
+  * hyperplane (component (b, d) derived by splitmix64 — no hyperplane
+  * materialization, reproducible across runs and engines). Cosine-close
+  * vectors agree on most bits (P[bit differs] = angle/π), and the
+  * signature is SCALE-INVARIANT: v and c·v (c>0) produce identical
+  * signatures. Charikar, STOC 2002. */
+object SrpHash {
+  private def splitmix(i0: Long): Long = {
+    var z = i0 * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def signature(v: ArrayData, bits: Int, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        acc += (if (splitmix(b.toLong * 131071L + d) < 0) -x else x)
+        d += 1
+      }
+      if (acc >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+case class SrpSignature(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"srp_signature: bits must be in [1, 64], got $bits")
+  private lazy val isFloat: Boolean = VectorOps.isFloatArray(child)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    SrpHash.signature(input.asInstanceOf[ArrayData], bits, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SrpHash.signature($c, $bits, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+  override def prettyName: String = "srp_signature"
+}

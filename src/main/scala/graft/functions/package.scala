@@ -293,6 +293,11 @@ package object functions {
   def cosineSimilarity(a: Column, b: Column): Column =
     expr2col(CosineSim(col2expr(a), col2expr(b)))
 
+  /** Signed-random-projection LSH signature (scale-invariant, bit b =
+    * sign of a deterministic pseudo-random projection). */
+  def srpSignature(v: Column, bits: Int): Column =
+    expr2col(SrpSignature(col2expr(v), bits))
+
   /** MinHash signature: k 64-bit min-hashes over a shingle array, one
     * pass (codegen'd expression; deterministic across runs/engines). */
   def minHashSignature(shingles: Column, k: Int): Column =

@@ -205,6 +205,39 @@ object Dedup {
     * dropped at the start of the next call. */
   private val priorLabelIds = scala.collection.mutable.Set.empty[Int]
 
+  /** Embedding cosine near-dup pairs blocked by SRP-LSH bands — the
+    * hyperplane alternative to [[embeddingNearDupsIvf]]: a `bits`-bit
+    * signed-random-projection signature per vector (scale-invariant, no
+    * centroids or index build), banded into `bands` chunks; candidates
+    * share a chunk, the exact cosine verifies. High-cosine pairs agree
+    * on almost every signature bit (P[bit differs] = angle/π), so they
+    * collide in at least one band with near-certainty, while unrelated
+    * vectors (~half the bits differ) rarely do. Same shuffle shape as
+    * [[simHashPairs]]: ids + one long cross the candidate exchange. */
+  def embeddingNearDupsSrp(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.99, bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0, s"bits ($bits) must divide evenly into bands ($bands)")
+    val rowsPerBand = bits / bands
+    val mask = (1L << rowsPerBand) - 1
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigs = base.select(col("id"), srpSignature(col("v"), bits).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * rowsPerBand)
+            .bitwiseAND(lit(mask)).as("chunk"))): _*)).as("bk"))
+    val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    candidates
+      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("cosine", cosineSimilarity(col("a_v"), col("b_v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Apply a dedup decision: keep one representative per component (the
     * minimum id) and every doc not in any pair. */
   /** Near-dup-aware (leakage-safe) train/test split for training

@@ -64,6 +64,18 @@ object DedupQueries {
       Dedup.embeddingNearDupsIvf(vecs.unionByName(scaled), "vec_id", "embedding",
         threshold = 0.999, centroidStride = 50, nProbe = 2)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Embedding near-dup via SRP-LSH hyperplane banding — the index-free
+    // alternative to q18's IVF blocking (signatures are scale-invariant,
+    // so each scaled twin shares every band with its original)
+    "q53_embedding_srp" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
+      Dedup.embeddingNearDupsSrp(vecs.unionByName(scaled), "vec_id", "embedding",
+        threshold = 0.999, bits = 16, bands = 4)
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 

@@ -28,6 +28,16 @@ class SemanticsSpec extends SparkTestBase {
     assert(twins.forall(_.getDouble(2) == 1.0))
   }
 
+  test("q53 SRP near-dup finds every scaled twin at cosine 1") {
+    val rows = q("q53_embedding_srp").collect()
+    val n = Tables.t(spark, sf, "embeddings").count()
+    // SRP signatures are scale-invariant, so every twin shares ALL bands
+    // with its original — recall for the planted pairs is deterministic
+    val twins = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000)
+    assert(twins.length == n, s"${twins.length} twins of $n")
+    assert(twins.forall(_.getDouble(2) == 1.0))
+  }
+
   test("q20 IVF: every probe's rank-1 neighbor is itself") {
     val rows = q("q20_ann_ivf").filter(col("rank") === 1).collect()
     assert(rows.nonEmpty)
