@@ -180,6 +180,19 @@ package object functions {
     when(la === 0 || lb === 0, lit(0)).otherwise(bround(scored).cast("int"))
   }
 
+  /** Strip HTML tags, decode the five predefined entities (&amp; last so
+    * double-encoded text decodes one level, the standard order), collapse
+    * whitespace — the pre-tokenization cleanup for web-scraped training
+    * text. Pure builtin composition, so it stays inside whole-stage
+    * codegen AND has an exact DuckDB oracle twin. */
+  def htmlStrip(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ---------------------------------------------------------------------
   // Text analysis (north-star ops)
   // ---------------------------------------------------------------------

@@ -68,6 +68,15 @@ object TextQueries {
         .limit(20)
     }),
 
+    // HTML strip + entity decode over synthesized web-scraped text
+    "q54_html_strip" -> ((s, dir) => {
+      val webby = concat(lit("<p class=\"x\">"), col("text"),
+        lit("</p> <a href=\"y\">&amp; more &lt;tags&gt;</a>"))
+      t(s, dir, "documents").select(
+        col("doc_id"), htmlStrip(webby).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F12 — multi-format date parsing (ISO datetime, else bare date)
     "q28_flexible_dates" -> ((s, dir) => {
       val raw = t(s, dir, "orders").withColumn("date_str",
@@ -104,6 +113,14 @@ object TextQueries {
         |         THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
         |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1))
         |    * 1000000.0 + 0.5) / 1000000.0 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_html_strip" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    '<p class="x">' || text || '</p> <a href="y">&amp; more &lt;tags&gt;</a>',
+        |    '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'), '&amp;', '&', 'g'), '\s+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q51_token_topk" ->
       """SELECT token, count(*) AS n FROM (

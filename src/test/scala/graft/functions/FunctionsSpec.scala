@@ -90,6 +90,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(r == 100)
   }
 
+  test("htmlStrip: tags out, entities decoded once, whitespace collapsed") {
+    val golden = Seq(
+      "<p>Hello <b>world</b></p>" -> "Hello world",
+      "a &amp;&amp; b &lt;= c" -> "a && b <= c",
+      "&amp;amp; stays one level" -> "&amp; stays one level",
+      "no  markup   here" -> "no markup here",
+      "<a href=\"x\">&quot;q&quot;</a> &#39;s" -> "\"q\" 's")
+    val got = eval1(golden.map(_._1), graft.functions.htmlStrip)
+    assert(got == golden.map(_._2), s"got $got")
+  }
+
   test("reference string helpers") {
     assert(eval1(Seq("119th Congress"), graft.functions.digitsOnly) == Seq("119"))
     assert(eval1(Seq("ocd-division/country:us/state:wi"), graft.functions.stateFromAreaId) == Seq("WI"))
