@@ -77,7 +77,9 @@ case class HeavyHitters(
     if (raw != null) {
       // tokenize the lowercased text inline; clone tokens before retaining
       // (the input UTF8String may point into a reused row buffer)
-      val text = raw.asInstanceOf[UTF8String].toString.toLowerCase
+      // Locale.ROOT: Spark's lower() is locale-independent; default-locale
+      // toLowerCase would diverge under e.g. tr_TR ('I' → dotless 'ı')
+      val text = raw.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
       var start = -1
       var i = 0
       // token boundary = Java regex \s — [ \t\n\x0B\f\r] — NOT

@@ -114,7 +114,8 @@ object NgramHash {
     z ^ (z >>> 31)
   }
 
-  private def splitmix(i: Long): Long = mix(i * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL)
+  private[functions] def splitmix(i: Long): Long =
+    mix(i * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL)
 
   val MaxK = 64
   // k affine permutations (odd multiplier + offset), fixed + deterministic
@@ -125,7 +126,7 @@ object NgramHash {
     * whitespace-collapsed text (multiset; minhash needs no dedupe —
     * duplicate windows cannot change a minimum). */
   def charWindowHashes(s: UTF8String, n: Int): Array[Long] = {
-    val raw = s.toString.toLowerCase
+    val raw = s.toString.toLowerCase(java.util.Locale.ROOT)
     // manual trim+collapse into a char array (no regex, no new String)
     val buf = new Array[Char](raw.length)
     var len = 0
@@ -167,7 +168,7 @@ object NgramHash {
     * then a polynomial over n consecutive token hashes. Token walk is a
     * single pass over the lowercased chars — no substring allocation. */
   def wordWindowHashes(s: UTF8String, n: Int): Array[Long] = {
-    val text = s.toString.toLowerCase
+    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = new scala.collection.mutable.ArrayBuffer[Long]
     var h = 0L
     var inTok = false

@@ -140,12 +140,8 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   * signature is SCALE-INVARIANT: v and c·v (c>0) produce identical
   * signatures. Charikar, STOC 2002. */
 object SrpHash {
-  private def splitmix(i0: Long): Long = {
-    var z = i0 * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // one splitmix64 kernel for the whole package — see NgramHash
+  private def splitmix(i: Long): Long = NgramHash.splitmix(i)
 
   def signature(v: ArrayData, bits: Int, isFloat: Boolean): Long = {
     val n = v.numElements()

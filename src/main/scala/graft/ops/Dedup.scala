@@ -150,6 +150,9 @@ object Dedup {
     // consuming one connectedComponents result before starting another —
     // true for every composition in this library.
     priorLabelIds.synchronized {
+      // RDD ids are per-SparkContext: ids recorded under a stopped context
+      // must not unpersist whatever RDD reuses them in a fresh context
+      if (priorLabelCtx ne sc) { priorLabelIds.clear(); priorLabelCtx = sc }
       dropBlocks(priorLabelIds.toSet)
       priorLabelIds.clear()
     }
@@ -202,8 +205,10 @@ object Dedup {
   }
 
   /** Block-set ids of the most recent [[connectedComponents]] result,
-    * dropped at the start of the next call. */
+    * dropped at the start of the next call (valid only within
+    * `priorLabelCtx`'s SparkContext). */
   private val priorLabelIds = scala.collection.mutable.Set.empty[Int]
+  private var priorLabelCtx: org.apache.spark.SparkContext = null
 
   /** Embedding cosine near-dup pairs blocked by SRP-LSH bands — the
     * hyperplane alternative to [[embeddingNearDupsIvf]]: a `bits`-bit
@@ -216,8 +221,12 @@ object Dedup {
     * [[simHashPairs]]: ids + one long cross the candidate exchange. */
   def embeddingNearDupsSrp(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, bits: Int = 16, bands: Int = 4): DataFrame = {
-    require(bits % bands == 0, s"bits ($bits) must divide evenly into bands ($bands)")
+    require(bands >= 1 && bits % bands == 0,
+      s"bits ($bits) must divide evenly into bands ($bands)")
     val rowsPerBand = bits / bands
+    // Long shifts wrap mod 64: a 64-bit band would make mask 0 and every
+    // chunk collide — i.e. a silent full cross join
+    require(rowsPerBand <= 63, s"bits/bands must be <= 63, got $rowsPerBand")
     val mask = (1L << rowsPerBand) - 1
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val sigs = base.select(col("id"), srpSignature(col("v"), bits).as("sig"))
@@ -230,16 +239,20 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    verifyCosinePairs(candidates, base, threshold)
+  }
+
+  /** Shared verify tail of the embedding near-dup variants: rejoin the
+    * candidate pair ids to their vectors, exact cosine, threshold, round. */
+  private def verifyCosinePairs(candidates: DataFrame, base: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
       .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
       .withColumn("cosine", cosineSimilarity(col("a_v"), col("b_v")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
-  }
 
-  /** Apply a dedup decision: keep one representative per component (the
-    * minimum id) and every doc not in any pair. */
   /** Near-dup-aware (leakage-safe) train/test split for training
     * corpora: every near-duplicate CLUSTER lands wholly on one side, so
     * a test document can never leak into train as a near-copy of itself.
@@ -260,6 +273,8 @@ object Dedup {
           .otherwise("train"))
   }
 
+  /** Apply a dedup decision: keep one representative per component (the
+    * minimum id) and every doc not in any pair. */
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
@@ -309,11 +324,6 @@ object Dedup {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    candidates
-      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
-      .withColumn("cosine", cosineSimilarity(col("a_v"), col("b_v")))
-      .filter(col("cosine") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+    verifyCosinePairs(candidates, base, threshold)
   }
 }

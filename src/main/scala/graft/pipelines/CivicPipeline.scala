@@ -136,7 +136,7 @@ object CivicPipeline {
       // null-safe equality: a ME row with a NULL district must NOT be
       // swallowed by three-valued logic — only the named tribal district
       // is skipped (reference: people_state.py:30-32)
-      .filter(!(col("state_abbrev") === "me" &&
+      .filter(!((col("state_abbrev") <=> "me") &&
         (col("district") <=> "Passamaquoddy Tribe")))
 
     val st = col("state_abbrev")

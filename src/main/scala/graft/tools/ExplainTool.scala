@@ -13,7 +13,7 @@ object ExplainTool {
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.collect()
+    df.count() // execute so AQE finalizes, without buffering rows on the driver
     println(df.queryExecution.executedPlan.toString)
     spark.stop()
   }
