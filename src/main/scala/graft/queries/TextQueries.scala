@@ -68,6 +68,26 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Sliding-window token chunking — the training-sample splitter:
+    // 64-token chunks, stride 48 (16-token overlap), one row per chunk.
+    // Pure builtins (split/sequence/slice/array_join), all codegen'd;
+    // explode is narrow, so chunking adds NO shuffle before whatever
+    // aggregation or writer consumes the chunks.
+    "q55_token_chunks" -> ((s, dir) => {
+      val chunk = 64
+      val stride = 48
+      val toks = split(trim(col("text")), "\\s+")
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), greatest(size(col("t")) - chunk, lit(0)),
+            lit(stride))).as("chunk_start"), col("t"))
+        .select(col("doc_id"),
+          col("chunk_start").cast("long").as("chunk_start"), // pin to i64: DuckDB generate_series yields BIGINT
+          array_join(slice(col("t"), col("chunk_start") + 1, lit(chunk)), " ").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    }),
+
     // HTML strip + entity decode over synthesized web-scraped text
     "q54_html_strip" -> ((s, dir) => {
       val webby = concat(lit("<p class=\"x\">"), col("text"),
@@ -114,6 +134,13 @@ object TextQueries {
         |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1))
         |    * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q55_token_chunks" ->
+      """SELECT doc_id, s AS chunk_start,
+        |  array_to_string(t[s + 1 : s + 64], ' ') AS chunk
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |      FROM documents),
+        |  UNNEST(generate_series(0, greatest(len(t) - 64, 0), 48)) AS u(s)
+        |ORDER BY doc_id, chunk_start""".stripMargin,
     "q54_html_strip" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
