@@ -193,6 +193,18 @@ package object functions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Redact the common PII shapes from training text: emails, then
+    * SSN-style ddd-dd-dddd, then phone-style ddd-ddd-dddd (emails first —
+    * they may contain digits/hyphens; SSN and phone shapes are disjoint).
+    * Patterns avoid lookarounds/backrefs so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree. */
+  def piiScrub(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ssn = regexp_replace(email, "\\d{3}-\\d{2}-\\d{4}", "[SSN]")
+    regexp_replace(ssn, "\\d{3}-\\d{3}-\\d{4}", "[PHONE]")
+  }
+
   // ---------------------------------------------------------------------
   // Text analysis (north-star ops)
   // ---------------------------------------------------------------------

@@ -88,6 +88,18 @@ object TextQueries {
         .orderBy(col("doc_id"), col("chunk_start"))
     }),
 
+    // PII scrub over text with deterministic synthesized contact info
+    "q56_pii_scrub" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-6789"))
+      t(s, dir, "documents").select(
+        col("doc_id"), piiScrub(dirty).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // HTML strip + entity decode over synthesized web-scraped text
     "q54_html_strip" -> ((s, dir) => {
       val webby = concat(lit("<p class=\"x\">"), col("text"),
@@ -133,6 +145,15 @@ object TextQueries {
         |         THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
         |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1))
         |    * 1000000.0 + 0.5) / 1000000.0 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q56_pii_scrub" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  text || ' contact user' || doc_id || '@example.com or 555-'
+        |    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ssn 123-45-6789',
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |  '\d{3}-\d{2}-\d{4}', '[SSN]', 'g'),
+        |  '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q55_token_chunks" ->
       """SELECT doc_id, s AS chunk_start,

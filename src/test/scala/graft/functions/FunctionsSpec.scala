@@ -101,6 +101,16 @@ class FunctionsSpec extends SparkTestBase {
     assert(got == golden.map(_._2), s"got $got")
   }
 
+  test("piiScrub: emails, SSNs, phones redacted; near-misses kept") {
+    val golden = Seq(
+      "mail me at jo.doe+x@sub.example.org today" -> "mail me at [EMAIL] today",
+      "ssn 123-45-6789 phone 555-867-5309" -> "ssn [SSN] phone [PHONE]",
+      "order 12-345-6789 is not a phone" -> "order 12-345-6789 is not a phone",
+      "no pii here" -> "no pii here")
+    val got = eval1(golden.map(_._1), graft.functions.piiScrub)
+    assert(got == golden.map(_._2), s"got $got")
+  }
+
   test("reference string helpers") {
     assert(eval1(Seq("119th Congress"), graft.functions.digitsOnly) == Seq("119"))
     assert(eval1(Seq("ocd-division/country:us/state:wi"), graft.functions.stateFromAreaId) == Seq("WI"))
