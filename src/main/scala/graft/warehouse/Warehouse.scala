@@ -39,6 +39,19 @@ object Warehouse {
       .unionByName(incomingResolved)
   }
 
+  /** Write a frame as a bucketed (+ per-bucket sorted) managed table —
+    * the cluster deployment of the warehouse side of [[mergeByKey]]:
+    * a bucketed scan already satisfies the join's hashpartitioning
+    * requirement, so the BIG side of every keyed merge/lookup joins
+    * WITHOUT an exchange (only the small incoming batch shuffles to
+    * match). BucketedMergeSpec asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** Collapse a multi-batch union to one row per key: highest `ordering`
     * wins (ties broken deterministically by all remaining columns). The
     * batch analog of the reference's sequential per-row overwrite. */
