@@ -65,4 +65,45 @@ object PropertySpec extends Properties("graft") {
         .sortBy { case (id, s) => (-s, id) }.take(k)
       a.sorted.toSeq == want
     }
+
+  // ---- fused n-gram / SRP kernels: determinism + semantic invariants ----
+
+  private val wordyStr =
+    Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "yy"))
+      .map(_.take(30).mkString(" "))
+
+  property("ngram kernels are deterministic and self-Jaccard is 1") =
+    forAll(wordyStr, Gen.chooseNum(2, 8)) { (s, n) =>
+      val u1 = UTF8String.fromString(s)
+      val u2 = UTF8String.fromString(s)
+      val sig1 = graft.functions.NgramHash.charMinHash(u1, n, 16)
+      val sig2 = graft.functions.NgramHash.charMinHash(u2, n, 16)
+      val sameSig = (0 until 16).forall(i => sig1.getLong(i) == sig2.getLong(i))
+      sameSig &&
+        graft.functions.NgramHash.charJaccard(u1, u2, n) == 1.0 &&
+        graft.functions.NgramHash.wordJaccard(u1, u2, n) == 1.0
+    }
+
+  property("ngram Jaccard is symmetric and bounded") =
+    forAll(wordyStr, wordyStr, Gen.chooseNum(2, 6)) { (a, b, n) =>
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val j = graft.functions.NgramHash.wordJaccard(ua, ub, n)
+      j == graft.functions.NgramHash.wordJaccard(ub, ua, n) && j >= 0.0 && j <= 1.0
+    }
+
+  // integer-valued doubles: projections sum exactly, so the mathematical
+  // scale-invariance is testable without FP sign flips at near-zero sums
+  // (real embeddings can flip isolated bits there — banding absorbs it)
+  property("SRP signature is deterministic and scale-invariant") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100, 100))
+        .map(_.take(16).map(_.toDouble))) { xs =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val v = new GenericArrayData(xs.toArray[Any])
+      val scaled = new GenericArrayData(xs.map(_ * 3.0).toArray[Any])
+      val s1 = graft.functions.SrpHash.signature(v, 16, isFloat = false)
+      val s2 = graft.functions.SrpHash.signature(v, 16, isFloat = false)
+      val s3 = graft.functions.SrpHash.signature(scaled, 16, isFloat = false)
+      s1 == s2 && s1 == s3
+    }
 }
