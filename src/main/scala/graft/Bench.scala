@@ -18,17 +18,28 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val names = SparkEntry.queries.keys.toSeq
-    val best = scala.collection.mutable.Map(names.map(_ -> Double.MaxValue): _*)
+    // only successful runs produce a timing sample — a query that throws
+    // must NOT contribute its time-to-exception as a valid (fast) min,
+    // or a regression that breaks a query silently improves the total
+    val best = scala.collection.mutable.Map[String, Double]()
+    val errors = scala.collection.mutable.Map[String, String]()
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (sec < best(name)) best(name) = sec
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+      } catch {
+        case e: Throwable => errors(name) = e.getClass.getName
+      }
     }
-    val qs = names.map(k => s"\"" + k + "\":" + best(k)).mkString("{", ",", "}")
-    val total = names.map(best).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a query with no successful run reports -1 and an error marker
+    val qs = names.map(k => s"\"" + k + "\":" + best.getOrElse(k, -1.0)).mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val total = names.flatMap(best.get).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,7 @@ object GraftExtensions {
     "unaccent" -> (es => Unaccent(es.head)),
     "fuzz_ratio" -> (es => FuzzRatio(es(0), es(1))),
     "fuzz_partial_ratio" -> (es => PartialRatio(es(0), es(1))),
+    "wratio" -> (es => WRatioScore(es(0), es(1))),
     "simhash64" -> (es => SimHash(es.head)),
     "rolling_hash" -> (es => RollingHash(es.head)),
     "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),

@@ -135,50 +135,13 @@ package object functions {
   def partialRatio(a: Column, b: Column): Column =
     expr2col(PartialRatio(col2expr(a), col2expr(b)))
 
-  /** thefuzz `utils.full_process(force_ascii=True)`: drop non-ASCII,
-    * non-alphanumeric → space, lowercase, trim. */
-  private def fullProcess(c: Column): Column =
-    trim(regexp_replace(lower(regexp_replace(c, "[^\\x00-\\x7F]", "")),
-      "[^a-z0-9]+", " "))
-
-  /** `fuzz.token_set_ratio` over already-full-processed inputs: ratios
-    * among {sorted token intersection, intersection + each side's sorted
-    * leftovers} (reference behavior via thefuzz; tokens are SET-deduped). */
-  private def tokenSetRatioProcessed(pa: Column, pb: Column): Column = {
-    val ta = array_distinct(split(pa, " "))
-    val tb = array_distinct(split(pb, " "))
-    val inter = array_join(array_sort(array_intersect(ta, tb)), " ")
-    val c1 = trim(concat_ws(" ", inter, array_join(array_sort(array_except(ta, tb)), " ")))
-    val c2 = trim(concat_ws(" ", inter, array_join(array_sort(array_except(tb, ta)), " ")))
-    greatest(fuzzRatio(inter, c1), fuzzRatio(inter, c2), fuzzRatio(c1, c2))
-  }
-
   /** `fuzz.WRatio`, the `process.extractOne` default scorer the reference
-    * matches voters with (reference: scripts/bills/vote_matching.py:161):
-    * full-process both sides; when lengths are within 1.5× take
-    * max(ratio, 0.95·token_sort, 0.95·token_set); otherwise fold in
-    * partial_ratio scaled by 0.9 (0.6 beyond an 8× length gap) and scale
-    * the token ratios by the same factor. Length-mismatched pairs like
-    * "Smith" vs "Smith-Jones (D-CA)" hinge on the partial branch. */
-  def wRatio(a: Column, b: Column): Column = {
-    val pa = fullProcess(a)
-    val pb = fullProcess(b)
-    val la = length(pa).cast("double")
-    val lb = length(pb).cast("double")
-    val lenRatio = greatest(la, lb) / least(la, lb)
-    val base = fuzzRatio(pa, pb).cast("double")
-    val tsor = fuzzRatio(
-      array_join(array_sort(split(pa, " ")), " "),
-      array_join(array_sort(split(pb, " ")), " ")).cast("double") * 0.95
-    val tset = tokenSetRatioProcessed(pa, pb).cast("double") * 0.95
-    val pScale = when(lenRatio > 8.0, 0.6).otherwise(0.9)
-    val part = partialRatio(pa, pb).cast("double") * pScale
-    val scored = when(lenRatio < 1.5, greatest(base, tsor, tset))
-      .otherwise(greatest(base, part, tsor * pScale, tset * pScale))
-    // bround = HALF_EVEN, matching CPython round() in thefuzz's utils.intr;
-    // plain round (HALF_UP) drifts on exact .5 products like 70 * 0.95
-    when(la === 0 || lb === 0, lit(0)).otherwise(bround(scored).cast("int"))
-  }
+    * matches voters with (reference: scripts/bills/vote_matching.py:161).
+    * Single fused codegen'd kernel — see [[WRatio]] for the algorithm
+    * (rapidfuzz branches incl. the partial_token_sort/partial_token_set
+    * scorers on length-mismatched pairs). */
+  def wRatio(a: Column, b: Column): Column =
+    expr2col(WRatioScore(col2expr(a), col2expr(b)))
 
   /** Strip HTML tags, decode the five predefined entities (&amp; last so
     * double-encoded text decodes one level, the standard order), collapse

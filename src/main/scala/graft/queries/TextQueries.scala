@@ -70,18 +70,23 @@ object TextQueries {
 
     // Sliding-window token chunking — the training-sample splitter:
     // 64-token chunks, stride 48 (16-token overlap), one row per chunk.
-    // Pure builtins (split/sequence/slice/array_join), all codegen'd;
-    // explode is narrow, so chunking adds NO shuffle before whatever
-    // aggregation or writer consumes the chunks.
+    // The last start is rounded UP to the next stride multiple so the
+    // tail past the final full window still lands in a (truncated)
+    // chunk — a splitter that silently drops up to chunk-1 trailing
+    // tokens per doc is data loss at corpus scale. Pure builtins
+    // (split/sequence/slice/array_join), all codegen'd; explode is
+    // narrow, so chunking adds NO shuffle before whatever aggregation
+    // or writer consumes the chunks.
     "q55_token_chunks" -> ((s, dir) => {
       val chunk = 64
       val stride = 48
       val toks = split(trim(col("text")), "\\s+")
+      val over = greatest(size(col("t")) - chunk, lit(0))
+      val lastStart = over + (lit(stride) - over % stride) % stride
       t(s, dir, "documents")
         .select(col("doc_id"), toks.as("t"))
         .select(col("doc_id"),
-          explode(sequence(lit(0), greatest(size(col("t")) - chunk, lit(0)),
-            lit(stride))).as("chunk_start"), col("t"))
+          explode(sequence(lit(0), lastStart, lit(stride))).as("chunk_start"), col("t"))
         .select(col("doc_id"),
           col("chunk_start").cast("long").as("chunk_start"), // pin to i64: DuckDB generate_series yields BIGINT
           array_join(slice(col("t"), col("chunk_start") + 1, lit(chunk)), " ").as("chunk"))
@@ -158,9 +163,10 @@ object TextQueries {
     "q55_token_chunks" ->
       """SELECT doc_id, s AS chunk_start,
         |  array_to_string(t[s + 1 : s + 64], ' ') AS chunk
-        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |      FROM documents),
-        |  UNNEST(generate_series(0, greatest(len(t) - 64, 0), 48)) AS u(s)
+        |FROM (SELECT doc_id, t, greatest(len(t) - 64, 0) AS ov
+        |      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |            FROM documents)),
+        |  UNNEST(generate_series(0, ov + (48 - ov % 48) % 48, 48)) AS u(s)
         |ORDER BY doc_id, chunk_start""".stripMargin,
     "q54_html_strip" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(

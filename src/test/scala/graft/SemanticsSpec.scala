@@ -146,6 +146,23 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q55 chunking covers every token, including the ragged tail") {
+    val docTokens = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // max(chunk_start + chunk token count) per doc must reach the doc's
+    // token count — the final (possibly truncated) window may not drop
+    // the tail past the last full stride
+    val covered = q("q55_token_chunks").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.map(r => r.getLong(1) + r.getString(2).split(" ").length).max
+      }
+    docTokens.foreach { case (id, n) =>
+      assert(covered(id) == n, s"doc $id: covered ${covered(id)} of $n tokens")
+    }
+  }
+
   test("q45 approximate distinct count is within the configured error") {
     q("q45_approx_distinct").collect().foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
