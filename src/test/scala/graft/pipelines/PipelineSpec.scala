@@ -164,6 +164,32 @@ class PipelineSpec extends SparkTestBase {
     assert(rootCause(e).getMessage.contains("Unimplemented fips code"))
   }
 
+  test("district mapping: CSV scan -> JSON write -> load feeds the MA branch") {
+    val dir = Files.createTempDirectory("distmap").toString
+    Files.writeString(Paths.get(dir, "areas.csv"),
+      """id,fips_code,name
+        |ocd-division/country:us/state:ma/sldu:d40,25,Massachusetts Cape and Islands District
+        |ocd-division/country:us/state:ma/sldu:d23,25,Fifth Middlesex District
+        |""".stripMargin)
+    val areas = DistrictMapping.areasFromCsv(spark, s"$dir/areas.csv")
+    val mapping = CivicPipeline.districtMappingFromAreas(areas, "upper")
+    val json = s"$dir/state_people_district_mapping.json"
+    DistrictMapping.writeJson(mapping, json)
+    val loaded = DistrictMapping.readJson(spark, json)
+    val got = loaded.orderBy("district_name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      ("ma", "upper", "Cape and Islands", "ocd-division/country:us/state:ma/sldu:d40"),
+      ("ma", "upper", "Fifth Middlesex", "ocd-division/country:us/state:ma/sldu:d23")))
+    // the loaded frame drives the MA named-district resolution end-to-end
+    val pdir = Files.createTempDirectory("distmapPeople").toString
+    writeStatePerson(pdir, "ma", "sen.yml", "ma-cape", "upper", "Cape and Islands")
+    val out = CivicPipeline.peopleStateFromYaml(spark, s"$pdir/*/legislature/*.yml",
+      Timestamp.valueOf("2026-01-01 00:00:00"), loaded)
+    assert(out.collect().head.getAs[String]("constituent_area_id")
+      == "ocd-division/country:us/state:ma/sldu:d40")
+  }
+
   test("bills + votes pipeline: ids, action dates, semi-join, voter resolution") {
     val dir = Files.createTempDirectory("docs").toString
     Files.writeString(Paths.get(dir, "bill_0001.json"),
