@@ -31,6 +31,7 @@ object SparkEntry {
       (GeoQueries.queries, GeoQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (SqlQueries.queries, SqlQueries.oracle),
+      (CorpusQueries.queries, CorpusQueries.oracle),
       (GraphQueries.queries, GraphQueries.oracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

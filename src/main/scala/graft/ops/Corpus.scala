@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines:
+  * deterministic hash splits, benchmark-contamination scoring, and
+  * sequence packing. All set-oriented (no driver loops), shuffle-minimal,
+  * and engine-portable — each has an exact SQL twin, so every one is
+  * DuckDB-oracle-checked rather than rows-only.
+  */
+object Corpus {
+
+  /** Deterministic hash-bucket assignment: compare the md5 hex prefix of
+    * (salt + key) against ascending per-split hex thresholds. Properties
+    * that matter at 100 TB: a doc's split never changes as other docs
+    * arrive (pure function of the key), the operator is map-only (zero
+    * shuffles, no global sort, no sampling pass), and md5-hex +
+    * lexicographic compare behave identically in any engine. `cuts` are
+    * (exclusive-upper-hex-threshold, label) pairs; a 2-hex-digit prefix
+    * gives 1/256 resolution ("cd" ≈ 80.1%, "e6" ≈ 89.8%). Rows past the
+    * last cut get `rest`. For near-duplicate-aware splitting (no twin
+    * straddles the boundary) see [[Dedup]] + the q50 leakage-safe split —
+    * this operator is the plain i.i.d. baseline. */
+  def hashSplit(key: Column, salt: String, cuts: Seq[(String, String)],
+      rest: String): Column = {
+    val h = substring(md5(concat(lit(salt), key.cast("string"))), 1, 2)
+    val chained = cuts.foldLeft(Option.empty[Column]) {
+      case (None, (cut, label)) => Some(when(h < cut, label))
+      case (Some(c), (cut, label)) => Some(c.when(h < cut, label))
+    }
+    chained.map(_.otherwise(rest)).getOrElse(lit(rest))
+  }
+
+  /** Benchmark-contamination scoring: for every probe doc, how many of
+    * its distinct word n-grams appear in ANY benchmark doc. The standard
+    * train-set decontamination check (n-gram overlap against eval sets).
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (eval suites vs 100 TB of training text) and is broadcast — the
+    * probe side never shuffles by gram for the membership test; the only
+    * wide exchange is the per-doc count aggregation on the doc id, which
+    * partitions evenly. Docs shorter than n tokens have no grams and are
+    * absent from the output. */
+  def contamination(docs: DataFrame, isBench: Column, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = when(size(col("t")) >= n,
+      array_distinct(transform(sequence(lit(1), size(col("t")) - (n - 1)),
+        i => array_join(slice(col("t"), i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val ex = docs.select(col(idCol), toks.as("t"), isBench.as("is_bench"))
+      .select(col(idCol), col("is_bench"), explode(grams).as("gram"))
+    val bench = ex.filter(col("is_bench")).select("gram").distinct()
+    val probe = ex.filter(!col("is_bench"))
+    val stats = probe.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val cont = probe.join(broadcast(bench), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    stats.join(cont, Seq(idCol), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+  }
+
+  /** Sequence packing: assign docs to fixed token-budget bins in
+    * `orderCol` order WITHIN each `groupCol` shard —
+    * bin = running-tokens-before-this-doc div budget, so consecutive
+    * docs fill a bin to the budget (with bounded overflow: the doc that
+    * crosses the boundary stays in the earlier bin, the classic
+    * approximate-packing contract). Per-shard windows are the scale
+    * story: each shard packs independently in parallel — there is no
+    * global sort, and at 100 TB `groupCol` is the writer shard. Returns
+    * the input plus (n_tok, bin). */
+  def packBins(docs: DataFrame, groupCol: String, orderCol: String,
+      tokenCol: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("n_tok", tokenCol)
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budget"))
+      .drop("cum_before")
+  }
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.tokenCount
+import graft.ops.Corpus
+
+/** Training-corpus preparation operators (north-star): deterministic
+  * splits, benchmark decontamination, sequence packing, intra-doc
+  * cleanup, TF-IDF term scoring, stratified sampling. Every query here
+  * is DuckDB-oracle-checked — the operators are deliberately built from
+  * engine-portable primitives (md5 hex, window sums, integer division,
+  * explode/unnest) so correctness is hash-exact, not rows-only.
+  */
+object CorpusQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic 80/10/10 train/val/test split by salted md5 prefix —
+    // map-only (zero shuffles), stable under corpus growth; the i.i.d.
+    // baseline next to q50's leakage-safe (near-dup-aware) split
+    "q57_hash_split" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Corpus.hashSplit(col("doc_id"), "split:",
+          Seq("cd" -> "train", "e6" -> "val"), "test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: distinct word-5-gram overlap of every
+    // probe doc against the benchmark subset (doc_id % 20 == 0); the
+    // benchmark gram set is broadcast, the corpus never shuffles by gram
+    "q58_contamination" -> ((s, dir) => {
+      Corpus.contamination(t(s, dir, "documents"),
+        col("doc_id") % 20 === 0, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing into 2048-token bins per source shard (window
+    // cumsum + integer division — parallel across shards, no global
+    // sort); output is the per-bin fill summary
+    "q59_sequence_packing" -> ((s, dir) => {
+      Corpus.packBins(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", tokenCount(col("text")), budget = 2048)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // Intra-doc repeated-paragraph removal: keep each line's first
+    // occurrence, reassemble in original order (relational formulation —
+    // posexplode, min(pos) per line, ordered re-agg — so the oracle twin
+    // is exact). Input synthesizes a repeated paragraph per doc.
+    "q60_line_dedup" -> ((s, dir) => {
+      val dirty = concat_ws("\n", col("text"), col("text"),
+        concat(lit("tail "), col("doc_id")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(dirty, "\n")).as(Seq("pos", "line")))
+        .groupBy(col("doc_id"), col("line")).agg(min(col("pos")).as("pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF top-3 terms per doc: tf from exploded tokens, df broadcast
+    // back (vocabulary ≪ corpus), score = tf · ln(N/df) rounded to 1e-6
+    // with the engine-portable floor spelling
+    "q61_tfidf_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          floor(col("tf") * log(col("n_docs").cast("double") / col("df"))
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }),
+
+    // Stratified deterministic sampling: per-language rates (en is
+    // downsampled to ~12.5%, the rest kept at ~50%) via the same salted
+    // md5-prefix trick as q57 — map-only, reproducible, no sampling pass
+    "q62_stratified_sample" -> ((s, dir) => {
+      val h = substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 2)
+      val thr = when(col("lang") === "en", lit("20")).otherwise(lit("80"))
+      t(s, dir, "documents")
+        .filter(h < thr)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q57_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('split:' || doc_id), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5('split:' || doc_id), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q58_contamination" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents),
+        |e AS (SELECT DISTINCT doc_id, array_to_string(t[s:s+4], ' ') AS gram
+        |      FROM d, UNNEST(generate_series(1, len(t) - 4)) AS u(s)),
+        |b AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0),
+        |probe AS (SELECT doc_id, count(*) AS n_grams FROM e
+        |          WHERE doc_id % 20 <> 0 GROUP BY 1),
+        |cont AS (SELECT e.doc_id, count(*) AS n_contaminated
+        |         FROM e JOIN b USING (gram) WHERE e.doc_id % 20 <> 0 GROUP BY 1)
+        |SELECT p.doc_id, p.n_grams, coalesce(c.n_contaminated, 0) AS n_contaminated
+        |FROM probe p LEFT JOIN cont c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q59_sequence_packing" ->
+      """SELECT source, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (
+        |  SELECT source, doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 2048 AS bin
+        |  FROM (
+        |    SELECT source, doc_id,
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |    FROM documents))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q60_line_dedup" ->
+      """SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean
+        |FROM (
+        |  SELECT doc_id, line, min(pos) AS pos FROM (
+        |    SELECT doc_id, unnest(l) AS line, generate_subscripts(l, 1) AS pos
+        |    FROM (SELECT doc_id,
+        |            string_split(text || chr(10) || text || chr(10) || 'tail ' || doc_id,
+        |              chr(10)) AS l
+        |          FROM documents))
+        |  GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q61_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3
+        |ORDER BY doc_id, score DESC, term""".stripMargin,
+    "q62_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('sample:' || doc_id), 1, 2)
+        |  < (CASE WHEN lang = 'en' THEN '20' ELSE '80' END)
+        |ORDER BY doc_id""".stripMargin
+  )
+}
