@@ -105,6 +105,56 @@ object CorpusQueries {
         .filter(h < thr)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Self-repetition quality signal: fraction of a doc's word 3-grams
+    // that are repeats (1 - distinct/total). Spark side is map-only
+    // per-row array math — the oracle's explode+group formulation proves
+    // the same numbers relationally
+    "q63_repetition" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val grams = transform(sequence(lit(1), size(col("t")) - 2),
+        i => array_join(slice(col("t"), i, lit(3)), " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"),
+          greatest(size(col("t")) - 2, lit(0)).cast("long").as("n_grams"),
+          when(size(col("t")) >= 3, size(array_distinct(grams)))
+            .otherwise(lit(0)).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          when(col("n_grams") > 0,
+            floor((lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+              * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-language quality-band filter: keep the middle 50% by
+    // cume_dist of the q22 quality score — the percentile-filter
+    // operator, partitioned by lang so every group ranks in parallel
+    // (no global single-partition sort)
+    "q64_quality_band" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("quality"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.functions.qualityScore(col("text")).as("quality"))
+        .withColumn("cd", cume_dist().over(w))
+        .filter(col("cd") > 0.25 && col("cd") <= 0.75)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source contribution cap (domain capping for web corpora):
+    // keep at most 15 docs per source, chosen by deterministic salted
+    // md5 rank — reproducible, engine-portable, parallel per source
+    "q65_source_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 15)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -179,6 +229,37 @@ object CorpusQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5('sample:' || doc_id), 1, 2)
         |  < (CASE WHEN lang = 'en' THEN '20' ELSE '80' END)
+        |ORDER BY doc_id""".stripMargin,
+    "q63_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents),
+        |g AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+        |      FROM (SELECT doc_id, array_to_string(t[s:s+2], ' ') AS gram
+        |            FROM d, UNNEST(generate_series(1, len(t) - 2)) AS u(s))
+        |      GROUP BY 1)
+        |SELECT d.doc_id, coalesce(g.n_grams, 0) AS n_grams,
+        |  coalesce(g.n_distinct, 0) AS n_distinct,
+        |  CASE WHEN coalesce(g.n_grams, 0) > 0
+        |    THEN floor((1.0 - CAST(g.n_distinct AS DOUBLE) / g.n_grams)
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE 0.0 END AS rep_ratio
+        |FROM d LEFT JOIN g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q64_quality_band" ->
+      s"""SELECT doc_id, lang, quality FROM (
+         |  SELECT doc_id, lang, quality,
+         |    cume_dist() OVER (PARTITION BY lang ORDER BY quality) AS cd
+         |  FROM (SELECT doc_id, lang, ${TextQueries.qualityScoreSql} AS quality
+         |        FROM documents))
+         |WHERE cd > 0.25 AND cd <= 0.75
+         |ORDER BY doc_id""".stripMargin,
+    "q65_source_cap" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('cap:' || doc_id), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -126,6 +126,25 @@ object TextQueries {
     })
   )
 
+  /** DuckDB twin of [[graft.functions.qualityScore]] over a `text`
+    * column — shared by q22 and the quality-band filter (q64). */
+  val qualityScoreSql: String =
+    """floor(greatest(0.0, least(1.0,
+      |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.25
+      |    + (CASE WHEN length(text) > 0
+      |         THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
+      |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.35
+      |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+      |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
+      |         THEN CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE)
+      |              / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+      |                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE)
+      |         ELSE 0.0 END) * 0.3
+      |    + (1.0 - (CASE WHEN length(text) > 0
+      |         THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
+      |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1))
+      |    * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q12_token_stats" ->
       """SELECT doc_id,
@@ -134,23 +153,9 @@ object TextQueries {
         |  length(text) AS len_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q22_quality" ->
-      """SELECT doc_id,
-        |  floor(greatest(0.0, least(1.0,
-        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.25
-        |    + (CASE WHEN length(text) > 0
-        |         THEN CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE)
-        |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END) * 0.35
-        |    + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-        |                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 0
-        |         THEN CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS DOUBLE)
-        |              / CAST((CASE WHEN length(trim(text)) = 0 THEN 0
-        |                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE)
-        |         ELSE 0.0 END) * 0.3
-        |    + (1.0 - (CASE WHEN length(text) > 0
-        |         THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
-        |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1))
-        |    * 1000000.0 + 0.5) / 1000000.0 AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  $qualityScoreSql AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q56_pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |  text || ' contact user' || doc_id || '@example.com or 555-'

@@ -95,6 +95,35 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q57 hash split is map-only: no exchange before the final sort") {
+    // the split itself (before the oracle's ORDER BY) must be pure map
+    // work — a split that shuffles or samples cannot be stable under
+    // corpus growth
+    val docs = Tables.t(spark, sf, "documents")
+    val df = docs.select(col("doc_id"),
+      graft.ops.Corpus.hashSplit(col("doc_id"), "split:",
+        Seq("cd" -> "train", "e6" -> "val"), "test").as("split"))
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty, s"hash split shuffles: ${exchanges.map(_.nodeName)}")
+  }
+
+  test("q58 contamination: benchmark gram membership is a broadcast join") {
+    val p = plan(SparkEntry.queries("q58_contamination")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "gram membership not broadcast")
+    assert(!p.contains("CartesianProduct"), "contamination is a cross product")
+  }
+
+  test("q59 packing: per-shard window, no global single-partition sort") {
+    // Window.partitionBy(source) must plan as hashpartitioning(source),
+    // never the SinglePartition an un-partitioned window would force
+    val p = plan(SparkEntry.queries("q59_sequence_packing")(spark, sf))
+    assert(p.contains("Window"), "packing lost its window")
+    assert(!p.contains("SinglePartition"),
+      "packing window collapsed to a single partition — not parallel by shard")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(
