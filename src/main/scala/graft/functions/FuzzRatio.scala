@@ -14,8 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression; the DP is O(|a|*|b|) with two rolling rows.
   */
 object FuzzRatio {
+  // math.rint = HALF_EVEN, matching thefuzz's int(round(x)) under
+  // CPython banker's rounding — math.round (HALF_UP) diverges by 1 on
+  // exact .5 ratios like 200*1/16
   def ratio(a: UTF8String, b: UTF8String): Int =
-    math.round(ratioStr(a.toString, b.toString)).toInt
+    math.rint(ratioStr(a.toString, b.toString)).toInt
 
   /** Unrounded indel similarity in [0,100] — WRatio composes float
     * sub-scores and rounds only once at the end (rapidfuzz semantics). */
@@ -34,7 +37,7 @@ object FuzzRatio {
     * perfect window. O(|t|·|s|²) — fine for name-length strings; ratio is
     * monotone under max, so per-window rounding equals round-of-max. */
   def partialScore(a: UTF8String, b: UTF8String): Int =
-    math.round(partialStr(a.toString, b.toString)).toInt
+    math.rint(partialStr(a.toString, b.toString)).toInt
 
   private[functions] def partialStr(s0: String, t0: String): Double = {
     val (s, t) = if (s0.length <= t0.length) (s0, t0) else (t0, s0)

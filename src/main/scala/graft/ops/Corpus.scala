@@ -33,32 +33,39 @@ object Corpus {
     chained.map(_.otherwise(rest)).getOrElse(lit(rest))
   }
 
+  /** All word n-grams of a token-array column as space-joined strings
+    * (possibly with repeats — wrap in `array_distinct` for the set).
+    * The `size >= n` guard matters: an unguarded `sequence(1, size-n+1)`
+    * silently becomes a DESCENDING sequence [1, 0] on short docs. */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Benchmark-contamination scoring: for every probe doc, how many of
     * its distinct word n-grams appear in ANY benchmark doc. The standard
     * train-set decontamination check (n-gram overlap against eval sets).
     *
     * Scale shape: the benchmark gram set is tiny relative to the corpus
     * (eval suites vs 100 TB of training text) and is broadcast — the
-    * probe side never shuffles by gram for the membership test; the only
-    * wide exchange is the per-doc count aggregation on the doc id, which
-    * partitions evenly. Docs shorter than n tokens have no grams and are
-    * absent from the output. */
+    * probe side is exploded ONCE, left-joined against the broadcast
+    * gram set, and aggregated in a single pass (count of grams + count
+    * of membership hits); the only wide exchange is that per-doc count
+    * aggregation on the doc id, which partitions evenly. Docs shorter
+    * than n tokens have no grams and are absent from the output. */
   def contamination(docs: DataFrame, isBench: Column, idCol: String,
       textCol: String, n: Int): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    val grams = when(size(col("t")) >= n,
-      array_distinct(transform(sequence(lit(1), size(col("t")) - (n - 1)),
-        i => array_join(slice(col("t"), i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
     val ex = docs.select(col(idCol), toks.as("t"), isBench.as("is_bench"))
-      .select(col(idCol), col("is_bench"), explode(grams).as("gram"))
+      .select(col(idCol), col("is_bench"),
+        explode(array_distinct(wordNgrams(col("t"), n))).as("gram"))
     val bench = ex.filter(col("is_bench")).select("gram").distinct()
-    val probe = ex.filter(!col("is_bench"))
-    val stats = probe.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val cont = probe.join(broadcast(bench), Seq("gram"))
-      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
-    stats.join(cont, Seq(idCol), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("hit", lit(1))
+    ex.filter(!col("is_bench"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
   }
 
   /** Sequence packing: assign docs to fixed token-budget bins in

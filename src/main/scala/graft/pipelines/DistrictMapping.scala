@@ -33,6 +33,12 @@ object DistrictMapping {
     val rows = mapping.select("state", "chamber", "district_name", "area_id")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // duplicate keys would serialize as non-standard JSON and readTree
+    // keeps only the last — a mapping would silently vanish; raise like
+    // the reference raises on its unhandled cases
+    val dups = rows.groupBy(r => (r._1, r._2, r._3)).filter(_._2.length > 1).keys
+    require(dups.isEmpty,
+      s"duplicate district mapping keys: ${dups.mkString(", ")}")
     val writer = new java.io.StringWriter()
     val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(writer)
     g.useDefaultPrettyPrinter()

@@ -58,8 +58,10 @@ object CorpusQueries {
     // posexplode, min(pos) per line, ordered re-agg — so the oracle twin
     // is exact). Input synthesizes a repeated paragraph per doc.
     "q60_line_dedup" -> ((s, dir) => {
-      val dirty = concat_ws("\n", col("text"), col("text"),
-        concat(lit("tail "), col("doc_id")))
+      // concat (not concat_ws): NULL text must propagate to a NULL doc
+      // and drop out, exactly like the oracle's `||`
+      val dirty = concat(col("text"), lit("\n"), col("text"), lit("\n"),
+        lit("tail "), col("doc_id"))
       t(s, dir, "documents")
         .select(col("doc_id"), posexplode(split(dirty, "\n")).as(Seq("pos", "line")))
         .groupBy(col("doc_id"), col("line")).agg(min(col("pos")).as("pos"))
@@ -113,14 +115,12 @@ object CorpusQueries {
     // the same numbers relationally
     "q63_repetition" -> ((s, dir) => {
       val toks = split(trim(col("text")), "\\s+")
-      val grams = transform(sequence(lit(1), size(col("t")) - 2),
-        i => array_join(slice(col("t"), i, lit(3)), " "))
+      val grams = Corpus.wordNgrams(col("t"), 3)
       t(s, dir, "documents")
         .select(col("doc_id"), toks.as("t"))
         .select(col("doc_id"),
-          greatest(size(col("t")) - 2, lit(0)).cast("long").as("n_grams"),
-          when(size(col("t")) >= 3, size(array_distinct(grams)))
-            .otherwise(lit(0)).cast("long").as("n_distinct"))
+          size(grams).cast("long").as("n_grams"),
+          size(array_distinct(grams)).cast("long").as("n_distinct"))
         .withColumn("rep_ratio",
           when(col("n_grams") > 0,
             floor((lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))

@@ -98,15 +98,20 @@ class PlanSpec extends SparkTestBase {
   test("q57 hash split is map-only: no exchange before the final sort") {
     // the split itself (before the oracle's ORDER BY) must be pure map
     // work — a split that shuffles or samples cannot be stable under
-    // corpus growth
-    val docs = Tables.t(spark, sf, "documents")
-    val df = docs.select(col("doc_id"),
-      graft.ops.Corpus.hashSplit(col("doc_id"), "split:",
-        Seq("cd" -> "train", "e6" -> "val"), "test").as("split"))
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.Exchange => e
-    }
-    assert(exchanges.isEmpty, s"hash split shuffles: ${exchanges.map(_.nodeName)}")
+    // corpus growth. AQE off: AdaptiveSparkPlanExec is a leaf, so a
+    // collect over executedPlan would never see an exchange and the
+    // assertion could not fail for the regression it guards
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      val df = docs.select(col("doc_id"),
+        graft.ops.Corpus.hashSplit(col("doc_id"), "split:",
+          Seq("cd" -> "train", "e6" -> "val"), "test").as("split"))
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty, s"hash split shuffles: ${exchanges.map(_.nodeName)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q58 contamination: benchmark gram membership is a broadcast join") {
