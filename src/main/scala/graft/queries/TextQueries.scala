@@ -29,6 +29,9 @@ object TextQueries {
     }),
 
     // Language-ID heuristic: stopword-marker hit ratio, argmax language
+    // (deterministic integer-ratio math, so it carries a full DuckDB
+    // oracle — the marker lists and the (score, lang) tie-break are
+    // mirrored exactly in the SQL below)
     "q21_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
@@ -145,7 +148,36 @@ object TextQueries {
       |              / CAST(length(text) AS DOUBLE) ELSE 0.0 END)) * 0.1))
       |    * 1000000.0 + 0.5) / 1000000.0""".stripMargin
 
+  /** q21's oracle is generated from [[graft.functions.LangMarkers]] so
+    * the SQL marker lists can never drift from the Spark expression;
+    * tie-break (score DESC, lang DESC) mirrors array_max over
+    * struct(score, lang). */
+  private val langIdSql: String = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val scoreCols = langs.map { lang =>
+      val inList = LangMarkers(lang).map(m => s"'$m'").mkString(", ")
+      s"""CAST(len(list_filter(toks, x -> x IN ($inList))) AS DOUBLE)
+         |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_$lang""".stripMargin
+    }.mkString(",\n    ")
+    val unions = langs.map(l =>
+      s"SELECT doc_id, lang, '$l' AS cand, s_$l AS score FROM sc").mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM d),
+       |u AS (
+       |  $unions),
+       |best AS (SELECT doc_id, lang, cand, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand DESC) AS rn FROM u)
+       |SELECT doc_id, lang,
+       |  CASE WHEN score >= 0.05 THEN cand ELSE 'und' END AS lang_pred
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q21_lang_id" -> langIdSql,
     "q12_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
