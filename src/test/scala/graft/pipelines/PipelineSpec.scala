@@ -190,6 +190,16 @@ class PipelineSpec extends SparkTestBase {
       == "ocd-division/country:us/state:ma/sldu:d40")
   }
 
+  test("district mapping: duplicate (state, chamber, name) keys raise at write") {
+    val dup = Seq(
+      ("ma", "upper", "Cape and Islands", "ocd-division/country:us/state:ma/sldu:d40"),
+      ("ma", "upper", "Cape and Islands", "ocd-division/country:us/state:ma/sldu:d41"))
+      .toDF("state", "chamber", "district_name", "area_id")
+    val out = Files.createTempDirectory("distmapDup").resolve("m.json").toString
+    val e = intercept[IllegalArgumentException](DistrictMapping.writeJson(dup, out))
+    assert(e.getMessage.contains("duplicate district mapping keys"))
+  }
+
   test("bills + votes pipeline: ids, action dates, semi-join, voter resolution") {
     val dir = Files.createTempDirectory("docs").toString
     Files.writeString(Paths.get(dir, "bill_0001.json"),
