@@ -33,12 +33,15 @@ object DistrictMapping {
     val rows = mapping.select("state", "chamber", "district_name", "area_id")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
-    // duplicate keys would serialize as non-standard JSON and readTree
-    // keeps only the last — a mapping would silently vanish; raise like
-    // the reference raises on its unhandled cases
-    val dups = rows.groupBy(r => (r._1, r._2, r._3)).filter(_._2.length > 1).keys
-    require(dups.isEmpty,
-      s"duplicate district mapping keys: ${dups.mkString(", ")}")
+    // a key mapping to >1 DISTINCT area_id would serialize as
+    // non-standard duplicate-key JSON and readTree keeps only the last —
+    // a mapping would silently vanish; raise like the reference raises
+    // on its unhandled cases. Exact duplicate rows (same key, same id)
+    // are a benign idempotent re-write, as in the reference's dict.
+    val conflicts = rows.groupBy(r => (r._1, r._2, r._3))
+      .filter(_._2.map(_._4).distinct.length > 1).keys
+    require(conflicts.isEmpty,
+      s"duplicate district mapping keys: ${conflicts.mkString(", ")}")
     val writer = new java.io.StringWriter()
     val g = new com.fasterxml.jackson.core.JsonFactory().createGenerator(writer)
     g.useDefaultPrettyPrinter()

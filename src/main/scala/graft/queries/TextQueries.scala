@@ -155,7 +155,10 @@ object TextQueries {
   private val langIdSql: String = {
     val langs = LangMarkers.keys.toSeq.sorted
     val scoreCols = langs.map { lang =>
-      val inList = LangMarkers(lang).map(m => s"'$m'").mkString(", ")
+      // escape apostrophes so an elision marker ("l'", "don't") can't
+      // generate unparseable oracle SQL
+      val inList = LangMarkers(lang)
+        .map(m => "'" + m.replace("'", "''") + "'").mkString(", ")
       s"""CAST(len(list_filter(toks, x -> x IN ($inList))) AS DOUBLE)
          |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS s_$lang""".stripMargin
     }.mkString(",\n    ")

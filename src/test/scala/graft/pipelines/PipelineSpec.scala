@@ -198,6 +198,14 @@ class PipelineSpec extends SparkTestBase {
     val out = Files.createTempDirectory("distmapDup").resolve("m.json").toString
     val e = intercept[IllegalArgumentException](DistrictMapping.writeJson(dup, out))
     assert(e.getMessage.contains("duplicate district mapping keys"))
+    // exact duplicate rows (same key AND same id) are a benign
+    // idempotent re-write, like the reference's dict assignment
+    val benign = Seq(
+      ("ma", "upper", "Cape and Islands", "ocd-division/country:us/state:ma/sldu:d40"),
+      ("ma", "upper", "Cape and Islands", "ocd-division/country:us/state:ma/sldu:d40"))
+      .toDF("state", "chamber", "district_name", "area_id")
+    DistrictMapping.writeJson(benign, out)
+    assert(DistrictMapping.readJson(spark, out).count() == 1)
   }
 
   test("bills + votes pipeline: ids, action dates, semi-join, voter resolution") {
