@@ -68,6 +68,23 @@ object Corpus {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
   }
 
+  /** Scale path for percentile-band filtering: two narrow passes instead
+    * of a per-group sort — approx_percentile bounds per group (a tiny
+    * aggregate, broadcast back), then a map-side filter. The cume_dist
+    * ranking (q64) is exact but sorts each group on one reducer, which
+    * caps parallelism at the group count; this variant keeps arbitrarily
+    * large groups parallel at the cost of sketch-accuracy bounds. */
+  def quantileBand(docs: DataFrame, groupCol: String, scoreCol: Column,
+      lo: Double, hi: Double, accuracy: Int = 10000): DataFrame = {
+    val scored = docs.withColumn("__score", scoreCol)
+    val bounds = scored.groupBy(col(groupCol))
+      .agg(percentile_approx(col("__score"), lit(lo), lit(accuracy)).as("__lo"),
+        percentile_approx(col("__score"), lit(hi), lit(accuracy)).as("__hi"))
+    scored.join(broadcast(bounds), Seq(groupCol))
+      .filter(col("__score") >= col("__lo") && col("__score") <= col("__hi"))
+      .drop("__lo", "__hi", "__score")
+  }
+
   /** Sequence packing: assign docs to fixed token-budget bins in
     * `orderCol` order WITHIN each `groupCol` shard —
     * bin = running-tokens-before-this-doc div budget, so consecutive

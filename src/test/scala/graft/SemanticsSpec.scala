@@ -146,6 +146,23 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("quantileBand (approx scale path) retains roughly the middle band per group") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val kept = graft.ops.Corpus.quantileBand(docs, "lang",
+      graft.functions.qualityScore(col("text")), 0.25, 0.75)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // with near-exact sketch accuracy the inclusive [p25, p75] band keeps
+    // ~half of each group (ties can push it above 50%, never below 40%)
+    total.foreach { case (lang, n) =>
+      val k = keptBy.getOrElse(lang, 0L).toDouble / n
+      assert(k >= 0.4 && k <= 0.75, s"lang $lang kept ${k * 100}%")
+    }
+  }
+
   test("q55 chunking covers every token, including the ragged tail") {
     val docTokens = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), graft.functions.tokenCount(col("text")).as("n"))
