@@ -172,8 +172,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_component"))
+      // carry the pre-round label as `prev` so convergence is a per-row
+      // comparison on the checkpointed result — no extra join-on-id job
+      // per round just to detect change
       val propagated = labels.join(neighborLabels, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
       // pointer jump: follow my label to ITS label (components are always
@@ -184,13 +187,13 @@ object Dedup {
           col("l.component") === col("pid"), "left")
         .select(col("l.id").as("id"),
           least(col("l.component"), coalesce(col("pcomp"), col("l.component")))
-            .as("component"))
+            .as("component"),
+          col("l.prev").as("prev"))
         .localCheckpoint(true)
       val nextIds = persisted.keySet -- beforeNext
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count()
+      val changed = next.filter(col("component") =!= col("prev")).limit(1).count()
       dropBlocks(labelIds -- nextIds) // previous round superseded
-      labels = next
+      labels = next.select("id", "component") // reads the checkpoint, no recompute
       labelIds = nextIds
       converged = changed == 0
       iter += 1
