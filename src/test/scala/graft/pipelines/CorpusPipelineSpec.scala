@@ -1,0 +1,65 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.Tables
+
+/** End-to-end training-corpus preparation over the synthetic documents
+  * table: every stage's guarantee is asserted on the composed output,
+  * not just per-operator. */
+class CorpusPipelineSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val out = {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    // plant near-duplicate twins (one appended token, shifted ids) so
+    // the near-dedup stage has guaranteed work
+    val corpus = docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" xq"))))
+    // benchmark set = the exact text of every 10th doc — those docs (and
+    // their twins) are fully contaminated and must be dropped
+    val bench = docs.filter(col("doc_id") % 10 === 0).select("text")
+    CorpusPipeline.prepare(corpus, bench).cache()
+  }
+
+  test("pipeline returns cleaned, scored, deduped rows") {
+    assert(out.count() > 0)
+    assert(out.filter(col("lang_pred") === "und").count() == 0)
+    assert(out.filter(col("quality") < 0.2).count() == 0)
+  }
+
+  test("no exact or near duplicates survive") {
+    val hashes = out.select(md5(col("text").cast("binary"))).collect().map(_.getString(0))
+    assert(hashes.length == hashes.distinct.length, "exact duplicates survived")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    ids.foreach { id =>
+      assert(!(ids.contains(id) && ids.contains(id + 1000000)),
+        s"near-dup twin pair ($id, ${id + 1000000}) both survived")
+    }
+  }
+
+  test("benchmark-contaminated docs are dropped, others keep their text") {
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // a benchmark doc's surviving representative (itself or its twin)
+    // shares every 5-gram with the benchmark text -> must be gone
+    kept.foreach { id =>
+      assert((id % 1000000) % 10 != 0, s"contaminated doc $id survived")
+    }
+  }
+
+  test("split and packing invariants hold") {
+    val rows = out.select("source", "split", "bin", "n_tok", "doc_id").collect()
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // per (source, split, bin): tokens before the last doc stay under
+    // budget (the crossing doc may overflow, by construction)
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[String]("split"),
+      r.getAs[Long]("bin"))).foreach { case (key, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      val allButLast = sorted.dropRight(1).map(_.getAs[Int]("n_tok").toLong).sum
+      assert(allButLast < 2048, s"bin $key over-packed: $allButLast before last doc")
+    }
+  }
+}
