@@ -73,16 +73,24 @@ object Corpus {
     * aggregate, broadcast back), then a map-side filter. The cume_dist
     * ranking (q64) is exact but sorts each group on one reducer, which
     * caps parallelism at the group count; this variant keeps arbitrarily
-    * large groups parallel at the cost of sketch-accuracy bounds. */
+    * large groups parallel at the cost of sketch-accuracy bounds.
+    * Contract differences vs the rank path, beyond sketch error: banding
+    * is VALUE-inclusive, so a group whose scores all tie keeps every row
+    * ([lo,hi] collapses onto the tied value) where a cume_dist band may
+    * keep none; and a NULL group value is a group like any other (the
+    * bounds join is null-safe). */
   def quantileBand(docs: DataFrame, groupCol: String, scoreCol: Column,
       lo: Double, hi: Double, accuracy: Int = 10000): DataFrame = {
+    val reserved = Set("__score", "__lo", "__hi", "__g")
+    require(!docs.columns.exists(reserved),
+      s"quantileBand reserves columns ${reserved.mkString(", ")}")
     val scored = docs.withColumn("__score", scoreCol)
-    val bounds = scored.groupBy(col(groupCol))
+    val bounds = scored.groupBy(col(groupCol).as("__g"))
       .agg(percentile_approx(col("__score"), lit(lo), lit(accuracy)).as("__lo"),
         percentile_approx(col("__score"), lit(hi), lit(accuracy)).as("__hi"))
-    scored.join(broadcast(bounds), Seq(groupCol))
+    scored.join(broadcast(bounds), col(groupCol) <=> col("__g"))
       .filter(col("__score") >= col("__lo") && col("__score") <= col("__hi"))
-      .drop("__lo", "__hi", "__score")
+      .drop("__g", "__lo", "__hi", "__score")
   }
 
   /** Sequence packing: assign docs to fixed token-budget bins in

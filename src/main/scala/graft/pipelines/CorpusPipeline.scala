@@ -38,11 +38,9 @@ object CorpusPipeline {
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("lang_pred") =!= "und" && col("quality") >= minQuality)
 
-    // 3: exact dedup — min id per content hash, semi-join the keepers
-    val keepers = cleaned
-      .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+    // 3: exact dedup — the tested operator picks the canonical keeper
+    val keepers = Dedup.exactDupGroups(cleaned, "doc_id", "text")
+      .select(col("keeper").as("doc_id"))
     val exact = cleaned.join(keepers, Seq("doc_id"), "left_semi")
 
     // 4: near dedup — LSH pairs, cluster, keep one representative
@@ -55,7 +53,10 @@ object CorpusPipeline {
     // window is not a scale concern). Anti-join the OVER-threshold set —
     // a doc too short to have any n-gram is absent from contamination()
     // output and must survive, which a keep-list semi-join would drop.
-    val benchRows = bench.select(col("text"))
+    // benchmark text gets the SAME cleanup as the corpus — n-grams must
+    // be computed over identical token streams or markup/PII on either
+    // side silently defeats the overlap test
+    val benchRows = bench.select(piiScrub(htmlStrip(col("text"))).as("text"))
       .withColumn("doc_id", -row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("text"))))
       .select(col("doc_id"), col("text"))

@@ -8,7 +8,8 @@ import graft.Tables
 /** End-to-end training-corpus preparation over the synthetic documents
   * table: every stage's guarantee is asserted on the composed output,
   * not just per-operator. */
-class CorpusPipelineSpec extends SparkTestBase {
+class CorpusPipelineSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
 
   private lazy val out = {
@@ -23,6 +24,13 @@ class CorpusPipelineSpec extends SparkTestBase {
     // their twins) are fully contaminated and must be dropped
     val bench = docs.filter(col("doc_id") % 10 === 0).select("text")
     CorpusPipeline.prepare(corpus, bench).cache()
+  }
+
+  override def afterAll(): Unit = {
+    // suites share one SparkSession: leave no cached plan behind for a
+    // later suite's canonically-equal subplan to silently reuse
+    out.unpersist(blocking = true)
+    super.afterAll()
   }
 
   test("pipeline returns cleaned, scored, deduped rows") {
