@@ -10,10 +10,13 @@ import graft.functions._
   * the candidate set — never the full cross product — is what shuffles.
   *
   * Scale design (100 TB): candidate generation explodes each doc into a
-  * few small (band, hash) keys and equi-joins on them; verification
-  * re-joins the pair list back to the docs table on id (hash join on a
-  * compact pair list) instead of carrying shingle arrays through the
-  * band explode, which would multiply scan output by the band count.
+  * few small (band, hash) keys and groups on them, emitting in-bucket
+  * pairs in ONE pass over the corpus (see [[Dedup.bucketPairs]] — a
+  * banded self-join would scan and re-hash everything twice);
+  * verification re-joins the pair list back to the docs table on id
+  * (hash join on a compact pair list) instead of carrying shingle
+  * arrays through the band explode, which would multiply scan output
+  * by the band count.
   */
 object Dedup {
 
@@ -22,6 +25,28 @@ object Dedup {
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Candidate pairs (a_id < b_id, deduped) from an exploded (id, bk)
+    * banding frame: group by band key, emit in-bucket combinations of
+    * the sorted id list. ONE pass over the banded rows — a banded
+    * SELF-join evaluates its whole subplan twice (broadcast build +
+    * streamed probe, or two shuffle branches; ReuseExchange cannot fire
+    * across the two shapes), which at 100 TB means scanning the corpus
+    * and computing every signature twice. Bucket pair blow-up is
+    * identical to the self-join's output size, and the in-bucket HOF
+    * lambdas run per bucket over a handful of ids — never on the hot
+    * per-document path. */
+  private def bucketPairs(banded: DataFrame): DataFrame = {
+    val combos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.as("a"), y.as("b")))))
+    banded.groupBy(col("bk"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(combos).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
 
   /** MinHash+LSH near-dup pairs: fused word-shingle rolling hash → k
     * minhashes → `bands` band keys → equi-join on band key → exact
@@ -43,11 +68,7 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val banded = base.select(col("id"),
       explode(lshBandKeys(wordNgramMinHash(col("txt"), shingleLen, k), bands, rows)).as("bk"))
-    val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    candidates
+    bucketPairs(banded)
       .join(base.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
       .join(base.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
       .withColumn("jaccard", wordNgramJaccard(col("a_txt"), col("b_txt"), shingleLen))
@@ -62,15 +83,17 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6): DataFrame = {
     val base = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
-    val banded = base.select(col("id"), col("sh"),
+    val banded = base.select(col("id"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bk"))
-    banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        hamming64(col("x.sh"), col("y.sh")).as("hamming"))
-      .dropDuplicates("a_id", "b_id")
+    // verify re-joins the 64-bit hashes by id — only ids cross the
+    // candidate aggregation, like every other variant here
+    bucketPairs(banded)
+      .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        hamming64(col("a_sh"), col("b_sh")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -92,11 +115,7 @@ object Dedup {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val banded = base.select(col("id"),
       explode(lshBandKeys(charNgramMinHash(col("txt"), n, k), bands, rows)).as("bk"))
-    val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    candidates
+    bucketPairs(banded)
       .join(base.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
       .join(base.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
       .withColumn("jaccard", charNgramJaccard(col("a_txt"), col("b_txt"), n))
@@ -238,11 +257,7 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * rowsPerBand)
             .bitwiseAND(lit(mask)).as("chunk"))): _*)).as("bk"))
-    val candidates = banded.as("x").join(banded.as("y"), col("x.bk") === col("y.bk"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    verifyCosinePairs(candidates, base, threshold)
+    verifyCosinePairs(bucketPairs(banded), base, threshold)
   }
 
   /** Shared verify tail of the embedding near-dup variants: rejoin the
@@ -322,11 +337,7 @@ object Dedup {
       .groupBy(col("id"))
       .agg(topKByScore(col("sim"), col("centroid_id"), nProbe).as("bks"))
       .select(col("id"), explode(col("bks")).as("bk"))
-      .select(col("id"), col("bk.id").as("bucket"))
-    val candidates = assigned.as("x").join(assigned.as("y"), col("x.bucket") === col("y.bucket"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    verifyCosinePairs(candidates, base, threshold)
+      .select(col("id"), col("bk.id").as("bk"))
+    verifyCosinePairs(bucketPairs(assigned), base, threshold)
   }
 }
