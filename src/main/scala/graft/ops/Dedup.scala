@@ -32,19 +32,29 @@ object Dedup {
     * SELF-join evaluates its whole subplan twice (broadcast build +
     * streamed probe, or two shuffle branches; ReuseExchange cannot fire
     * across the two shapes), which at 100 TB means scanning the corpus
-    * and computing every signature twice. Bucket pair blow-up is
-    * identical to the self-join's output size, and the in-bucket HOF
-    * lambdas run per bucket over a handful of ids — never on the hot
-    * per-document path. */
-  private def bucketPairs(banded: DataFrame): DataFrame = {
+    * and computing every signature twice. The in-bucket HOF lambdas run
+    * per bucket over a handful of ids — never on the hot per-document
+    * path.
+    *
+    * `maxBucket` bounds the per-row pair materialization: a bucket
+    * beyond it is a degenerate hash collision (band geometry is chosen
+    * so background-similarity buckets stay tiny; a mega-bucket means
+    * near-identical content, which exact dedup owns), and its pairs are
+    * deterministically truncated to the first `maxBucket` sorted ids —
+    * O(maxBucket²) structs per row instead of an unbounded single-row
+    * array the 2 GB row buffer cannot hold. The strict a < b filter
+    * also drops self-pairs that duplicated input ids would produce. */
+  private def bucketPairs(banded: DataFrame, maxBucket: Int = 1024): DataFrame = {
+    val capped = slice(array_sort(collect_list(col("id"))), 1, maxBucket)
     val combos = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), size(col("ids"))),
         y => struct(x.as("a"), y.as("b")))))
     banded.groupBy(col("bk"))
-      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .agg(capped.as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(combos).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
   }
 
@@ -81,19 +91,27 @@ object Dedup {
     * intact chunk; we use it as a recall-oriented blocker and verify with
     * the exact popcount). Returns (a_id, b_id, hamming), a_id < b_id. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, maxBucket: Int = 1024): DataFrame = {
+    // the 64-bit hash rides through the bucket aggregation as a struct
+    // payload (8 bytes per banded row) so the corpus is hashed exactly
+    // ONCE — re-joining sh by id would re-evaluate simHash per branch
     val base = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
-    val banded = base.select(col("id"),
+    val banded = base.select(struct(col("id"), col("sh")).as("v"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bk"))
-    // verify re-joins the 64-bit hashes by id — only ids cross the
-    // candidate aggregation, like every other variant here
-    bucketPairs(banded)
-      .join(base.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        hamming64(col("a_sh"), col("b_sh")).as("hamming"))
+    val capped = slice(array_sort(collect_list(col("v"))), 1, maxBucket)
+    val combos = flatten(transform(col("vs"), (x, i) =>
+      transform(slice(col("vs"), i + lit(2), size(col("vs"))),
+        y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
+          bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).as("h")))))
+    banded.groupBy(col("bk"))
+      .agg(capped.as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(combos).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("p.h").as("hamming"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
       .filter(col("hamming") <= maxHamming)
   }
 

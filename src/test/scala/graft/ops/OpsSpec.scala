@@ -115,6 +115,22 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash pairs: a 4-doc clique yields every C(4,2) pair exactly once") {
+    // 3+ ids per bucket exercises the in-bucket combination arithmetic
+    // (slice indexing), which 2-doc buckets cannot distinguish from
+    // off-by-one variants; also pins strict a < b and no duplicates
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, s"$base one"), (3L, s"$base two"), (4L, s"$base three"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.minHashPairs(docs, "doc_id", "text", k = 32, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "duplicate pairs emitted")
+    assert(rows.forall(p => p._1 < p._2), "pair ordering violated")
+    val expected = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toSet
+    assert(rows.toSet == expected, s"got ${rows.toSet}")
+  }
+
   test("brute-force topk: self is rank-1 with score 1") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
