@@ -68,13 +68,17 @@ object DedupQueries {
 
     // Embedding near-dup via SRP-LSH hyperplane banding — the index-free
     // alternative to q18's IVF blocking (signatures are scale-invariant,
-    // so each scaled twin shares every band with its original)
+    // so each scaled twin shares every band with its original).
+    // Geometry: 32 bits / 4 bands = 8-bit chunks → 256 buckets per band;
+    // 4-bit chunks (16 buckets) left ~6% of the corpus in every bucket,
+    // and candidate volume — not the signature kernel — is what the
+    // verify stage pays for
     "q53_embedding_srp" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
       Dedup.embeddingNearDupsSrp(vecs.unionByName(scaled), "vec_id", "embedding",
-        threshold = 0.999, bits = 16, bands = 4)
+        threshold = 0.999, bits = 32, bands = 4)
         .orderBy(col("a_id"), col("b_id"))
     })
   )
