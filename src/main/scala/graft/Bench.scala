@@ -17,7 +17,12 @@ object Bench {
     // untimed warmup: JVM/codegen/Hadoop-FS init, not query work
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // optional comma-separated query-name filter for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q16_simhash,q17_ngram_jaccard)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     // only successful runs produce a timing sample — a query that throws
     // must NOT contribute its time-to-exception as a valid (fast) min,
     // or a regression that breaks a query silently improves the total

@@ -306,6 +306,15 @@ package object functions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     expr2col(TopKByScore(col2expr(score), col2expr(id), k).toAggregateExpression())
 
+  /** Bounded "k smallest (id, payload) pairs" aggregate for LSH bucket
+    * kernels (O(k) buffer, partial-aggregation friendly):
+    * struct<items: array<struct<id,v>> ascending, n: total rows seen>. */
+  def collectMinK(id: Column, v: Column, k: Int): Column =
+    // cast both inputs to long up front: the heap kernel evals raw longs,
+    // so an int id column would otherwise ClassCastException at runtime
+    expr2col(CollectMinK(col2expr(id.cast("long")), col2expr(v.cast("long")), k)
+      .toAggregateExpression())
+
   /** Approximate frequent-token aggregate over a text column (bounded
     * Misra-Gries counters, m per partition crossing the shuffle):
     * array<struct<token,count>>, counts are lower bounds. */

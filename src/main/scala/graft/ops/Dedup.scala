@@ -26,32 +26,64 @@ object Dedup {
     docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Candidate pairs (a_id < b_id, deduped) from an exploded (id, bk)
-    * banding frame: group by band key, emit in-bucket combinations of
-    * the sorted id list. ONE pass over the banded rows — a banded
+  /** Shared bucket-collection core of the LSH kernels: group the banded
+    * frame by band key and keep a bounded, deterministic sample of each
+    * bucket (the `maxBucket` smallest ids, ascending), plus observable
+    * truncation statistics. ONE pass over the banded rows — a banded
     * SELF-join evaluates its whole subplan twice (broadcast build +
     * streamed probe, or two shuffle branches; ReuseExchange cannot fire
     * across the two shapes), which at 100 TB means scanning the corpus
-    * and computing every signature twice. The in-bucket HOF lambdas run
-    * per bucket over a handful of ids — never on the hot per-document
-    * path.
+    * and computing every signature twice.
     *
-    * `maxBucket` bounds the per-row pair materialization: a bucket
-    * beyond it is a degenerate hash collision (band geometry is chosen
-    * so background-similarity buckets stay tiny; a mega-bucket means
-    * near-identical content, which exact dedup owns), and its pairs are
-    * deterministically truncated to the first `maxBucket` sorted ids —
-    * O(maxBucket²) structs per row instead of an unbounded single-row
-    * array the 2 GB row buffer cannot hold. The strict a < b filter
-    * also drops self-pairs that duplicated input ids would produce. */
-  private def bucketPairs(banded: DataFrame, maxBucket: Int = 1024): DataFrame = {
-    val capped = slice(array_sort(collect_list(col("id"))), 1, maxBucket)
-    val combos = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-        y => struct(x.as("a"), y.as("b")))))
+    * The buffer is bounded BEFORE any materialization: [[graft.functions.collectMinK]]
+    * keeps an O(maxBucket) heap per group (partial aggregation applies),
+    * so a degenerate band key — templated boilerplate that survives
+    * exact dedup and lands millions of near-identical docs under one
+    * key — cannot produce a multi-GB aggregation row the way
+    * `collect_list` + `slice` would (slice caps only the output, after
+    * the whole bucket is buffered). Truncation is observable, not
+    * silent: `n` counts every row the bucket saw, and an `observe`
+    * metric (`graft_lsh_buckets_*`: over_cap_buckets / max_bucket_rows /
+    * buckets) surfaces recall loss to QueryExecutionListeners.
+    *
+    * `payload` is a long that rides the aggregation next to the id
+    * (e.g. a SimHash — so the corpus is hashed exactly once); pass the
+    * id itself when unused. Heap compares are on plain longs — never
+    * struct compare, which profiling showed dominating the r3 simhash
+    * kernel's `array_sort(collect_list(struct))`. */
+  private def cappedBuckets(banded: DataFrame, payload: Column,
+      maxBucket: Int): DataFrame = {
+    val statsName = s"graft_lsh_buckets_${statsCounter.incrementAndGet()}"
     banded.groupBy(col("bk"))
-      .agg(capped.as("ids"))
-      .filter(size(col("ids")) > 1)
+      .agg(collectMinK(col("id"), payload, maxBucket).as("g"))
+      .observe(statsName,
+        sum(when(col("g.n") > maxBucket, 1L).otherwise(0L)).as("over_cap_buckets"),
+        max(col("g.n")).as("max_bucket_rows"),
+        count(lit(1)).as("buckets"))
+      .select(col("g.items").as("vs"))
+      .filter(size(col("vs")) > 1)
+  }
+
+  /** Monotone suffix for per-call observe-metric names (Spark requires
+    * metric names unique within a query). */
+  private val statsCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Candidate pairs (a_id < b_id, deduped) from an exploded (id, bk)
+    * banding frame: in-bucket combinations of each capped bucket's
+    * ascending id list (see [[cappedBuckets]] for the bounding and
+    * one-pass rationale). A bucket beyond `maxBucket` is a degenerate
+    * hash collision (band geometry keeps background-similarity buckets
+    * tiny); its pairs are deterministically truncated to the
+    * `maxBucket` smallest ids — O(maxBucket²) structs per row, never an
+    * unbounded single-row array. The strict a < b filter also drops
+    * self-pairs that duplicated input ids would produce. The in-bucket
+    * HOF lambdas run per bucket over a handful of ids — never on the
+    * hot per-document path. */
+  private def bucketPairs(banded: DataFrame, maxBucket: Int = 1024): DataFrame = {
+    val combos = flatten(transform(col("vs"), (x, i) =>
+      transform(slice(col("vs"), i + lit(2), size(col("vs"))),
+        y => struct(x.getField("id").as("a"), y.getField("id").as("b")))))
+    cappedBuckets(banded, col("id"), maxBucket)
       .select(explode(combos).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .filter(col("a_id") < col("b_id"))
@@ -92,27 +124,29 @@ object Dedup {
     * the exact popcount). Returns (a_id, b_id, hamming), a_id < b_id. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6, maxBucket: Int = 1024): DataFrame = {
-    // the 64-bit hash rides through the bucket aggregation as a struct
-    // payload (8 bytes per banded row) so the corpus is hashed exactly
-    // ONCE — re-joining sh by id would re-evaluate simHash per branch
+    // the 64-bit hash rides through the bucket aggregation as the
+    // collectMinK long payload (8 bytes per banded row) so the corpus is
+    // hashed exactly ONCE — re-joining sh by id would re-evaluate
+    // simHash per branch
     val base = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
-    val banded = base.select(struct(col("id"), col("sh")).as("v"),
+    val banded = base.select(col("id"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bk"))
-    val capped = slice(array_sort(collect_list(col("v"))), 1, maxBucket)
     val combos = flatten(transform(col("vs"), (x, i) =>
       transform(slice(col("vs"), i + lit(2), size(col("vs"))),
         y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
-          bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).as("h")))))
-    banded.groupBy(col("bk"))
-      .agg(capped.as("vs"))
-      .filter(size(col("vs")) > 1)
+          bit_count(x.getField("v").bitwiseXOR(y.getField("v"))).as("h")))))
+    cappedBuckets(banded, col("sh"), maxBucket)
       .select(explode(combos).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("p.h").as("hamming"))
-      .filter(col("a_id") < col("b_id"))
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // dropDuplicates exchange is equivalent — and it is the difference
+      // between shuffling every in-bucket candidate (16-bit chunks
+      // collide freely: ~1M candidates from a 10k-doc profile corpus)
+      // and shuffling only the verified survivors
+      .filter(col("a_id") < col("b_id") && col("hamming") <= maxHamming)
       .dropDuplicates("a_id", "b_id")
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Character n-gram Jaccard pairs. Candidates come from MinHash-LSH
