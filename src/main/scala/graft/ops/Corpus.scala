@@ -25,6 +25,14 @@ object Corpus {
     * this operator is the plain i.i.d. baseline. */
   def hashSplit(key: Column, salt: String, cuts: Seq[(String, String)],
       rest: String): Column = {
+    // md5 yields lowercase hex and the chained when() evaluates in list
+    // order, so a misordered or uppercase cut list would silently
+    // mis-assign every row — reject it at entry instead
+    val thresholds = cuts.map(_._1)
+    require(thresholds.forall(_.matches("[0-9a-f]+")),
+      s"hashSplit cuts must be lowercase hex, got: ${thresholds.mkString(", ")}")
+    require(thresholds == thresholds.sorted,
+      s"hashSplit cuts must be ascending, got: ${thresholds.mkString(", ")}")
     val h = substring(md5(concat(lit(salt), key.cast("string"))), 1, 2)
     val chained = cuts.foldLeft(Option.empty[Column]) {
       case (None, (cut, label)) => Some(when(h < cut, label))

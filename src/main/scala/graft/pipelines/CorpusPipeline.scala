@@ -47,10 +47,13 @@ object CorpusPipeline {
     val pairs = Dedup.minHashPairs(exact, "doc_id", "text")
     val deduped = Dedup.applyDedup(exact, "doc_id", pairs)
 
-    // 5: decontaminate against the benchmark set. Benchmark rows ride
-    // along with negative ids (never collide with corpus ids; the
-    // benchmark set is small by definition, so its global row_number
-    // window is not a scale concern). Anti-join the OVER-threshold set —
+    // 5: decontaminate against the benchmark set. Benchmark rows carry an
+    // EXPLICIT is_bench flag — not an id-sign sentinel, which would
+    // silently misroute a corpus that legitimately uses negative doc_ids
+    // (bench docs into the gram set, corpus docs dropped). Their
+    // row_number ids are only for distinctness within the union (the
+    // benchmark set is small by definition, so its global window is not
+    // a scale concern). Anti-join the OVER-threshold set —
     // a doc too short to have any n-gram is absent from contamination()
     // output and must survive, which a keep-list semi-join would drop.
     // benchmark text gets the SAME cleanup as the corpus — n-grams must
@@ -59,10 +62,11 @@ object CorpusPipeline {
     val benchRows = bench.select(piiScrub(htmlStrip(col("text"))).as("text"))
       .withColumn("doc_id", -row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("text"))))
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("text"), lit(true).as("is_bench"))
     val union = deduped.select(col("doc_id"), col("text"))
+      .withColumn("is_bench", lit(false))
       .unionByName(benchRows)
-    val contaminated = Corpus.contamination(union, col("doc_id") < 0, "doc_id", "text", ngram)
+    val contaminated = Corpus.contamination(union, col("is_bench"), "doc_id", "text", ngram)
       .filter(col("n_contaminated") > col("n_grams") * maxContamination)
       .select("doc_id")
     val decontaminated = deduped.join(contaminated, Seq("doc_id"), "left_anti")

@@ -33,6 +33,7 @@ object DistrictMapping {
     val rows = mapping.select("state", "chamber", "district_name", "area_id")
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .distinct // idempotent re-writes must not emit duplicate JSON keys
     // a key mapping to >1 DISTINCT area_id would serialize as
     // non-standard duplicate-key JSON and readTree keeps only the last —
     // a mapping would silently vanish; raise like the reference raises

@@ -146,6 +146,19 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("hashSplit rejects misordered or non-lowercase-hex cut lists") {
+    // md5 hex is lowercase and when() chains evaluate in list order, so
+    // either defect would silently mis-assign every row if accepted
+    val mis = intercept[IllegalArgumentException](
+      graft.ops.Corpus.hashSplit(col("doc_id"), "s:",
+        Seq("e6" -> "val", "cd" -> "train"), "test"))
+    assert(mis.getMessage.contains("ascending"))
+    val upper = intercept[IllegalArgumentException](
+      graft.ops.Corpus.hashSplit(col("doc_id"), "s:",
+        Seq("CD" -> "train"), "test"))
+    assert(upper.getMessage.contains("lowercase hex"))
+  }
+
   test("quantileBand (approx scale path) retains roughly the middle band per group") {
     val docs = Tables.t(spark, sf, "documents")
       .select(col("doc_id"), col("lang"), col("text"))

@@ -206,6 +206,10 @@ class PipelineSpec extends SparkTestBase {
       .toDF("state", "chamber", "district_name", "area_id")
     DistrictMapping.writeJson(benign, out)
     assert(DistrictMapping.readJson(spark, out).count() == 1)
+    // the FILE must carry the key once too — duplicate keys are
+    // non-standard JSON even though Jackson's last-wins read hides them
+    val raw = Files.readString(Paths.get(out))
+    assert("Cape and Islands".r.findAllIn(raw).length == 1)
   }
 
   test("bills + votes pipeline: ids, action dates, semi-join, voter resolution") {
