@@ -48,18 +48,52 @@ object CivicPipeline {
   // (reference: scripts/people/people_federal.py:85-123)
   // -------------------------------------------------------------------
 
+  /** (url, note) link-list shape shared by several passthrough columns
+    * (reference: scripts/database/models.py:71-73 links/sources JSONB). */
+  private val urlNoteArray = ArrayType(StructType(Seq(
+    StructField("url", StringType),
+    StructField("note", StringType))))
+
   val personYamlSchema: StructType = StructType(Seq(
     StructField("id", StringType),
     StructField("name", StringType),
     StructField("given_name", StringType),
     StructField("family_name", StringType),
     StructField("email", StringType),
+    // JSONB passthrough surface (reference models.py:67-73): typed where
+    // the OpenStates YAML shape is fixed; `ids` stays a RAW JSON string
+    // (schemaless dict of external identifiers) — Spark's JSON parser
+    // captures an object subtree as its JSON text for StringType fields
+    StructField("other_names", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("start_date", StringType),
+      StructField("end_date", StringType))))),
+    StructField("image", StringType),
+    StructField("ids", StringType),
+    StructField("offices", ArrayType(StructType(Seq(
+      StructField("classification", StringType),
+      StructField("address", StringType),
+      StructField("voice", StringType),
+      StructField("fax", StringType))))),
+    StructField("links", urlNoteArray),
+    StructField("sources", urlNoteArray),
     StructField("roles", ArrayType(StructType(Seq(
       StructField("type", StringType),
       StructField("district", StringType),
       StructField("jurisdiction", StringType),
       StructField("start_date", StringType),
       StructField("end_date", StringType)))))))
+
+  /** The person JSONB/passthrough columns every people pipeline carries to
+    * the warehouse (reference models.py:67-73; other_names flattens to the
+    * name list exactly like people_federal.py:116). */
+  private val personDocColumns: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "other_names" -> transform(col("other_names"), o => o.getField("name")),
+    "image" -> col("image"),
+    "ids" -> col("ids"),
+    "offices" -> col("offices"),
+    "links" -> col("links"),
+    "sources" -> col("sources"))
 
   /** stateNames: lookup (state_name, abbreviation) for upper-chamber
     * districts that carry the full state name
@@ -69,7 +103,8 @@ object CivicPipeline {
     val raw = YamlSource.read(spark, yamlGlob, personYamlSchema)
     val withRole = RoleResolution.currentRoles(raw, "id", asOf)
       .withColumnRenamed("type", "role_type")
-    val people = raw.select("id", "name", "given_name", "family_name", "email")
+    val people = raw.select("id", "name", "given_name", "family_name", "email",
+        "other_names", "image", "ids", "offices", "links", "sources")
       .join(withRole, Seq("id"))
     // constituent area: lower "TX-13" -> state tx cd 13 (at-large alias);
     // upper carries the full state name -> abbrev lookup
@@ -87,10 +122,15 @@ object CivicPipeline {
         concat(lit("ocd-division/country:us/state:"), lower_(col("abbreviation"))))
       .withColumn("chamber", lit("Senate"))
       .drop("state_name", "abbreviation")
-    lower.unionByName(upper)
-      .withColumn("jurisdiction_area_id", convertAreaId(col("jurisdiction")))
-      .select("id", "name", "given_name", "family_name", "email",
-        "constituent_area_id", "jurisdiction_area_id", "chamber", "role_status")
+    val outCols = Seq("id", "name", "given_name", "family_name", "email",
+      "constituent_area_id", "jurisdiction_area_id", "chamber", "role_status") ++
+      personDocColumns.map(_._1)
+    personDocColumns.foldLeft(
+      lower.unionByName(upper)
+        .withColumn("jurisdiction_area_id", convertAreaId(col("jurisdiction")))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      .select(outCols.head, outCols.tail: _*)
   }
 
   private def lower_(c: org.apache.spark.sql.Column) = lower(c)
@@ -131,7 +171,8 @@ object CivicPipeline {
     val withRole = RoleResolution.currentRoles(raw, "id", asOf)
       .withColumnRenamed("type", "role_type")
     val people = raw
-      .select("id", "name", "given_name", "family_name", "email", "state_abbrev")
+      .select("id", "name", "given_name", "family_name", "email", "state_abbrev",
+        "other_names", "image", "ids", "offices", "links", "sources")
       .join(withRole, Seq("id"))
       // null-safe equality: a ME row with a NULL district must NOT be
       // swallowed by three-valued logic — only the named tribal district
@@ -178,12 +219,17 @@ object CivicPipeline {
       .when(col("role_type") === "lower", "House")
       .when(col("role_type") === "legislature", "Legislature")
 
-    mapped
-      .withColumn("constituent_area_id", constituent)
-      .withColumn("jurisdiction_area_id", convertAreaId(col("jurisdiction")))
-      .withColumn("chamber", chamber)
-      .select("id", "name", "given_name", "family_name", "email", "state_abbrev",
-        "constituent_area_id", "jurisdiction_area_id", "chamber", "role_status")
+    val outCols = Seq("id", "name", "given_name", "family_name", "email",
+      "state_abbrev", "constituent_area_id", "jurisdiction_area_id", "chamber",
+      "role_status") ++ personDocColumns.map(_._1)
+    personDocColumns.foldLeft(
+      mapped
+        .withColumn("constituent_area_id", constituent)
+        .withColumn("jurisdiction_area_id", convertAreaId(col("jurisdiction")))
+        .withColumn("chamber", chamber)) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      .select(outCols.head, outCols.tail: _*)
   }
 
   /** K3 — named-district mapping built from an areas frame (reference:
@@ -209,15 +255,51 @@ object CivicPipeline {
   // (reference: scripts/bills/bills_federal.py)
   // -------------------------------------------------------------------
 
+  /** (note, date, links[url, media_type]) shape shared by bill versions
+    * and documents (reference models.py:92-94). */
+  private val versionArray = ArrayType(StructType(Seq(
+    StructField("note", StringType),
+    StructField("date", StringType),
+    StructField("links", ArrayType(StructType(Seq(
+      StructField("url", StringType),
+      StructField("media_type", StringType))))))))
+
   val billJsonSchema: StructType = StructType(Seq(
     StructField("identifier", StringType),
     StructField("title", StringType),
     StructField("legislative_session", StringType),
     StructField("from_organization", StringType),
     StructField("subject", ArrayType(StringType)),
+    // full JSONB passthrough surface (reference models.py:84-97): typed
+    // structs where the scraped-doc shape is fixed; citations/extras are
+    // RAW JSON strings (schemaless) — Spark's JSON parser captures an
+    // object/array subtree as its JSON text for a StringType field
+    StructField("classification", ArrayType(StringType)),
+    StructField("abstracts", ArrayType(StructType(Seq(
+      StructField("abstract", StringType),
+      StructField("note", StringType))))),
+    StructField("other_titles", ArrayType(StructType(Seq(
+      StructField("title", StringType),
+      StructField("note", StringType))))),
+    StructField("other_identifiers", ArrayType(StringType)),
+    StructField("sponsorships", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("classification", StringType),
+      StructField("entity_type", StringType),
+      StructField("primary", BooleanType))))),
+    StructField("related_bills", ArrayType(StructType(Seq(
+      StructField("identifier", StringType),
+      StructField("legislative_session", StringType),
+      StructField("relation_type", StringType))))),
+    StructField("versions", versionArray),
+    StructField("documents", versionArray),
+    StructField("citations", StringType),
+    StructField("sources", urlNoteArray),
+    StructField("extras", StringType),
     StructField("actions", ArrayType(StructType(Seq(
       StructField("date", StringType),
-      StructField("description", StringType)))))))
+      StructField("description", StringType),
+      StructField("classification", ArrayType(StringType))))))))
 
   /** Bills from per-file JSON docs. A bill with no/empty `actions` gets
     * null first/latest action dates (reference:
@@ -243,8 +325,18 @@ object CivicPipeline {
         parsePseudoJson(col("from_organization"),
           StructType(Seq(StructField("classification", StringType))))
           .getField("classification"))
-      .select("id", "identifier", "title", "session",
-        "first_action_date", "latest_action_date", "chamber")
+      // passthrough fidelity (reference models.py:84-97): canonical_id is
+      // the raw identifier (bills_federal.py:136), from_organization keeps
+      // the FULL pseudo-JSON object as JSON text (the reference stores the
+      // whole json.loads'd dict, not just classification)
+      .withColumn("canonical_id", col("identifier"))
+      .withColumn("from_organization", expr("substr(from_organization, 2)"))
+      .select("id", "identifier", "canonical_id", "title", "session",
+        "legislative_session", "first_action_date", "latest_action_date",
+        "chamber", "from_organization", "classification", "subject",
+        "abstracts", "other_titles", "other_identifiers", "actions",
+        "sponsorships", "related_bills", "versions", "documents",
+        "citations", "sources", "extras")
   }
 
   val voteEventJsonSchema: StructType = StructType(Seq(
@@ -256,6 +348,14 @@ object CivicPipeline {
     StructField("bill", StringType),
     StructField("bill_identifier", StringType), // state docs carry it directly
     StructField("organization", StringType),
+    // JSONB passthrough surface (reference models.py:114-122): counts is
+    // the per-option tally list; extras stays a raw JSON string
+    StructField("motion_classification", ArrayType(StringType)),
+    StructField("counts", ArrayType(StructType(Seq(
+      StructField("option", StringType),
+      StructField("value", IntegerType))))),
+    StructField("sources", urlNoteArray),
+    StructField("extras", StringType),
     StructField("votes", ArrayType(StructType(Seq(
       StructField("option", StringType),
       StructField("voter_name", StringType),
@@ -326,7 +426,8 @@ object CivicPipeline {
       .withColumn("votes", coalesce(col("votes"), array().cast(
         "array<struct<option:string,voter_name:string,voter_id:string,note:string>>")))
       .select("id", "identifier", "session", "motion_text", "start_date",
-        "result", "chamber", "bill_id", "votes")
+        "result", "chamber", "bill_id", "votes",
+        "motion_classification", "counts", "sources", "extras")
     (out, dropped.select("id", "identifier", "session", "bill_identifier"))
   }
 

@@ -274,6 +274,148 @@ class PipelineSpec extends SparkTestBase {
     assert(dropped.collect().map(_.getAs[String]("identifier")).toSeq == Seq("roll-99"))
   }
 
+  test("JSONB passthrough surface: bill, vote, person document columns survive the pipeline") {
+    // reference models.py:84-97 (Bill), :114-122 (VoteEvent), :67-73
+    // (Person): the warehouse keeps the scraped document columns, not just
+    // what the derivations need — a downstream user queries sponsorships,
+    // versions, counts, other_names straight off the tables
+    val dir = Files.createTempDirectory("docfull").toString
+    Files.writeString(Paths.get(dir, "bill_0001.json"),
+      """{
+        |  "identifier": "HB 7",
+        |  "title": "Full Act",
+        |  "legislative_session": "119th",
+        |  "from_organization": "~{\"name\": \"Senate\", \"classification\": \"upper\"}",
+        |  "classification": ["bill"],
+        |  "abstracts": [{"abstract": "Does things.", "note": "official"}],
+        |  "other_titles": [{"title": "The Things Act", "note": "short"}],
+        |  "other_identifiers": ["S. 7"],
+        |  "sponsorships": [
+        |    {"name": "Baldwin", "classification": "primary", "entity_type": "person", "primary": true},
+        |    {"name": "Bennet", "classification": "cosponsor", "entity_type": "person", "primary": false}
+        |  ],
+        |  "related_bills": [{"identifier": "HB 6", "legislative_session": "118", "relation_type": "companion"}],
+        |  "versions": [{"note": "Introduced", "date": "2025-01-09", "links": [{"url": "https://x/v1.pdf", "media_type": "application/pdf"}]}],
+        |  "documents": [{"note": "Fiscal note", "date": "2025-01-10", "links": [{"url": "https://x/fn.pdf", "media_type": "application/pdf"}]}],
+        |  "citations": [{"publication": "Pub. L.", "citation": "119-1"}],
+        |  "sources": [{"url": "https://congress.gov/hb7", "note": "api"}],
+        |  "extras": {"source_system": "scraper-v2", "n": 2},
+        |  "actions": [
+        |    {"date": "2025-01-09T00:00:00+00:00", "description": "introduced", "classification": ["introduction"]}
+        |  ]
+        |}""".stripMargin)
+    Files.writeString(Paths.get(dir, "vote_event_0001.json"),
+      """{
+        |  "identifier": "roll-7",
+        |  "legislative_session": "119",
+        |  "motion_text": "passage",
+        |  "start_date": "2025-03-01T12:00:00+00:00",
+        |  "result": "pass",
+        |  "bill": "~{\"identifier\": \"HB 7\"}",
+        |  "organization": "~{\"classification\": \"upper\"}",
+        |  "motion_classification": ["passage"],
+        |  "counts": [{"option": "yes", "value": 61}, {"option": "no", "value": 39}],
+        |  "sources": [{"url": "https://senate.gov/roll7", "note": "clerk"}],
+        |  "extras": {"session_day": 12},
+        |  "votes": [
+        |    {"option": "yes", "voter_name": "Baldwin (D-WI)", "voter_id": "", "note": ""}
+        |  ]
+        |}""".stripMargin)
+
+    val bills = CivicPipeline.billsFromJsonDocs(spark, dir, "ocd-division/country:us")
+    val b = bills.head
+    assert(b.getAs[String]("canonical_id") == "HB 7")
+    assert(b.getAs[String]("legislative_session") == "119th")
+    // from_organization keeps the WHOLE object (not just classification)
+    assert(b.getAs[String]("from_organization")
+      == """{"name": "Senate", "classification": "upper"}""")
+    val spon = b.getSeq[org.apache.spark.sql.Row](b.fieldIndex("sponsorships"))
+    assert(spon.map(s => (s.getAs[String]("name"), s.getAs[String]("classification"),
+      s.getAs[String]("entity_type"), s.getAs[Boolean]("primary"))) == Seq(
+      ("Baldwin", "primary", "person", true), ("Bennet", "cosponsor", "person", false)))
+    val vers = b.getSeq[org.apache.spark.sql.Row](b.fieldIndex("versions"))
+    assert(vers.map(_.getAs[String]("note")) == Seq("Introduced"))
+    assert(vers.head.getSeq[org.apache.spark.sql.Row](2).head.getAs[String]("url")
+      == "https://x/v1.pdf")
+    assert(b.getSeq[org.apache.spark.sql.Row](b.fieldIndex("documents"))
+      .map(_.getAs[String]("note")) == Seq("Fiscal note"))
+    assert(b.getSeq[String](b.fieldIndex("other_identifiers")) == Seq("S. 7"))
+    assert(b.getSeq[String](b.fieldIndex("classification")) == Seq("bill"))
+    assert(b.getSeq[org.apache.spark.sql.Row](b.fieldIndex("abstracts"))
+      .map(_.getAs[String]("abstract")) == Seq("Does things."))
+    assert(b.getSeq[org.apache.spark.sql.Row](b.fieldIndex("related_bills"))
+      .map(_.getAs[String]("relation_type")) == Seq("companion"))
+    assert(b.getSeq[org.apache.spark.sql.Row](b.fieldIndex("sources"))
+      .map(_.getAs[String]("url")) == Seq("https://congress.gov/hb7"))
+    // schemaless columns ride as raw JSON text, byte-identical to the
+    // source document (Spark hands back the original subtree text)
+    assert(b.getAs[String]("extras") == """{"source_system": "scraper-v2", "n": 2}""")
+    assert(b.getAs[String]("citations")
+      == """[{"publication": "Pub. L.", "citation": "119-1"}]""")
+    val act = b.getSeq[org.apache.spark.sql.Row](b.fieldIndex("actions")).head
+    assert(act.getSeq[String](act.fieldIndex("classification")).toSeq == Seq("introduction"))
+
+    val people = Seq(("ocd-person/baldwin", "Tammy Baldwin", "Tammy", "Baldwin",
+      "ocd-division/country:us/state:wi", "Senate"))
+      .toDF("id", "name", "first_name", "last_name", "constituent_area_id", "chamber")
+    val (events, _) = CivicPipeline.voteEventsFromJsonDocs(spark, dir, bills, people)
+    val ev = events.head
+    assert(ev.getSeq[String](ev.fieldIndex("motion_classification")) == Seq("passage"))
+    assert(ev.getSeq[org.apache.spark.sql.Row](ev.fieldIndex("counts"))
+      .map(c => (c.getAs[String]("option"), c.getAs[Int]("value")))
+      == Seq(("yes", 61), ("no", 39)))
+    assert(ev.getSeq[org.apache.spark.sql.Row](ev.fieldIndex("sources"))
+      .map(_.getAs[String]("url")) == Seq("https://senate.gov/roll7"))
+    assert(ev.getAs[String]("extras") == """{"session_day": 12}""")
+
+    // person: other_names flattens to the name list (people_federal.py:116);
+    // offices/links/sources typed; ids raw
+    val pdir = Files.createTempDirectory("peoplefull").toString
+    Files.writeString(Paths.get(pdir, "baldwin.yml"),
+      """id: ocd-person/baldwin
+        |name: Tammy Baldwin
+        |given_name: Tammy
+        |family_name: Baldwin
+        |email: tb@senate.gov
+        |image: https://img/baldwin.jpg
+        |other_names:
+        |  - name: Tammy S. Baldwin
+        |    start_date: '1999-01-01'
+        |ids:
+        |  twitter: SenatorBaldwin
+        |  votesmart: "3470"
+        |offices:
+        |  - classification: capitol
+        |    address: 709 Hart
+        |    voice: 202-224-5653
+        |links:
+        |  - url: https://www.baldwin.senate.gov
+        |    note: homepage
+        |sources:
+        |  - url: https://unitedstates.github.io
+        |roles:
+        |  - type: upper
+        |    district: Wisconsin
+        |    jurisdiction: ocd-jurisdiction/country:us/government
+        |    start_date: '2023-01-03'
+        |    end_date: '2029-01-03'
+        |""".stripMargin)
+    val p = CivicPipeline.peopleFromYaml(spark, s"$pdir/*.yml",
+      Timestamp.valueOf("2026-01-01 00:00:00"), stateNames).head
+    assert(p.getSeq[String](p.fieldIndex("other_names")) == Seq("Tammy S. Baldwin"))
+    assert(p.getAs[String]("image") == "https://img/baldwin.jpg")
+    assert(p.getAs[String]("ids")
+      == """{"twitter":"SenatorBaldwin","votesmart":"3470"}""")
+    val off = p.getSeq[org.apache.spark.sql.Row](p.fieldIndex("offices")).head
+    assert((off.getAs[String]("classification"), off.getAs[String]("address"),
+      off.getAs[String]("voice")) == ("capitol", "709 Hart", "202-224-5653"))
+    assert(p.getSeq[org.apache.spark.sql.Row](p.fieldIndex("links"))
+      .map(l => (l.getAs[String]("url"), l.getAs[String]("note")))
+      == Seq(("https://www.baldwin.senate.gov", "homepage")))
+    assert(p.getSeq[org.apache.spark.sql.Row](p.fieldIndex("sources"))
+      .map(_.getAs[String]("url")) == Seq("https://unitedstates.github.io"))
+  }
+
   test("state bills + votes: identifier-only join, empty-actions, subject guard") {
     val dir = Files.createTempDirectory("statedocs").toString
     // a bill with NO actions — dates must come out null, not crash
