@@ -375,15 +375,22 @@ object Dedup {
     * scored rows map-side, so only nProbe rows per vector shuffle.
     * Candidates equi-join on bucket id; the exact cosine verifies each
     * deduped candidate pair (vectors re-joined by id, never carried
-    * through the bucket explode). Centroids are stride-picked like
-    * [[Similarity.ivfTopK]] (a real deployment plugs in k-means
-    * centroids; the plan shape is identical). */
+    * through the bucket explode). Centroids start stride-picked like
+    * [[Similarity.ivfTopK]]; `kmeansIters` > 0 refines them with the same
+    * honest Lloyd rounds ([[Similarity.refineCentroids]] — map-side
+    * argmin assignment, only (cluster, dim, sum) rows shuffle). The plan
+    * shape downstream is identical either way — refinement only moves
+    * bucket boundaries, which matters when the corpus is clustered and a
+    * stride pick would land several centroids in one dense region. */
   def embeddingNearDupsIvf(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, centroidStride: Int = 50,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val centroids = base.filter(col("id") % centroidStride === 0)
+    val seeds = base.filter(col("id") % centroidStride === 0)
       .select(col("id").as("centroid_id"), col("v").as("cv"))
+    val centroids =
+      if (kmeansIters <= 0) seeds
+      else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
     val assigned = base.join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
       .groupBy(col("id"))
