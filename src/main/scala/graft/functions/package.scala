@@ -321,6 +321,21 @@ package object functions {
   def heavyHitters(text: Column, m: Int): Column =
     expr2col(HeavyHitters(col2expr(text), m).toAggregateExpression())
 
+  /** Spark's native Bloom-filter sketch aggregate over a LONG item column
+    * (xxhash64 the value first): returns the serialized filter as binary.
+    * Partial aggregation applies — per-partition filters OR-merge, so only
+    * O(partitions) sketch blobs cross the exchange. */
+  def bloomFilterAgg(item: Column, expectedItems: Long): Column =
+    expr2col(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(col2expr(item), expectedItems).toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilterAgg]] sketch (no false
+    * negatives; false-positive rate set by the build's expectedItems).
+    * `bloom` must be a constant (a collected sketch as a binary literal). */
+  def bloomMightContain(bloom: Column, item: Column): Column =
+    expr2col(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(col2expr(bloom), col2expr(item)))
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

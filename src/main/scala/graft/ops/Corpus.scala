@@ -76,6 +76,44 @@ object Corpus {
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
   }
 
+  /** Scale path for [[contamination]] when the benchmark gram set is too
+    * large to broadcast as a join build side (a full eval-suite union at
+    * 100 TB corpus scale): the bench grams collapse into Spark's native
+    * Bloom-filter sketch ([[graft.functions.bloomFilterAgg]] — partial
+    * aggregation OR-merges per-partition filters, so only O(partitions)
+    * sketch blobs cross the exchange and one blob reaches the driver, the
+    * same collect-a-sketch shape as Spark's own runtime filtering). Probe
+    * grams are prefiltered MAP-SIDE against the sketch literal; only the
+    * tiny maybe-contaminated survivor set pays the exact gram join, so a
+    * Bloom false positive can never inflate a count — output is
+    * value-identical to [[contamination]]. The exact-verify join shuffles
+    * the bench grams once; the probe side that reaches it is the survivor
+    * set, not the corpus. */
+  def contaminationBloom(docs: DataFrame, isBench: Column, idCol: String,
+      textCol: String, n: Int, expectedItems: Long = 1L << 20): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val ex = docs.select(col(idCol), toks.as("t"), isBench.as("is_bench"))
+      .select(col(idCol), col("is_bench"),
+        explode(array_distinct(wordNgrams(col("t"), n))).as("gram"))
+    val probe = ex.filter(!col("is_bench")).select(col(idCol), col("gram"))
+    val benchGrams = ex.filter(col("is_bench")).select("gram").distinct()
+    val nGrams = probe.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val bloom = benchGrams
+      .agg(graft.functions.bloomFilterAgg(xxhash64(col("gram")), expectedItems))
+      .head.get(0)
+    if (bloom == null) // empty benchmark set: nothing can be contaminated
+      return nGrams.withColumn("n_contaminated", lit(0L))
+        .select(col(idCol), col("n_grams"), col("n_contaminated"))
+    val survivors = probe.filter(
+      graft.functions.bloomMightContain(lit(bloom.asInstanceOf[Array[Byte]]),
+        xxhash64(col("gram"))))
+    val hits = survivors.join(benchGrams, Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_contaminated"))
+    nGrams.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
   /** Scale path for percentile-band filtering: two narrow passes instead
     * of a per-group sort — approx_percentile bounds per group (a tiny
     * aggregate, broadcast back), then a map-side filter. The cume_dist

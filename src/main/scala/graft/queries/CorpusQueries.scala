@@ -155,6 +155,16 @@ object CorpusQueries {
         .filter(col("rn") <= 15)
         .select(col("doc_id"), col("source"), col("rn"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q58's scale path: the bench gram set collapses into Spark's native
+    // Bloom sketch (map-side prefilter on the probe stream; exact verify
+    // on the tiny survivor set keeps the output value-identical, so the
+    // SAME exact-overlap oracle applies)
+    "q66_contamination_bloom" -> ((s, dir) => {
+      Corpus.contaminationBloom(t(s, dir, "documents"),
+        col("doc_id") % 20 === 0, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -260,6 +270,21 @@ object CorpusQueries {
         |      ORDER BY md5('cap:' || doc_id), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
+    // identical semantics to q58 — the Bloom sketch is a prefilter, never
+    // the source of truth, so the exact-overlap oracle carries over
+    "q66_contamination_bloom" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents),
+        |e AS (SELECT DISTINCT doc_id, array_to_string(t[s:s+4], ' ') AS gram
+        |      FROM d, UNNEST(generate_series(1, len(t) - 4)) AS u(s)),
+        |b AS (SELECT DISTINCT gram FROM e WHERE doc_id % 20 = 0),
+        |probe AS (SELECT doc_id, count(*) AS n_grams FROM e
+        |          WHERE doc_id % 20 <> 0 GROUP BY 1),
+        |cont AS (SELECT e.doc_id, count(*) AS n_contaminated
+        |         FROM e JOIN b USING (gram) WHERE e.doc_id % 20 <> 0 GROUP BY 1)
+        |SELECT p.doc_id, p.n_grams, coalesce(c.n_contaminated, 0) AS n_contaminated
+        |FROM probe p LEFT JOIN cont c USING (doc_id)
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -146,6 +146,23 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("contaminationBloom matches exact contamination; empty bench set yields zeros") {
+    val docs = Tables.t(spark, sf, "documents")
+    val exact = graft.ops.Corpus.contamination(docs,
+      col("doc_id") % 20 === 0, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a deliberately-undersized sketch (high FP rate) still matches: the
+    // exact verify join, not the Bloom filter, decides every count
+    val bloom = graft.ops.Corpus.contaminationBloom(docs,
+      col("doc_id") % 20 === 0, "doc_id", "text", n = 5, expectedItems = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloom == exact)
+    val none = graft.ops.Corpus.contaminationBloom(docs,
+      lit(false), "doc_id", "text", n = 5)
+    assert(none.agg(sum(col("n_contaminated"))).head.getLong(0) == 0L)
+    assert(none.count() == docs.count())
+  }
+
   test("hashSplit rejects misordered or non-lowercase-hex cut lists") {
     // md5 hex is lowercase and when() chains evaluate in list order, so
     // either defect would silently mis-assign every row if accepted
