@@ -52,7 +52,7 @@ object Dedup {
     * struct compare, which profiling showed dominating the r3 simhash
     * kernel's `array_sort(collect_list(struct))`. */
   private def cappedBuckets(banded: DataFrame, payload: Column,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, minSize: Int = 2): DataFrame = {
     val statsName = s"graft_lsh_buckets_${statsCounter.incrementAndGet()}"
     banded.groupBy(col("bk"))
       .agg(collectMinK(col("id"), payload, maxBucket).as("g"))
@@ -60,8 +60,8 @@ object Dedup {
         sum(when(col("g.n") > maxBucket, 1L).otherwise(0L)).as("over_cap_buckets"),
         max(col("g.n")).as("max_bucket_rows"),
         count(lit(1)).as("buckets"))
-      .select(col("g.items").as("vs"))
-      .filter(size(col("vs")) > 1)
+      .select(col("bk"), col("g.items").as("vs"))
+      .filter(size(col("vs")) >= minSize)
   }
 
   /** Monotone suffix for per-call observe-metric names (Spark requires
@@ -84,6 +84,7 @@ object Dedup {
       transform(slice(col("vs"), i + lit(2), size(col("vs"))),
         y => struct(x.getField("id").as("a"), y.getField("id").as("b")))))
     cappedBuckets(banded, col("id"), maxBucket)
+      .drop("bk")
       .select(explode(combos).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .filter(col("a_id") < col("b_id"))
@@ -116,6 +117,58 @@ object Dedup {
       .withColumn("jaccard", wordNgramJaccard(col("a_txt"), col("b_txt"), shingleLen))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Cross-corpus MinHash+LSH near-dup pairs — the INCREMENTAL ingest
+    * shape: find near-duplicates of `probe` docs (a new crawl batch)
+    * within `corpus` (the existing warehouse) without self-joining
+    * either side. Each side is scanned ONCE with the fused signature
+    * kernel and aggregated into capped per-band buckets; candidates are
+    * the band-key equi-join of the two bucket frames (one row per shared
+    * band key, never a row-per-member fan-out on the skew side), pairs
+    * explode from the bounded id-list product — O(maxBucket²) structs
+    * per bucket row worst case, which is why the cross default is lower
+    * than the self-join kernel's — and the exact shingle-set Jaccard
+    * verifies each deduped pair via two id equi-joins. Returns
+    * (corpus_id, probe_id, jaccard); within-batch duplicates are
+    * [[minHashPairs]]' job, not this one's. */
+  def minHashPairsBetween(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 256): DataFrame = {
+    val rows = k / bands
+    val cBase = corpus.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val pBase = probe.select(col(idCol).as("id"), col(textCol).as("txt"))
+    def banded(b: DataFrame) = b.select(col("id"),
+      explode(lshBandKeys(wordNgramMinHash(col("txt"), shingleLen, k), bands, rows)).as("bk"))
+    // minSize = 1: a single-member bucket still pairs with the OTHER side
+    val cBuckets = cappedBuckets(banded(cBase), col("id"), maxBucket, minSize = 1)
+      .withColumnRenamed("vs", "cvs")
+    val pBuckets = cappedBuckets(banded(pBase), col("id"), maxBucket, minSize = 1)
+      .withColumnRenamed("vs", "pvs")
+    val combos = flatten(transform(col("cvs"), x =>
+      transform(col("pvs"), y =>
+        struct(x.getField("id").as("a"), y.getField("id").as("b")))))
+    cBuckets.join(pBuckets, "bk")
+      .select(explode(combos).as("p"))
+      .select(col("p.a").as("corpus_id"), col("p.b").as("probe_id"))
+      .dropDuplicates("corpus_id", "probe_id")
+      .join(cBase.select(col("id").as("corpus_id"), col("txt").as("a_txt")), "corpus_id")
+      .join(pBase.select(col("id").as("probe_id"), col("txt").as("b_txt")), "probe_id")
+      .withColumn("jaccard", wordNgramJaccard(col("a_txt"), col("b_txt"), shingleLen))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Keep only the `probe` docs with NO near-duplicate in `corpus` — the
+    * incremental-ingest filter composed from [[minHashPairsBetween]]
+    * (map-only anti-join beyond the pair list). */
+  def dedupAgainstCorpus(corpus: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+    val dupes = minHashPairsBetween(corpus, probe, idCol, textCol,
+      threshold = threshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    probe.join(dupes, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit chunks

@@ -66,6 +66,19 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Incremental ingest dedup: a new batch (even-id docs, one appended
+    // token, shifted ids) checked against the existing corpus WITHOUT
+    // self-joining either side — each side scanned once, candidates from
+    // the cross band-key join of capped buckets
+    "q67_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xq")))
+      Dedup.minHashPairsBetween(docs, batch, "doc_id", "text", threshold = 0.5)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    }),
+
     // Embedding near-dup via SRP-LSH hyperplane banding — the index-free
     // alternative to q18's IVF blocking (signatures are scale-invariant,
     // so each scaled twin shares every band with its original).

@@ -53,6 +53,38 @@ class DedupComponentsSpec extends SparkTestBase {
     assert(kept == Set(1L, 10L, 42L))
   }
 
+  test("cross-corpus dedup: batch twins found, novel docs kept, no within-side pairs") {
+    val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    // per-(seed, position) MIXED hash: both a linear-rotation generator and
+    // String.hashCode (linear in the last char) make every sentence a
+    // shifted copy of one periodic sequence — identical shingle sets that
+    // silently defeat the novel-doc assertions
+    def sentence(seed: Int, n: Int = 30): String =
+      (0 until n).map(i =>
+        vocab(math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(seed + "#" + i),
+          vocab.length))).mkString(" ")
+    val corpus = (0L until 20L).map(i => (i, sentence(i.toInt))).toDF("doc_id", "text")
+    // batch: near-dup copies of corpus docs 0-9 + 5 genuinely novel docs
+    val batch = ((0L until 10L).map(i => (1000L + i, sentence(i.toInt) + " xq")) ++
+      (0L until 5L).map(i => (2000L + i, sentence(100 + i.toInt))))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairsBetween(corpus, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach(i => assert(pairs.contains((i, 1000L + i)),
+      s"twin ($i, ${1000 + i}) not found"))
+    // pair orientation is always corpus->probe; ids never pair within a side
+    pairs.foreach { case (c, p) => assert(c < 1000L && p >= 1000L) }
+    // novel docs never pair (different seeds -> different shingle sets)
+    assert(pairs.forall(_._2 < 2000L))
+
+    val kept = Dedup.dedupAgainstCorpus(corpus, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 5L).map(2000L + _).toSet,
+      s"kept should be exactly the novel docs, got $kept")
+  }
+
   test("pdfTextCleanup strips form feeds, newlines, accents, non-ascii") {
     val got = Seq("page one\u000cpage two\nwith Crème brûlée — ok")
       .toDF("t").select(graft.functions.pdfTextCleanup(col("t"))).head.getString(0)
