@@ -120,6 +120,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), "contamination is a cross product")
   }
 
+  test("q66 bloom contamination: map-side sketch prefilter, no cartesian") {
+    val p = plan(SparkEntry.queries("q66_contamination_bloom")(spark, sf))
+    assert(p.contains("might_contain"),
+      "bloom prefilter missing — probe grams reach the verify join unfiltered")
+    assert(!p.contains("CartesianProduct"), "bloom contamination is a cross product")
+  }
+
+  test("q67 incremental dedup: cross band-key equi-join, no cartesian") {
+    val p = plan(SparkEntry.queries("q67_incremental_dedup")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "cross-corpus candidates must equi-join on band key, not cross join")
+    // both sides' signatures are computed exactly once each: 2 kernel evals
+    val evals = "ngram_minhash".r.findAllIn(p).size
+    assert(evals >= 1, "minhash kernel missing from the plan — assert is vacuous")
+    assert(evals <= 2, s"a side's minhash signature is computed $evals times")
+  }
+
   test("q59 packing: per-shard window, no global single-partition sort") {
     // Window.partitionBy(source) must plan as hashpartitioning(source),
     // never the SinglePartition an un-partitioned window would force

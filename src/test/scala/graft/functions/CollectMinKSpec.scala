@@ -52,6 +52,37 @@ class CollectMinKSpec extends SparkTestBase {
     assert(row.getLong(1) == 300L)
   }
 
+  test("collectMinK survives sort-based aggregation fallback (serde path)") {
+    // ObjectHashAggregateExec falls back to sort-based aggregation past
+    // the fallback threshold, round-tripping every buffer through
+    // serialize/deserialize — force threshold 1 so that path actually runs
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1")
+    try {
+      val df = (1 to 500).map(i => (s"g${i % 40}", i.toLong, 10000L - i))
+        .toDF("g", "id", "v").repartition(7)
+      val rows = df.groupBy("g").agg(collectMinK(col("id"), col("v"), 3).as("r"))
+        .select(col("g"), col("r.items").as("items"), col("r.n").as("n"))
+        .collect()
+      assert(rows.length == 40)
+      rows.foreach { r =>
+        val g = r.getString(0)
+        val members = (1 to 500).filter(i => s"g${i % 40}" == g)
+        val want = members.map(i => (i.toLong, 10000L - i)).sorted.take(3)
+        val got = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1)))
+        assert(got == want, s"group $g: $got != $want")
+        assert(r.getLong(2) == members.size.toLong)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("collectMinK accepts int columns (cast to long in the wrapper)") {
     val df = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v")
     val row = df.agg(collectMinK(col("id"), col("v"), 2).as("r"))
