@@ -139,6 +139,73 @@ object Corpus {
       .drop("__g", "__lo", "__hi", "__score")
   }
 
+  /** Cross-corpus boilerplate removal (the C4/CCNet rule): a line that
+    * appears in at least `minDocs` DISTINCT documents is template chrome
+    * (nav bars, cookie banners, footers), not content — drop every
+    * occurrence. The complement of q60's within-doc line dedup: that op
+    * keeps a line's first occurrence per doc; this one removes the line
+    * from the corpus entirely once enough docs share it.
+    *
+    * Input is the exploded (doc, pos, line) form so the line unit is the
+    * caller's choice (newline split, sentence split, fixed word windows);
+    * output is the surviving rows, reassembly stays composable. Scale
+    * shape: the frequency pass groups by a 64-bit line hash, so the wide
+    * exchange carries (8-byte hash, id) pairs instead of full line text;
+    * the boilerplate set that survives `>= minDocs` is tiny by
+    * construction (it's the TAIL of the line-frequency distribution) and
+    * broadcasts into a map-side anti join. An xxhash64 collision could
+    * drop an innocent line alongside a boilerplate one — at 2^-64 per
+    * pair that is noise against a 100 TB corpus' real near-dup rate. */
+  def stripBoilerplate(docLines: DataFrame, idCol: String, lineCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs < 2 would drop every line: $minDocs")
+    require(!docLines.columns.contains("__lh"),
+      "stripBoilerplate reserves column __lh")
+    val hashed = docLines.withColumn("__lh", xxhash64(col(lineCol)))
+    val boiler = hashed.groupBy(col("__lh"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__lh")
+    hashed.join(broadcast(boiler), Seq("__lh"), "left_anti").drop("__lh")
+  }
+
+  /** Deterministic epoch-mixture resampling: emit each doc `n` times
+    * where `n = floor(w) + Bernoulli(frac(w))` and `w` is the doc's
+    * source weight — the standard way to hit a target domain mixture
+    * (up-weight books/code, down-weight raw web) when materializing a
+    * training epoch. The Bernoulli draw is a salted md5 of the doc id,
+    * so the realized corpus is a pure function of (weights, salt):
+    * reproducible across runs and engines, and a doc's copy count never
+    * changes as other docs arrive. Expected copy count is exactly w
+    * (up to the 1/65536 draw quantization).
+    *
+    * `weights` is a (source → weight) dimension frame, broadcast; the
+    * explode is map-side, so beyond the broadcast hash join the operator
+    * is shuffle-free. Rows whose source has no weight row are dropped
+    * (inner join) — an unlisted source is a mixture-spec bug better
+    * surfaced loudly than silently weighted 1.0. Returns the input plus
+    * (n_copies, epoch_copy ∈ 1..n_copies). */
+  def mixtureResample(docs: DataFrame, weights: DataFrame, sourceCol: String,
+      weightCol: String, idCol: String, salt: String): DataFrame = {
+    val reserved = Set("n_copies", "epoch_copy", "__draw")
+    require(!docs.columns.exists(reserved),
+      s"mixtureResample reserves columns ${reserved.mkString(", ")}")
+    val w = col(weightCol)
+    // engine-portable fractional draw: first 4 md5 hex digits as an
+    // integer in [0, 65536), compared against floor(frac(w)·65536) —
+    // floor on BOTH factors because double→int CAST truncates in Spark
+    // but rounds in DuckDB
+    val draw = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 4), 16, 10).cast("long")
+    docs.join(broadcast(weights), Seq(sourceCol))
+      .withColumn("n_copies",
+        floor(w).cast("long") +
+          when(draw < floor((w - floor(w)) * 65536.0).cast("long"), 1L).otherwise(0L))
+      .drop(weightCol)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch_copy", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
   /** Sequence packing: assign docs to fixed token-budget bins in
     * `orderCol` order WITHIN each `groupCol` shard —
     * bin = running-tokens-before-this-doc div budget, so consecutive

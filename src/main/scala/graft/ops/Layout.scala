@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering for write-time
+  * organization of 100 TB tables. Parquet row groups carry min/max
+  * statistics per column; a scan with a selective predicate skips any
+  * file/row-group whose stats exclude it — but only if the writer
+  * CLUSTERED the data so each file covers a narrow value range. A sort
+  * on one column gives perfect skipping on that column and none on any
+  * other; interleaving the bits of several columns (Morton / z-order)
+  * gives every interleaved column locality, so bounding-box pruning
+  * works for predicates on ANY of them. This is the standard layout
+  * trick of lakehouse table formats, built here from plain Spark
+  * primitives: a bit-twiddling z-value Column + repartitionByRange on it.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `x` so one empty bit separates each data
+    * bit (0b1111 → 0b01010101): four magic-mask multiply-free steps, the
+    * classic constant-time Morton spreading — codegen-friendly arithmetic
+    * on longs, no UDF, no loop. */
+  private def spread16(x: Column): Column = {
+    val a = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton (z-order) value of two dimension columns, each first
+    * clamped into [0, 65536) by the caller-supplied bucketization (pass
+    * raw columns only if they already fit 16 bits). Even bits carry `x`,
+    * odd bits carry `y`. Pure arithmetic — stays inside whole-stage
+    * codegen and is exactly reproducible in any engine with shifts and
+    * masks (the DuckDB oracle runs the same four-step spreading). */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x.cast("long").bitwiseAND(lit(0xFFFFL))).bitwiseOR(
+      shiftleft(spread16(y.cast("long").bitwiseAND(lit(0xFFFFL))), 1))
+
+  /** Cluster `df` into `numFiles` z-ordered shards on two dimension
+    * columns: range-partition by z-value (sampled range bounds — no
+    * global sort) and sort each shard locally so row groups inside a
+    * file are tight too. Each output file then covers a compact z-range,
+    * i.e. a small rectangle in (x, y) space — min/max stats prune it for
+    * predicates on either dimension. The z column is dropped before the
+    * write; pass `keepZ = true` to keep it for inspection. */
+  def zOrderShards(df: DataFrame, x: Column, y: Column, numFiles: Int,
+      keepZ: Boolean = false): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    require(!df.columns.contains("__z"), "zOrderShards reserves column __z")
+    val z = df.withColumn("__z", zValue(x, y))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+    if (keepZ) z else z.drop("__z")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range-containment) join: every point row is matched to
+  * every range row whose half-open interval `[start, end)` contains it.
+  * The interval sibling of [[AsOfJoin]] (SURVEY §2.4's non-equi family).
+  *
+  * Naive Spark spells this as a join on `pt >= start && pt < end` — a
+  * non-equi predicate with no equi-key, which Catalyst can only execute
+  * as a broadcast nested loop (fine for a dimension-sized range side,
+  * fatal when both sides are big: O(|points|·|ranges|) compares and the
+  * range side must fit in memory whole). The scale form here converts
+  * containment into an EQUI-join on a time bin: each point lands in
+  * exactly one bin of width `binSeconds`, each range explodes into the
+  * bins its span covers, and the exact predicate re-verifies each
+  * candidate. Because a point has exactly ONE bin, a matching
+  * (point, range) pair meets in exactly one bin — no duplicate
+  * elimination shuffle is needed.
+  *
+  * Cost model: the shuffle carries |points| + Σ(span/binSeconds + 1)
+  * rows; pick `binSeconds` near the median range span so typical ranges
+  * explode into ~2 bins. A hot bin (event burst) is ordinary equi-join
+  * skew — AQE's skew-join split applies, no custom salting needed.
+  */
+object RangeJoin {
+
+  /** Inner interval join of timestamp `ptCol` in `points` against
+    * `[startCol, endCol)` in `ranges` via the binned equi-join above.
+    * Empty or inverted ranges (`end <= start`) match nothing and are
+    * dropped before the explode (`sequence` would raise on a descending
+    * span). Column names must not collide across the two inputs apart
+    * from the bin key this op adds and removes. */
+  def binnedIntervalJoin(points: DataFrame, ranges: DataFrame,
+      ptCol: String, startCol: String, endCol: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val binMicros = binSeconds * 1000000L
+    def binOf(tsCol: String) = floor(unix_micros(col(tsCol)) / binMicros)
+    val binnedPts = points.withColumn("__bin", binOf(ptCol))
+    val binnedRanges = ranges
+      .filter(col(endCol) > col(startCol))
+      // end is exclusive, but a range ending exactly on a bin boundary
+      // still owns that boundary instant's bin-mates below it; covering
+      // bins floor(start/W)..floor(end/W) errs one bin wide at worst —
+      // the exact predicate prunes it
+      .withColumn("__bin", explode(sequence(binOf(startCol), binOf(endCol))))
+    binnedPts.join(binnedRanges, Seq("__bin"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bin")
+  }
+}

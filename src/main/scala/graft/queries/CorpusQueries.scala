@@ -165,6 +165,45 @@ object CorpusQueries {
       Corpus.contaminationBloom(t(s, dir, "documents"),
         col("doc_id") % 20 === 0, "doc_id", "text", n = 5)
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-corpus boilerplate removal (C4/CCNet rule, ops/Corpus
+    // stripBoilerplate): each doc contributes three "lines" — its first
+    // 8 words, a synthetic footer shared by doc_id % 7 (the template
+    // chrome stand-in, same construction discipline as q60's dirty
+    // docs), and its last 8 words. Lines in >= 10 distinct docs vanish
+    // corpus-wide; survivors reassemble in original order
+    "q69_boilerplate" -> ((s, dir) => {
+      val w = split(trim(col("text")), "\\s+")
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), posexplode(array(
+          array_join(slice(col("w"), 1, 8), " "),
+          concat(lit("footer "), (col("doc_id") % 7).cast("string")),
+          array_join(slice(col("w"), greatest(lit(1), size(col("w")) - 7), lit(8)), " ")
+        )).as(Seq("pos", "line")))
+        .filter(col("line").isNotNull)
+      Corpus.stripBoilerplate(lines, "doc_id", "line", minDocs = 10)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic epoch-mixture resampling (ops/Corpus mixtureResample):
+    // per-source weights 0.5 + (srcnum % 5) * 0.6 — docs repeat
+    // floor(w) + Bernoulli(frac(w)) times, the Bernoulli drawn from a
+    // salted md5 so the epoch is reproducible anywhere
+    "q71_mixture_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("weight",
+          lit(0.5) + (substring(col("source"), 4, 8).cast("int") % 5) * lit(0.6))
+      Corpus.mixtureResample(docs, weights, "source", "weight", "doc_id", "mix:")
+        .select(col("doc_id"), col("source"), col("n_copies"), col("epoch_copy"))
+        .orderBy(col("doc_id"), col("epoch_copy"))
     })
   )
 
@@ -285,6 +324,43 @@ object CorpusQueries {
         |         FROM e JOIN b USING (gram) WHERE e.doc_id % 20 <> 0 GROUP BY 1)
         |SELECT p.doc_id, p.n_grams, coalesce(c.n_contaminated, 0) AS n_contaminated
         |FROM probe p LEFT JOIN cont c USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q69_boilerplate" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    [array_to_string(l[1:8], ' '),
+        |     'footer ' || (doc_id % 7),
+        |     array_to_string(l[greatest(1, len(l)-7):len(l)], ' ')] AS ls
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+        |        FROM documents)),
+        |lines AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+        |    FROM raw)
+        |  WHERE line IS NOT NULL),
+        |boiler AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1)
+        |  WHERE nd >= 10)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean
+        |FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q71_mixture_resample" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    0.5 + (CAST(substr(source, 4) AS INT) % 5) * CAST(0.6 AS DOUBLE) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |d AS (
+        |  SELECT doc_id, dd.source,
+        |    CAST(floor(weight) AS BIGINT)
+        |      + CASE WHEN ('0x' || substr(md5('mix:' || doc_id), 1, 4))::INT
+        |                  < CAST(floor((weight - floor(weight)) * 65536) AS BIGINT)
+        |             THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents dd JOIN w USING (source))
+        |SELECT doc_id, source, n_copies, CAST(u AS BIGINT) AS epoch_copy
+        |FROM d, unnest(generate_series(1, n_copies)) AS t(u)
+        |WHERE n_copies > 0
+        |ORDER BY doc_id, epoch_copy""".stripMargin
   )
 }

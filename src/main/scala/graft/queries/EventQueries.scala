@@ -53,6 +53,35 @@ object EventQueries {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Interval join via binned equi-join (ops/RangeJoin): events against
+    // overlapping daily windows [day-6h, day+30h) — a point can match two
+    // windows, so this is a genuine interval join, not bucketization. The
+    // naive spelling (join on ts BETWEEN) is a broadcast nested loop;
+    // the binned form is an equi-join AQE can treat like any other
+    "q68_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("ts"), col("value"))
+      val periods = ev.select(date_trunc("day", col("ts")).as("day")).distinct()
+        .select((col("day") - expr("INTERVAL 6 HOURS")).as("p_start"),
+          (col("day") + expr("INTERVAL 30 HOURS")).as("p_end"))
+      graft.ops.RangeJoin.binnedIntervalJoin(ev, periods,
+        "ts", "p_start", "p_end", binSeconds = 6 * 3600)
+        .groupBy(col("p_start"), col("p_end"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("p_start"))
+    }),
+
+    // SCD2 dimension build from a change log (warehouse/Warehouse
+    // scd2FromLog): per-user event_type state runs with half-open
+    // validity intervals; consecutive same-state rows collapse
+    "q70_scd2" -> ((s, dir) => {
+      graft.warehouse.Warehouse.scd2FromLog(
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "user_id", "ts", "event_id", Seq("event_type"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     })
   )
 
@@ -85,6 +114,30 @@ object EventQueries {
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |      FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events))))
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q68_interval_join" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |periods AS (
+        |  SELECT DISTINCT date_trunc('day', ts) - INTERVAL 6 HOUR AS p_start,
+        |                  date_trunc('day', ts) + INTERVAL 30 HOUR AS p_end
+        |  FROM ev)
+        |SELECT p_start, p_end, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM ev e JOIN periods p ON e.ts >= p.p_start AND e.ts < p.p_end
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q70_scd2" ->
+      """WITH log AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, ts, event_id FROM (
+        |    SELECT user_id, event_type, ts, event_id,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM log)
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM runs ORDER BY user_id, valid_from, event_type""".stripMargin
   )
 }

@@ -125,6 +125,20 @@ object SqlQueries {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           count_distinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Morton (z-order) clustering key (ops/Layout.zValue): pure
+    // shift-and-mask arithmetic, bit-identical in any engine — the write
+    // path (Layout.zOrderShards) range-partitions on this value so every
+    // output file covers a compact (x, y) rectangle and parquet min/max
+    // stats prune scans on EITHER dimension (LayoutSpec proves the
+    // bounding-box tightening vs an id-ordered layout)
+    "q72_zorder" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 97).as("x"), ((col("doc_id") * 7) % 89).as("y"))
+        .withColumn("z", graft.ops.Layout.zValue(col("x"), col("y")))
+        .orderBy(col("z"), col("doc_id"))
     })
   )
 
@@ -181,6 +195,23 @@ object SqlQueries {
       """SELECT p_partkey,
         |  translate(p_name, 'aeo', 'áéō') AS accented,
         |  strip_accents(translate(p_name, 'aeo', 'áéō')) AS plain
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    // the same four magic-mask Morton spreading steps as Layout.spread16,
+    // spelled as chained CTEs over BIGINT bit ops
+    "q72_zorder" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(doc_id % 97 AS BIGINT) AS x,
+        |         CAST((doc_id * 7) % 89 AS BIGINT) AS y
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, x, y,
+        |  ((x | (x << 8)) & 16711935) AS xa, ((y | (y << 8)) & 16711935) AS ya FROM c),
+        |s2 AS (SELECT doc_id, x, y,
+        |  ((xa | (xa << 4)) & 252645135) AS xb, ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT doc_id, x, y,
+        |  ((xb | (xb << 2)) & 858993459) AS xc, ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT doc_id, x, y,
+        |  ((xc | (xc << 1)) & 1431655765) AS xd, ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+        |SELECT doc_id, x, y, (xd | (yd << 1)) AS z FROM s4
+        |ORDER BY z, doc_id""".stripMargin
   )
 }

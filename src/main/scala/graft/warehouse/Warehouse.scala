@@ -52,6 +52,44 @@ object Warehouse {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** Build a type-2 slowly-changing dimension from a change log: one
+    * output row per (key, attribute-state run) with a half-open validity
+    * interval — `valid_from` = first log row of the run, `valid_to` =
+    * the next run's start (null on the current run, which also carries
+    * `is_current`). Consecutive log rows whose tracked attributes are
+    * unchanged collapse into one run, so a chatty upstream (the
+    * reference re-scrapes whole states per run) doesn't inflate the
+    * dimension. The temporal generalization of [[mergeByKey]]'s
+    * last-writer-wins: instead of keeping only the latest row, every
+    * historical state stays queryable with an as-of predicate
+    * (`valid_from <= t AND (valid_to IS NULL OR t < valid_to)` — or
+    * [[graft.ops.RangeJoin.binnedIntervalJoin]] when the probe side is
+    * big).
+    *
+    * Scale shape: two windows over the SAME (key, ts, seq) ordering —
+    * one partitioning exchange, each key's log processed independently.
+    * `seqCol` breaks timestamp ties deterministically (ingest sequence
+    * numbers, event ids). */
+  def scd2FromLog(log: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2FromLog needs at least one tracked attribute")
+    val reserved = Set("__prev", "valid_from", "valid_to", "is_current")
+    require(!log.columns.exists(reserved),
+      s"scd2FromLog reserves columns ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val runs = log
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // null-safe: a run whose attrs are all null still collapses
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
+    runs
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((Seq(keyCol) ++ attrCols ++ Seq("valid_from", "valid_to", "is_current"))
+        .map(col): _*)
+  }
+
   /** Collapse a multi-batch union to one row per key: highest `ordering`
     * wins (ties broken deterministically by all remaining columns). The
     * batch analog of the reference's sequential per-row overwrite. */
