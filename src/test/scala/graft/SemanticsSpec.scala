@@ -218,4 +218,60 @@ class SemanticsSpec extends SparkTestBase {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("stripBoilerplate drops shared lines corpus-wide, keeps unique content") {
+    import spark.implicits._
+    // 12 docs share a footer; one line sits at exactly minDocs-1 docs
+    val lines = (1 to 12).flatMap { d =>
+      Seq((d.toLong, 0, s"unique content of doc $d"), (d.toLong, 1, "COOKIE BANNER")) ++
+        (if (d <= 4) Seq((d.toLong, 2, "almost common")) else Nil)
+    }.toDF("doc_id", "pos", "line")
+    val kept = graft.ops.Corpus.stripBoilerplate(lines, "doc_id", "line", minDocs = 5)
+      .select("line").as[String].collect()
+    assert(!kept.contains("COOKIE BANNER"))
+    assert(kept.count(_ == "almost common") == 4) // 4 docs < minDocs: kept
+    assert(kept.count(_.startsWith("unique")) == 12)
+    intercept[IllegalArgumentException](
+      graft.ops.Corpus.stripBoilerplate(lines, "doc_id", "line", minDocs = 1))
+  }
+
+  test("stripBoilerplate counts DISTINCT docs, not occurrences") {
+    import spark.implicits._
+    // one doc repeating a line 10 times is self-repetition (q60's job),
+    // not corpus boilerplate — it must survive a minDocs=3 pass
+    val lines = ((1 to 10).map(p => (1L, p, "la la la")) :+ ((2L, 1, "other")))
+      .toDF("doc_id", "pos", "line")
+    val kept = graft.ops.Corpus.stripBoilerplate(lines, "doc_id", "line", minDocs = 3)
+    assert(kept.count() == 11)
+  }
+
+  test("mixtureResample: copy counts bracket the weight and hit it in expectation") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("source"))
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight",
+        lit(0.5) + (substring(col("source"), 4, 8).cast("int") % 5) * lit(0.6))
+    val out = graft.ops.Corpus.mixtureResample(
+      docs, weights, "source", "weight", "doc_id", "t:")
+    val perDoc = out.groupBy("doc_id", "source").agg(max("n_copies").as("n"))
+      .select("source", "n").as[(String, Long)].collect()
+    perDoc.foreach { case (src, n) =>
+      val w = 0.5 + (src.drop(3).toInt % 5) * 0.6
+      assert(n == math.floor(w).toLong || n == math.floor(w).toLong + 1,
+        s"$src: $n copies for weight $w")
+    }
+    // epoch_copy enumerates 1..n_copies exactly
+    val bad = out.groupBy("doc_id").agg(
+      count(lit(1)).as("rows"), max("n_copies").as("n"),
+      min("epoch_copy").as("lo"), max("epoch_copy").as("hi"))
+      .filter(col("rows") =!= col("n") || col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(bad.count() == 0)
+    // realized corpus size tracks the expected mixture within 10% —
+    // expectation over ALL input docs (zero-copy draws included)
+    val expected = docs.select("source").as[String].collect()
+      .map(src => 0.5 + (src.drop(3).toInt % 5) * 0.6).sum
+    val realized = out.count().toDouble
+    assert(math.abs(realized - expected) / expected < 0.1,
+      s"realized $realized vs expected $expected")
+  }
 }

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Bit-at-a-time reference interleave, independent of the magic-mask
+    * implementation under test. */
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 16)
+      z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    z
+  }
+
+  test("zValue matches the bit-at-a-time reference on edge and random inputs") {
+    val cases = Seq[(Long, Long)](
+      (0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535), (65535, 65535),
+      (21845, 43690), (12345, 54321), (256, 255))
+    val df = cases.toDF("x", "y").withColumn("z", Layout.zValue(col("x"), col("y")))
+    df.select("x", "y", "z").as[(Long, Long, Long)].collect().foreach {
+      case (x, y, z) => assert(z == mortonRef(x, y), s"($x, $y)")
+    }
+  }
+
+  test("zValue is monotone in each dimension along axis lines") {
+    // fixing one coordinate, z must strictly increase with the other —
+    // the property that makes min/max pruning work per dimension
+    val zs = (0L until 100L).map(x => mortonRef(x, 7))
+    assert(zs == zs.sorted && zs.distinct.size == zs.size)
+  }
+
+  test("zOrderShards gives tighter per-file bounding boxes than id order") {
+    val n = 4096
+    val df = spark.range(n).select(col("id"),
+      (col("id") % 199).as("x"), ((col("id") * 31) % 173).as("y"))
+    def avgBoxArea(shards: org.apache.spark.sql.DataFrame): Double = {
+      val boxes = shards
+        .select(spark_partition_id().as("p"), col("x"), col("y"))
+        .groupBy("p")
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1)).as("area"))
+        .select(avg("area")).as[Double].head()
+      boxes
+    }
+    val zArea = avgBoxArea(Layout.zOrderShards(df, col("x"), col("y"), 16))
+    val idArea = avgBoxArea(df.repartitionByRange(16, col("id")))
+    // x/y are decorrelated from id, so id-range files cover the whole
+    // plane; z-range files must cover far less (ratio ~#files in theory)
+    assert(zArea < idArea / 4, s"z=$zArea id=$idArea")
+  }
+
+  test("zOrderShards plan range-partitions on the z value") {
+    val df = spark.range(100).select(col("id"),
+      (col("id") % 7).as("x"), (col("id") % 11).as("y"))
+    val plan = Layout.zOrderShards(df, col("x"), col("y"), 4, keepZ = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+}

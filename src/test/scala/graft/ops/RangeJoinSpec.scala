@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val points = Seq(
+    (1L, ts("2024-01-01 00:00:00")), // exactly at a range start: included
+    (2L, ts("2024-01-01 05:59:59")),
+    (3L, ts("2024-01-01 06:00:00")), // exactly at a range end: excluded
+    (4L, ts("2024-01-02 12:00:00")), // inside the long range only
+    (5L, ts("2024-03-01 00:00:00"))) // matches nothing
+    .toDF("pid", "pt")
+
+  private val ranges = Seq(
+    (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")), // one bin
+    (11L, ts("2024-01-01 03:00:00"), ts("2024-01-03 00:00:00")), // spans many bins
+    (12L, ts("2024-01-05 00:00:00"), ts("2024-01-04 00:00:00")), // inverted: dropped
+    (13L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:00"))) // empty: dropped
+    .toDF("rid", "r_start", "r_end")
+
+  private def matches(binSeconds: Long): Set[(Long, Long)] =
+    RangeJoin.binnedIntervalJoin(points, ranges, "pt", "r_start", "r_end", binSeconds)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+
+  test("binned interval join equals the naive non-equi join") {
+    val naive = points.join(ranges,
+        col("pt") >= col("r_start") && col("pt") < col("r_end"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(matches(3600) == naive)
+    assert(naive == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L)))
+  }
+
+  test("bin width does not change the result, only the plan") {
+    val expected = matches(3600)
+    for (w <- Seq(1L, 60L, 6 * 3600L, 30 * 86400L))
+      assert(matches(w) == expected, s"binSeconds=$w")
+  }
+
+  test("each matching pair is emitted exactly once (no bin double-count)") {
+    val rows = RangeJoin
+      .binnedIntervalJoin(points, ranges, "pt", "r_start", "r_end", 3600)
+      .groupBy("pid", "rid").count().filter(col("count") > 1).count()
+    assert(rows == 0)
+  }
+
+  test("plan is an equi-join, not a broadcast nested loop") {
+    val plan = RangeJoin
+      .binnedIntervalJoin(points, ranges, "pt", "r_start", "r_end", 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rejects a non-positive bin width") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.binnedIntervalJoin(points, ranges, "pt", "r_start", "r_end", 0)
+    }
+  }
+}
