@@ -131,4 +131,36 @@ object EventPipeline {
     }
     new java.io.File(tmp).renameTo(new java.io.File(tablePath))
   }
+
+  /** foreachBatch body for streaming corpus ingest with near-dup
+    * rejection: each micro-batch is (1) self-deduped with the in-batch
+    * MinHash+LSH kernel, then (2) filtered against the accumulated
+    * corpus at `corpusPath` with the cross-corpus kernel
+    * ([[graft.ops.Dedup.dedupAgainstCorpus]]), and the survivors are
+    * APPENDED — so a near-copy of anything already ingested, including
+    * a doc admitted two batches ago, is rejected. The batch composition
+    * of continuous crawl ingest: the corpus only ever grows by verified-
+    * novel docs, and reprocessing a batch after a failure re-drops its
+    * duplicates (append of an empty survivor set), keeping the sink
+    * effectively idempotent for replayed content.
+    *
+    * At cluster scale the corpus side's band buckets would be
+    * precomputed and stored (the signature scan is the dominant cost;
+    * the bucket frame is the natural "LSH index" table) — here the
+    * corpus is re-signed per batch, which is the honest local form. */
+  def dedupIngestSink(corpusPath: String, idCol: String, textCol: String,
+      threshold: Double = 0.5)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val inBatchPairs = graft.ops.Dedup.minHashPairs(
+      batch, idCol, textCol, threshold = threshold)
+    val selfDeduped = graft.ops.Dedup.applyDedup(
+      batch, idCol, inBatchPairs.cache())
+    inBatchPairs.unpersist()
+    val survivors =
+      if (new java.io.File(corpusPath).exists())
+        graft.ops.Dedup.dedupAgainstCorpus(
+          spark.read.parquet(corpusPath), selfDeduped, idCol, textCol, threshold)
+      else selfDeduped
+    survivors.write.mode("append").parquet(corpusPath)
+  }
 }

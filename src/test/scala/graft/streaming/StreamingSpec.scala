@@ -67,6 +67,36 @@ class StreamingSpec extends SparkTestBase {
     assert(out == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 2)))
   }
 
+  test("streaming dedup ingest rejects near-dups of earlier batches") {
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("dedupingest").toString + "/corpus"
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val base = (0 until 20).map(i => s"w$i")
+    val alt = (0 until 20).map(i => s"x$i")
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventPipeline.dedupIngestSink(dir, "doc_id", "text") _)
+      .start()
+    // batch 0: two distinct docs + an in-batch near-copy of the first
+    stream.addData(Seq(
+      (1L, doc(base)),
+      (2L, doc(alt)),
+      (3L, doc(base.updated(0, "CHANGED"))))) // near-dup of 1 within the batch
+    q.processAllAvailable()
+    // batch 1: near-copy of a batch-0 survivor + one genuinely new doc
+    stream.addData(Seq(
+      (4L, doc(base.updated(19, "EDIT"))), // near-dup of ingested doc 1
+      (5L, doc((0 until 20).map(i => s"z$i")))))
+    q.processAllAvailable()
+    q.stop()
+    val ingested = spark.read.parquet(dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ingested.contains(1L) && ingested.contains(2L) && ingested.contains(5L))
+    assert(!ingested.contains(3L), "in-batch near-dup must be rejected")
+    assert(!ingested.contains(4L), "cross-batch near-dup must be rejected")
+  }
+
   test("merge is idempotent (re-applying a batch is a no-op)") {
     val base = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val batch = Seq((2L, "Y"), (3L, "z")).toDF("id", "v")
