@@ -146,6 +146,39 @@ class PlanSpec extends SparkTestBase {
       "packing window collapsed to a single partition — not parallel by shard")
   }
 
+  test("q68 interval join: binned equi-join, not a broadcast nested loop") {
+    val p = plan(SparkEntry.queries("q68_interval_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval containment planned as a nested loop — binning lost")
+    assert(!p.contains("CartesianProduct"), "interval join is a cross product")
+  }
+
+  test("q70 scd2: both windows ride one partitioning exchange") {
+    val p = plan(SparkEntry.queries("q70_scd2")(spark, sf))
+    // lag (run collapse) and lead (interval chaining) share the same
+    // (key, ts, seq) ordering; a second hashpartitioning would mean the
+    // filter between them broke exchange reuse
+    val exchanges = "hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"scd2 shuffles $exchanges times")
+    assert(!p.contains("SinglePartition"), "scd2 window collapsed to one partition")
+  }
+
+  test("q71 mixture resample: weights join is broadcast, explode is map-side") {
+    val p = plan(SparkEntry.queries("q71_mixture_resample")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "weights dim not broadcast")
+    assert(p.contains("Generate"), "epoch explode missing")
+    // beyond the weights broadcast and the final presentation sort there
+    // is no wide exchange: the explode must not shuffle
+    assert(!p.contains("SortMergeJoin"), "weights join fell back to sort-merge")
+  }
+
+  test("q69 boilerplate: frequency pass exchanges line hashes, not line text") {
+    val p = plan(SparkEntry.queries("q69_boilerplate")(spark, sf))
+    assert(p.contains("xxhash64"), "line-hash projection missing")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "boilerplate set not broadcast into the anti join")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(
