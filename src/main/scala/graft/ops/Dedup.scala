@@ -202,6 +202,42 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Exact shared-window overlap pairs — the window-granular form of
+    * suffix-array substring dedup (two docs sharing any `window`-word
+    * run share that run's window grams): count, for every doc pair, the
+    * DISTINCT word `window`-grams they have in common, and keep pairs
+    * with at least `minShared`. Exact where MinHash is probabilistic —
+    * the tool for "doc B embeds three paragraphs of doc A", which can
+    * sit below any whole-doc Jaccard threshold.
+    *
+    * Same one-pass bucket shape as the LSH kernels ([[cappedBuckets]]),
+    * with the window gram's 64-bit hash as the bucket key: the exchange
+    * carries (8-byte hash, id) rows — never gram text — and each shared
+    * window contributes exactly one in-bucket pair occurrence, so the
+    * per-pair occurrence count IS the shared-window count (grams are
+    * per-doc deduped first). A window shared by more than `maxBucket`
+    * docs is capped like any degenerate LSH bucket (that's boilerplate —
+    * [[graft.ops.Corpus.stripBoilerplate]]'s job, observable via the
+    * bucket metrics), bounding the quadratic pair fan-out. */
+  def sharedWindowPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, minShared: Int = 2, maxBucket: Int = 256): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val banded = docs.select(col(idCol).as("id"), toks.as("t"))
+      .select(col("id"), explode(array_distinct(
+        graft.ops.Corpus.wordNgrams(col("t"), window))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("bk"))
+    val combos = flatten(transform(col("vs"), (x, i) =>
+      transform(slice(col("vs"), i + lit(2), size(col("vs"))),
+        y => struct(x.getField("id").as("a"), y.getField("id").as("b")))))
+    cappedBuckets(banded, col("id"), maxBucket)
+      .select(explode(combos).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Character n-gram Jaccard pairs. Candidates come from MinHash-LSH
     * banding over the SAME char n-gram sets (not a quadratic in-block
     * pairing — a 500-doc block is already 125k exact Jaccards, which is
@@ -402,6 +438,30 @@ object Dedup {
     val comps = connectedComponents(pairs)
     val losers = comps.filter(col("id") =!= col("component")).select(col("id"))
     docs.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware dedup apply: keep the HIGHEST-`scoreCol` member of
+    * each near-dup cluster (ties broken by minimum id) instead of
+    * [[applyDedup]]'s min-id representative — near-dup clusters in a web
+    * corpus usually hold one clean original and N mangled mirrors, and
+    * min-id keeps whichever was crawled first, not whichever is best.
+    * Singleton docs pass through untouched. Scale shape: the cluster
+    * frame joins back to the docs once, the per-cluster argmax is a
+    * [[graft.functions.TopKAgg]]-style max_by (partial aggregation, no
+    * window sort), and the final semi-join keeps winner rows. */
+  def applyDedupBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: Column): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val member = docs.select(col(idCol).as("id"), scoreCol.as("__score"))
+      .join(comps, Seq("id"))
+    // max_by on a (score, -id) struct: highest score, then smallest id
+    val winners = member.groupBy(col("component"))
+      .agg(max_by(col("id"),
+        struct(col("__score"), (-col("id")).as("neg_id"))).as("keep_id"))
+      .select(col("keep_id").as(idCol))
+    val clustered = comps.select(col("id").as(idCol))
+    docs.join(clustered, Seq(idCol), "left_anti") // singletons
+      .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
   }
 
   /** Embedding cosine near-dup pairs within a caller-supplied blocking

@@ -93,6 +93,31 @@ object DedupQueries {
       Dedup.embeddingNearDupsSrp(vecs.unionByName(scaled), "vec_id", "embedding",
         threshold = 0.999, bits = 32, bands = 4)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Exact shared-window overlap (window-granular substring dedup):
+    // EXACT where q15 is probabilistic — catches partial containment
+    // (doc B embeds paragraphs of doc A) below whole-doc thresholds.
+    // Oracle-checkable precisely because it is exact: the SQL twin
+    // self-joins the distinct word-10-grams
+    "q74_shared_windows" -> ((s, dir) => {
+      Dedup.sharedWindowPairs(corpusWithNearDups(s, dir), "doc_id", "text",
+        window = 10, minShared = 2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Quality-aware dedup apply: each near-dup cluster keeps its
+    // HIGHEST-quality member (min-id only as tie-break) — the canonical-
+    // selection policy a web corpus wants (crawl order ≠ cleanliness).
+    // The appended-token twins score differently than their originals,
+    // so the choice is exercised, not vacuous
+    "q75_dedup_best" -> ((s, dir) => {
+      val docs = corpusWithNearDups(s, dir)
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.5)
+      Dedup.applyDedupBest(docs, "doc_id", pairs,
+        graft.functions.qualityScore(col("text")))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -102,6 +127,20 @@ object DedupQueries {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000, text FROM documents)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q74_shared_windows" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xq' FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[s:s+9], ' ') AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM corpus),
+        |       unnest(generate_series(1, len(t) - 9)) AS u(s))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -131,6 +131,46 @@ class OpsSpec extends SparkTestBase {
     assert(rows.toSet == expected, s"got ${rows.toSet}")
   }
 
+  test("sharedWindowPairs counts exact shared windows; minShared gates") {
+    val run = (1 to 14).map(i => s"t$i").mkString(" ") // 14 tokens = 5 10-grams
+    val docs = Seq(
+      (1L, run),
+      // doc 2 embeds doc 1's full run inside fresh text: partial
+      // containment — shares all 5 of doc 1's windows
+      (2L, s"pre1 pre2 pre3 $run post1 post2"),
+      // doc 3 shares only the first 10 tokens = exactly 1 window
+      (3L, (1 to 10).map(i => s"t$i").mkString(" ") + " zz1 zz2 zz3 zz4"),
+      (4L, (1 to 14).map(i => s"u$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.sharedWindowPairs(docs, "doc_id", "text",
+      window = 10, minShared = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.get((1L, 2L)).contains(5L), s"containment pair: $got")
+    assert(!got.contains((1L, 3L)), "single shared window must not pass minShared=2")
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // minShared=1 admits the single-window pair with the exact count
+    val loose = Dedup.sharedWindowPairs(docs, "doc_id", "text",
+      window = 10, minShared = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(loose.get((1L, 3L)).contains(1L))
+  }
+
+  test("applyDedupBest keeps the highest-score member, ties to min id") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: 2 wins (tie 2/3 → min id)
+      (7L, 0.1))                       // singleton: kept regardless of score
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.applyDedupBest(docs, "doc_id", pairs, col("score"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 7L), s"kept $kept")
+    // contrast: min-id policy keeps doc 1
+    val minId = Dedup.applyDedup(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 7L))
+  }
+
   test("brute-force topk: self is rank-1 with score 1") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
