@@ -11,43 +11,80 @@ import graft.ops.{Corpus, Dedup}
   * operators so each stage keeps its individually-tested semantics and
   * scale shape:
   *
-  *  1. clean: HTML strip + entity decode, then PII redaction (map-only)
-  *  2. score + filter: language-ID and quality score; drop unidentified
-  *     or low-quality docs (map-only)
-  *  3. exact dedup: content-hash groups, min-id keeper (one shuffle)
-  *  4. near dedup: MinHash-LSH pairs → connected components → one
+  *  1. boilerplate (opt-in): newline-split lines appearing in >=
+  *     `boilerplateMinDocs` distinct docs vanish corpus-wide (C4 rule;
+  *     hash-keyed frequency pass + broadcast anti join); a doc that was
+  *     ALL boilerplate drops out. This runs FIRST: the cleanup stage
+  *     normalizes whitespace, which destroys the raw line structure the
+  *     rule is defined over
+  *  2. clean: HTML strip + entity decode, then PII redaction (map-only)
+  *  3. score + filter: language-ID and quality score over the cleaned
+  *     post-boilerplate text; drop unidentified or low-quality docs
+  *  4. exact dedup: content-hash groups, min-id keeper (one shuffle)
+  *  5. near dedup: MinHash-LSH pairs → connected components → one
   *     representative per cluster (banded candidates, never all-pairs)
-  *  5. decontaminate: drop docs whose word-n-gram overlap with the
+  *  6. decontaminate: drop docs whose word-n-gram overlap with the
   *     benchmark set exceeds `maxContamination` (broadcast gram set)
-  *  6. split: deterministic md5-prefix train/val/test (map-only,
+  *  7. split: deterministic md5-prefix train/val/test (map-only,
   *     stable under corpus growth)
-  *  7. pack: token-budget bins per source shard (parallel windows)
+  *  8. mixture (opt-in): materialize the training epoch by per-source
+  *     weights — TRAIN docs repeat floor(w) + Bernoulli(frac(w)) times
+  *     (broadcast weights, map-side explode); val/test are never
+  *     resampled (evaluation must not be reweighted)
+  *  9. pack: token-budget bins per (source, split) shard (parallel
+  *     windows; bins never mix splits, epoch copies pack as separate
+  *     sequences)
   *
-  * Returns one row per surviving doc with (doc_id, source, text,
-  * lang_pred, quality, split, n_tok, bin).
+  * Returns one row per surviving doc (per epoch copy when mixture is
+  * on — then an `epoch_copy` column is appended) with (doc_id, source,
+  * text, lang_pred, quality, split, n_tok, bin).
   */
 object CorpusPipeline {
 
   def prepare(docs: DataFrame, bench: DataFrame,
       minQuality: Double = 0.2, ngram: Int = 5,
-      maxContamination: Double = 0.5, tokenBudget: Int = 2048): DataFrame = {
-    // 1-2: clean + score + filter, one codegen'd map stage
-    val cleaned = docs
-      .withColumn("text", piiScrub(htmlStrip(col("text"))))
+      maxContamination: Double = 0.5, tokenBudget: Int = 2048,
+      boilerplateMinDocs: Long = 0L,
+      mixtureWeights: Option[DataFrame] = None): DataFrame = {
+    // 1: cross-corpus boilerplate removal (opt-in) over the RAW line
+    // structure — htmlStrip normalizes \s+ to single spaces, so line
+    // boundaries only exist before cleanup
+    val boiled =
+      if (boilerplateMinDocs < 2) docs
+      else {
+        val lines = docs
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        val rebuilt = Corpus.stripBoilerplate(lines, "doc_id", "line",
+          boilerplateMinDocs)
+          .groupBy(col("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("__clean_text"))
+        docs.drop("text")
+          .join(rebuilt, Seq("doc_id"))
+          .withColumnRenamed("__clean_text", "text")
+      }
+
+    // 2: scrub, one codegen'd map stage
+    val scrubbed = boiled.withColumn("text", piiScrub(htmlStrip(col("text"))))
+
+    // 3: score + filter
+    val cleaned = scrubbed
       .withColumn("lang_pred", langId(col("text")))
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("lang_pred") =!= "und" && col("quality") >= minQuality)
 
-    // 3: exact dedup — the tested operator picks the canonical keeper
+    // 4: exact dedup — the tested operator picks the canonical keeper
     val keepers = Dedup.exactDupGroups(cleaned, "doc_id", "text")
       .select(col("keeper").as("doc_id"))
     val exact = cleaned.join(keepers, Seq("doc_id"), "left_semi")
 
-    // 4: near dedup — LSH pairs, cluster, keep one representative
+    // 5: near dedup — LSH pairs, cluster, keep one representative
     val pairs = Dedup.minHashPairs(exact, "doc_id", "text")
     val deduped = Dedup.applyDedup(exact, "doc_id", pairs)
 
-    // 5: decontaminate against the benchmark set. Benchmark rows carry an
+    // 6: decontaminate against the benchmark set. Benchmark rows carry an
     // EXPLICIT is_bench flag — not an id-sign sentinel, which would
     // silently misroute a corpus that legitimately uses negative doc_ids
     // (bench docs into the gram set, corpus docs dropped). Their
@@ -71,14 +108,41 @@ object CorpusPipeline {
       .select("doc_id")
     val decontaminated = deduped.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 6-7: deterministic split, then pack per (source, split) shard —
-    // a packed bin is a training sequence, so it must never mix splits
-    val split = decontaminated.withColumn("split",
+    // 7: deterministic split
+    val splitDocs = decontaminated.withColumn("split",
       Corpus.hashSplit(col("doc_id"), "corpus:",
         Seq("cd" -> "train", "e6" -> "val"), "test"))
       .withColumn("shard", concat_ws("#", col("source"), col("split")))
-    Corpus.packBins(split, "shard", "doc_id", tokenCount(col("text")), tokenBudget)
-      .select("doc_id", "source", "text", "lang_pred", "quality",
-        "split", "n_tok", "bin") // bin is per (source, split) shard
+
+    // 8: epoch-mixture materialization (opt-in, train split only). The
+    // packing order key folds the copy index next to the doc id so a
+    // doc's copies pack adjacently and deterministically; 64 bounds
+    // n_copies, i.e. max source weight (checked — silently wrapping
+    // would interleave unrelated docs' copies, corrupting nothing but
+    // determinism of bin composition)
+    val epoch = mixtureWeights match {
+      case None => splitDocs.withColumn("__ord", col("doc_id"))
+      case Some(w) =>
+        val train = Corpus.mixtureResample(
+          splitDocs.filter(col("split") === "train"),
+          w, "source", "weight", "doc_id", "epoch:")
+        val rest = splitDocs.filter(col("split") =!= "train")
+          .withColumn("n_copies", lit(1L))
+          .withColumn("epoch_copy", lit(1L))
+        train.unionByName(rest)
+          .withColumn("__ord",
+            when(col("n_copies") < 64,
+              col("doc_id") * 64 + col("epoch_copy"))
+              .otherwise(raise_error(lit("mixture weight >= 64 unsupported"))))
+    }
+
+    // 9: pack per (source, split) shard — a packed bin is a training
+    // sequence, so it must never mix splits
+    val packed = Corpus.packBins(epoch, "shard", "__ord",
+      tokenCount(col("text")), tokenBudget)
+    val baseCols = Seq("doc_id", "source", "text", "lang_pred", "quality",
+      "split", "n_tok", "bin") // bin is per (source, split) shard
+    packed.select((if (mixtureWeights.isDefined) baseCols :+ "epoch_copy"
+      else baseCols).map(col): _*)
   }
 }

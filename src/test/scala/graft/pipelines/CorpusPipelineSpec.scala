@@ -58,6 +58,42 @@ class CorpusPipelineSpec extends SparkTestBase
     }
   }
 
+  test("boilerplate + mixture stages compose: chrome gone, epoch weighted") {
+    import spark.implicits._
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      // every doc gets the same footer line appended — corpus-wide chrome
+      .withColumn("text", concat(col("text"), lit("\nALL RIGHTS RESERVED")))
+    val bench = docs.filter(col("doc_id") % 10 === 0).select("text")
+    val weights = docs.select("source").distinct()
+      .withColumn("weight",
+        when(col("source") === "src0", lit(3.0)).otherwise(lit(1.0)))
+    val out2 = CorpusPipeline.prepare(docs, bench,
+      boilerplateMinDocs = 10, mixtureWeights = Some(weights)).cache()
+    try {
+      // the shared footer is boilerplate: no surviving text contains it
+      assert(out2.filter(col("text").contains("ALL RIGHTS RESERVED")).count() == 0)
+      // but doc content survives (the pipeline didn't just empty the docs)
+      assert(out2.count() > 0)
+      // mixture: src0 TRAIN docs appear exactly 3x, other sources 1x;
+      // val/test rows are never resampled
+      val perDoc = out2.groupBy("doc_id", "source", "split").count()
+      assert(perDoc.filter(col("split") === "train" && col("source") === "src0" &&
+        col("count") =!= 3).count() == 0, "src0 train docs must repeat 3x")
+      assert(perDoc.filter(col("source") =!= "src0" && col("count") =!= 1).count() == 0)
+      assert(perDoc.filter(col("split") =!= "train" && col("count") =!= 1).count() == 0)
+      // epoch copies of one doc pack adjacently: same bin or consecutive
+      val copies = out2.filter(col("split") === "train" && col("source") === "src0")
+        .select("doc_id", "epoch_copy", "bin")
+        .as[(Long, Long, Long)].collect().groupBy(_._1)
+      copies.values.foreach { cs =>
+        val bins = cs.sortBy(_._2).map(_._3)
+        assert(bins.zip(bins.tail).forall { case (a, b) => b - a <= 1 && b >= a },
+          s"copies scattered across bins: ${cs.toSeq}")
+      }
+    } finally out2.unpersist(blocking = true)
+  }
+
   test("split and packing invariants hold") {
     val rows = out.select("source", "split", "bin", "n_tok", "doc_id").collect()
     assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
