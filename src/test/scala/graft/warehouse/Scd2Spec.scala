@@ -73,6 +73,42 @@ class Scd2Spec extends SparkTestBase {
     assert(rows.count() == 2)
   }
 
+  test("scd2Merge: matching change collapses, new state closes the run") {
+    val changes = Seq(
+      ("k1", ts("2024-01-07"), 6L, "A"), // same as k1's current state: collapse
+      ("k2", ts("2024-01-08"), 7L, "Y"), // new state: closes X, opens Y
+      ("k3", ts("2024-01-09"), 8L, "N")) // brand-new key
+      .toDF("k", "ts", "seq", "state")
+    val merged = Warehouse.scd2Merge(dim, changes, "k", "ts", "seq", Seq("state"))
+      .orderBy("k", "valid_from")
+      .select("k", "state", "valid_from", "valid_to", "is_current")
+      .as[(String, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(merged == Seq(
+      ("k1", "A", ts("2024-01-01"), Some(ts("2024-01-03")), false),
+      ("k1", "B", ts("2024-01-03"), Some(ts("2024-01-05")), false),
+      ("k1", "A", ts("2024-01-05"), None, true), // valid_from preserved
+      ("k2", "X", ts("2024-01-02"), Some(ts("2024-01-08")), false),
+      ("k2", "Y", ts("2024-01-08"), None, true),
+      ("k3", "N", ts("2024-01-09"), None, true)))
+  }
+
+  test("scd2Merge equals a full rebuild on a real log split at a boundary") {
+    val events = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id").cast("string").as("k"), col("ts"),
+        col("event_id").as("seq"), col("event_type").as("state"))
+    val cut = ts("2024-01-15")
+    val full = Warehouse.scd2FromLog(events, "k", "ts", "seq", Seq("state"))
+    val incremental = Warehouse.scd2Merge(
+      Warehouse.scd2FromLog(events.filter(col("ts") < lit(cut)),
+        "k", "ts", "seq", Seq("state")),
+      events.filter(col("ts") >= lit(cut)), "k", "ts", "seq", Seq("state"))
+    val cols = Seq("k", "state", "valid_from", "valid_to", "is_current")
+    val a = full.select(cols.map(col): _*).collect().toSet
+    val b = incremental.select(cols.map(col): _*).collect().toSet
+    assert(a == b, s"merge drifted from rebuild: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+    assert(a.nonEmpty)
+  }
+
   test("one partitioning exchange serves both windows") {
     val plan = dim.queryExecution.executedPlan.toString
     // the run-collapse lag and the interval lead share (key, ts, seq)
