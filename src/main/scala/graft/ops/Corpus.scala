@@ -206,6 +206,62 @@ object Corpus {
       .withColumn("epoch_copy", explode(sequence(lit(1L), col("n_copies"))))
   }
 
+  /** Weighted sampling WITHOUT replacement, k docs per group — the
+    * A-RES scheme (Efraimidis–Spirakis): each doc draws a deterministic
+    * uniform u from a salted md5 of its id and competes on the key
+    * u^(1/w), so a doc's inclusion probability is proportional to its
+    * weight but no doc can be picked twice (the failure mode of naive
+    * weighted-with-replacement sampling on a corpus: the best doc
+    * repeated k times). The standard "pick the k best exemplars per
+    * domain, weighted by quality" corpus op.
+    *
+    * Scale shape: the per-group competition is the bounded-heap
+    * [[graft.functions.topKByScore]] aggregate — partial aggregation
+    * collapses each partition to k rows per group map-side, so the
+    * exchange carries O(groups × k), never the corpus; the winners
+    * semi-join back for their rows. Groups of any size stay parallel
+    * (no per-group sort window). The (salt, id) draw makes the sample a
+    * pure function of the inputs — reproducible, stable under
+    * reordering.
+    *
+    * A doc with non-positive weight never wins over a positive one
+    * (its key is forced to -1, below every u^(1/w) in [0, 1]); equal
+    * keys tie-break by id via the heap's insertion discipline. */
+  def weightedSample(docs: DataFrame, groupCol: String, idCol: String,
+      weightCol: Column, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    // u in (0, 1): (draw + 0.5) / 65536 from the first 4 md5 hex digits
+    val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+      1, 4), 16, 10).cast("double") + 0.5) / 65536.0
+    val key = when(weightCol > 0, pow(u, lit(1.0) / weightCol)).otherwise(-1.0)
+    val winners = docs
+      .groupBy(col(groupCol))
+      .agg(graft.functions.topKByScore(key, col(idCol), k).as("w"))
+      .select(explode(col("w.id")).as(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Cap each source's contribution by TOKEN budget, not doc count (the
+    * unit mixtures are actually specified in): docs compete per source
+    * in salted-md5 order, and a doc is kept while the running token
+    * total BEFORE it is under the budget — so the doc that crosses the
+    * boundary is kept (bounded overflow, the same contract as
+    * [[packBins]]) and at least one doc survives per source. One
+    * parallel per-source window, same scale shape as the q65 doc-count
+    * cap. */
+  def tokenBudgetCap(docs: DataFrame, sourceCol: String, idCol: String,
+      tokenCol: Column, budget: Long, salt: String): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    require(!docs.columns.contains("__cum"),
+      "tokenBudgetCap reserves column __cum")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("__cum", coalesce(sum(tokenCol).over(w), lit(0L)))
+      .filter(col("__cum") < budget)
+      .drop("__cum")
+  }
+
   /** Sequence packing: assign docs to fixed token-budget bins in
     * `orderCol` order WITHIN each `groupCol` shard —
     * bin = running-tokens-before-this-doc div budget, so consecutive

@@ -204,6 +204,32 @@ object CorpusQueries {
       Corpus.mixtureResample(docs, weights, "source", "weight", "doc_id", "mix:")
         .select(col("doc_id"), col("source"), col("n_copies"), col("epoch_copy"))
         .orderBy(col("doc_id"), col("epoch_copy"))
+    }),
+
+    // Weighted sampling WITHOUT replacement (A-RES), 5 docs per source:
+    // bounded-heap top-k on the u^(1/w) competition key — the exchange
+    // carries O(sources × 5), never the corpus (the oracle's window-rank
+    // formulation proves the same winner set relationally)
+    "q76_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val weighted = docs.withColumn("weight",
+        lit(0.5) + (substring(col("source"), 4, 8).cast("int") % 5) * lit(0.6))
+      Corpus.weightedSample(weighted, "source", "doc_id", col("weight"), 5, "ws:")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source TOKEN-budget cap (mixtures are specified in tokens, not
+    // docs): salted-md5 competition order, running window sum, keep while
+    // the total BEFORE the doc is under budget (bounded overflow, q59's
+    // contract; at least one doc always survives per source)
+    "q77_token_budget_cap" -> ((s, dir) => {
+      Corpus.tokenBudgetCap(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", graft.functions.tokenCount(col("text")).cast("long"),
+        budget = 800, salt = "cap:")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -361,6 +387,33 @@ object CorpusQueries {
         |SELECT doc_id, source, n_copies, CAST(u AS BIGINT) AS epoch_copy
         |FROM d, unnest(generate_series(1, n_copies)) AS t(u)
         |WHERE n_copies > 0
-        |ORDER BY doc_id, epoch_copy""".stripMargin
+        |ORDER BY doc_id, epoch_copy""".stripMargin,
+    "q76_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT source,
+        |    0.5 + (CAST(substr(source, 4) AS INT) % 5) * CAST(0.6 AS DOUBLE) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |scored AS (
+        |  SELECT doc_id, d.source,
+        |    pow((('0x' || substr(md5('ws:' || doc_id), 1, 4))::INT + 0.5) / 65536.0,
+        |        1.0 / weight) AS key
+        |  FROM documents d JOIN w USING (source))
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "q77_token_budget_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    coalesce(sum(n_tok) OVER (
+        |      PARTITION BY source ORDER BY md5('cap:' || doc_id), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CASE WHEN length(trim(text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |    FROM documents))
+        |WHERE cum < 800 ORDER BY doc_id""".stripMargin
   )
 }
