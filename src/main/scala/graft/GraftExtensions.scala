@@ -14,11 +14,15 @@ import graft.multimodal.{ByteHistogram, FrameSample}
   * installer for an already-running session. After registration the
   * whole function library is reachable from `spark.sql(...)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registry.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // conf-gated (spark.graft.interval.join.bin.seconds > 0): rewrites
+    // naive interval-containment joins into binned equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+  }
 }
 
 object GraftExtensions {

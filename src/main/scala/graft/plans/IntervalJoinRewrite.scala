@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
+
+/** Catalyst rewrite of naive interval-containment joins into the binned
+  * equi-join of [[graft.ops.RangeJoin]] — so a user who writes the
+  * natural spelling
+  *
+  *   points.join(ranges, pt >= start && pt < end)
+  *
+  * gets the scale plan without knowing the trick exists. Catalyst can
+  * only execute a no-equi-key join as a broadcast nested loop (or a
+  * cartesian product), which is O(|points|·|ranges|) compares and
+  * requires one side in memory whole; the rewrite lands the same rows
+  * via an equi-join on a time bin plus the original predicate as a
+  * residual filter. Because each point owns exactly ONE bin, a matching
+  * pair meets in exactly one bin and no dedup is needed — the rewrite
+  * is row-for-row semantics-preserving (IntervalJoinRewriteSpec compares
+  * against the unrewritten join).
+  *
+  * Opt-in: set `spark.graft.interval.join.bin.seconds` to a positive
+  * bin width (choose ≈ the median range span). The rule fires only on
+  * INNER joins whose condition contains a `pt >= start` / `pt < end`
+  * (or `<=`/`BETWEEN`-style) conjunct pair over TimestampType columns
+  * from opposite sides and NO cross-side equality conjunct — if an equi
+  * key exists Catalyst already plans a hash join and the range predicate
+  * rides along as an extra condition. Idempotent by the same test: the
+  * rewritten join has an equality conjunct, so it never matches again
+  * (required — injected optimizer rules run inside a fixed-point batch).
+  *
+  * Installed via `spark.sql.extensions=graft.GraftExtensions`
+  * (cluster) or `spark.experimental.extraOptimizations` (session). */
+object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val binConfKey = "spark.graft.interval.join.bin.seconds"
+
+  private def binSeconds: Long =
+    conf.getConfString(binConfKey, "0").toLong
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val bin = binSeconds
+    if (bin <= 0) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        rewrite(j, cond, bin).getOrElse(j)
+    }
+  }
+
+  /** pt >= start (either spelled direction). */
+  private object GeqPair {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case GreaterThanOrEqual(pt, start) => Some((pt, start))
+      case LessThanOrEqual(start, pt) => Some((pt, start))
+      case _ => None
+    }
+  }
+
+  /** pt < end (either spelled direction). */
+  private object LtPair {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThan(pt, end) => Some((pt, end))
+      case GreaterThan(end, pt) => Some((pt, end))
+      case _ => None
+    }
+  }
+
+  private def rewrite(j: Join, cond: Expression, binSeconds: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def fromOneSide(e: Expression, side: LogicalPlan): Boolean =
+      e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
+        e.deterministic && e.dataType == TimestampType
+    def crossSideEquality(e: Expression): Boolean = e match {
+      case EqualTo(l, r) =>
+        (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+          (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet))
+      case EqualNullSafe(l, r) =>
+        (l.references.subsetOf(j.left.outputSet) && r.references.subsetOf(j.right.outputSet)) ||
+          (l.references.subsetOf(j.right.outputSet) && r.references.subsetOf(j.left.outputSet))
+      case _ => false
+    }
+    if (conjuncts.exists(crossSideEquality)) return None
+
+    // find the containment pair: same pt on both conjuncts, start/end
+    // from the opposite side (points may sit on either input)
+    val candidates = for {
+      GeqPair(pt1, start) <- conjuncts
+      LtPair(pt2, end) <- conjuncts
+      if pt1.semanticEquals(pt2)
+      (ptSide, rangeSide) <- Seq((j.left, j.right), (j.right, j.left))
+      if fromOneSide(pt1, ptSide) && fromOneSide(start, rangeSide) &&
+        fromOneSide(end, rangeSide)
+    } yield (pt1, start, end, ptSide, rangeSide)
+
+    candidates.headOption.map { case (pt, start, end, ptSide, rangeSide) =>
+      val binMicros = Literal(binSeconds * 1000000L)
+      // floor(unix_micros(ts) / binMicros) — double division + Floor,
+      // the exact arithmetic of RangeJoin.binnedIntervalJoin (true
+      // floor, correct for pre-epoch timestamps where integral division
+      // would truncate toward zero)
+      def binOf(ts: Expression): Expression =
+        Cast(Floor(Divide(Cast(UnixMicros(ts), DoubleType),
+          Cast(binMicros, DoubleType))), LongType)
+
+      val ptBin = Alias(binOf(pt), "__graft_bin_pt")()
+      val ptPlan = Project(ptSide.output :+ ptBin, ptSide)
+
+      val rangeBinAttr = AttributeReference("__graft_bin_rg", LongType,
+        nullable = true)()
+      val rangePlan = Generate(
+        // Sequence is TimeZoneAwareExpression: without an explicit
+        // timeZoneId it reports unresolved and fails plan validation,
+        // even over plain longs
+        Explode(Sequence(binOf(start), binOf(end), None,
+          Some(conf.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(rangeBinAttr),
+        // inverted/empty ranges match nothing; drop them BEFORE the
+        // explode — Sequence raises on a descending span
+        Filter(GreaterThan(end, start), rangeSide))
+
+      val equiJoin = Join(ptPlan, rangePlan, Inner,
+        Some(EqualTo(ptBin.toAttribute, rangeBinAttr)), j.hint)
+      // the ORIGINAL condition re-verifies every candidate (and carries
+      // any residual conjuncts beyond the containment pair)
+      Project(j.output, Filter(cond, equiJoin))
+    }
+  }
+}
