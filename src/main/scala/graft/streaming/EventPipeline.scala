@@ -108,6 +108,31 @@ object EventPipeline {
       events.withWatermark("ts", watermark).as[RawEvent], gapSeconds)
   }
 
+  /** Watermarked stream-stream event-time join (the attribution shape:
+    * match each right-side event to left-side events for the same key
+    * within `[leftTs, leftTs + withinSeconds]`). Spark plans this as a
+    * streaming symmetric hash join; the BOTH-side watermarks plus the
+    * time-range condition are what let it EVICT state — without them
+    * each side's join state grows forever, the classic stream-join
+    * leak. Works identically over static frames (the batch twin is an
+    * ordinary non-equi conjunct on an equi-join, which at batch scale
+    * is [[graft.ops.RangeJoin]]'s territory when no equi key exists).
+    *
+    * Column names must be disjoint apart from the join keys; both ts
+    * columns must be event-time timestamps. `watermark` bounds how
+    * late either side may arrive (e.g. "10 minutes"). */
+  def eventTimeJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      withinSeconds: Long, watermark: String): DataFrame = {
+    require(withinSeconds > 0, s"withinSeconds must be positive: $withinSeconds")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
+
   /** foreachBatch body: merge a micro-batch into the keyed table at
     * `tablePath` (create on first batch). Parquet overwrite of the merged
     * result — at cluster scale this table would be bucketed by the key so

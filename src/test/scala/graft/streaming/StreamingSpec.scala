@@ -97,6 +97,32 @@ class StreamingSpec extends SparkTestBase {
     assert(!ingested.contains(4L), "cross-batch near-dup must be rejected")
   }
 
+  test("stream-stream event-time join matches within the window, evicts outside") {
+    implicit val sql = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val impressions = MemoryStream[(Long, String, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = EventPipeline.eventTimeJoin(
+      impressions.toDF().toDF("imp_user", "ad", "imp_ts"),
+      clicks.toDF().toDF("click_user", "click_ts"),
+      "imp_user", "click_user", "imp_ts", "click_ts",
+      withinSeconds = 1800, watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    impressions.addData(Seq(
+      (1L, "adA", t("2024-01-01 10:00:00")),
+      (2L, "adB", t("2024-01-01 10:00:00"))))
+    clicks.addData(Seq(
+      (1L, t("2024-01-01 10:10:00")), // within 30 min: attributed
+      (2L, t("2024-01-01 11:30:00")), // 90 min later: outside the window
+      (3L, t("2024-01-01 10:05:00")))) // no impression for this user
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_out")
+      .select("imp_user", "ad").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "adA")), s"got $rows")
+  }
+
   test("merge is idempotent (re-applying a batch is a no-op)") {
     val base = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val batch = Seq((2L, "Y"), (3L, "z")).toDF("id", "v")
