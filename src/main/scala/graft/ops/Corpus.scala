@@ -236,7 +236,8 @@ object Corpus {
     val key = when(weightCol > 0, pow(u, lit(1.0) / weightCol)).otherwise(-1.0)
     val winners = docs
       .groupBy(col(groupCol))
-      .agg(graft.functions.topKByScore(key, col(idCol), k).as("w"))
+      // id cast to long up front: the heap kernel evals raw longs
+      .agg(graft.functions.topKByScore(key, col(idCol).cast("long"), k).as("w"))
       .select(explode(col("w.id")).as(idCol))
     docs.join(winners, Seq(idCol), "left_semi")
   }

@@ -36,6 +36,8 @@ object RangeJoin {
       ptCol: String, startCol: String, endCol: String,
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    require(!points.columns.contains("__bin") && !ranges.columns.contains("__bin"),
+      "binnedIntervalJoin reserves column __bin")
     val binMicros = binSeconds * 1000000L
     def binOf(tsCol: String) = floor(unix_micros(col(tsCol)) / binMicros)
     val binnedPts = points.withColumn("__bin", binOf(ptCol))

@@ -133,6 +133,15 @@ object SqlQueries {
     // output file covers a compact (x, y) rectangle and parquet min/max
     // stats prune scans on EITHER dimension (LayoutSpec proves the
     // bounding-box tightening vs an id-ordered layout)
+    // Column profiling (ops/Profile): one aggregation pass computes
+    // every column's stats; exact-distinct mode here for oracle parity
+    // (the approx HLL++ mode is the 100 TB default, tested in OpsSpec)
+    "q78_profile" -> ((s, dir) => {
+      graft.ops.Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_returnflag", "l_shipdate"), approxDistinct = false)
+        .orderBy(col("col_name"))
+    }),
+
     "q72_zorder" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -196,6 +205,26 @@ object SqlQueries {
         |  translate(p_name, 'aeo', 'áéō') AS accented,
         |  strip_accents(translate(p_name, 'aeo', 'áéō')) AS plain
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q78_profile" ->
+      """SELECT col_name, n, n_null, n_distinct, min, max FROM (
+        |  SELECT 'l_orderkey' AS col_name, count(*) AS n,
+        |    count(*) - count(l_orderkey) AS n_null,
+        |    count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |    count(DISTINCT l_shipdate),
+        |    CAST(min(CAST(l_shipdate AS TIMESTAMP)) AS VARCHAR),
+        |    CAST(max(CAST(l_shipdate AS TIMESTAMP)) AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin,
     // the same four magic-mask Morton spreading steps as Layout.spread16,
     // spelled as chained CTEs over BIGINT bit ops
     "q72_zorder" ->

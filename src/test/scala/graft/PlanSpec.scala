@@ -179,6 +179,29 @@ class PlanSpec extends SparkTestBase {
       "boilerplate set not broadcast into the anti join")
   }
 
+  test("q74 shared windows: one corpus scan, hash exchange, no cartesian") {
+    val p = plan(SparkEntry.queries("q74_shared_windows")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "window-gram candidates must group on the gram hash, not cross join")
+    // the bucket aggregate is the bounded heap, not collect_list
+    assert(p.contains("collect_min_k"), "capped bucket kernel missing")
+  }
+
+  test("q76 weighted sample: heap top-k aggregates partially, no window sort") {
+    val p = plan(SparkEntry.queries("q76_weighted_sample")(spark, sf))
+    assert(p.contains("topkbyscore") || p.contains("TopKByScore") ||
+      p.contains("topk_by_score"), s"heap aggregate missing:\n$p")
+    assert(p.contains("partial_"), "top-k must partially aggregate map-side")
+    assert(!p.contains("Window"), "weighted sample fell back to a window rank")
+  }
+
+  test("q77 token budget cap: per-source window, never a single partition") {
+    val p = plan(SparkEntry.queries("q77_token_budget_cap")(spark, sf))
+    assert(p.contains("Window"), "running-sum window missing")
+    assert(!p.contains("SinglePartition"),
+      "budget window collapsed to a single partition — not parallel by source")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(

@@ -155,6 +155,22 @@ class OpsSpec extends SparkTestBase {
     assert(loose.get((1L, 3L)).contains(1L))
   }
 
+  test("profile: exact stats, null counting, and approx within HLL error") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (3L, null),
+      (null, "a"), (2L, "c")).toDF("k", "v")
+    val rows = Profile.profile(df, Seq("k", "v"), approxDistinct = false)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(rows("k") == ((5L, 1L, 3L, "1", "3")))
+    assert(rows("v") == ((5L, 1L, 3L, "a", "c")))
+    // approx mode: same shape, distinct within HLL++ tolerance
+    val approx = Profile.profile(df, Seq("k"), approxDistinct = true)
+      .collect().head
+    assert(math.abs(approx.getLong(3) - 3L) <= 1)
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
+  }
+
   test("applyDedupBest keeps the highest-score member, ties to min id") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
