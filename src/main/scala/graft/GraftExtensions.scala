@@ -36,6 +36,8 @@ object GraftExtensions {
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "uuid5" -> (es => Uuid5(es.head)),
     "unaccent" -> (es => Unaccent(es.head)),
+    "normalize_nfc" -> (es => NormalizeUnicode(es.head, "NFC")),
+    "normalize_nfkc" -> (es => NormalizeUnicode(es.head, "NFKC")),
     "fuzz_ratio" -> (es => FuzzRatio(es(0), es(1))),
     "fuzz_partial_ratio" -> (es => PartialRatio(es(0), es(1))),
     "wratio" -> (es => WRatioScore(es(0), es(1))),

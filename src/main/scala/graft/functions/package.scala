@@ -32,6 +32,13 @@ package object functions {
     * (reference: scripts/bills/vote_matching.py:88-92). */
   def unaccent(c: Column): Column = expr2col(Unaccent(col2expr(c)))
 
+  /** Unicode NFC canonicalization (composed form) — run before exact
+    * dedup / line hashing / gram computation on web text. */
+  def normalizeNfc(c: Column): Column = expr2col(NormalizeUnicode(col2expr(c), "NFC"))
+
+  /** Unicode NFKC compatibility folding (ligatures, full-width forms). */
+  def normalizeNfkc(c: Column): Column = expr2col(NormalizeUnicode(col2expr(c), "NFKC"))
+
   // ---------------------------------------------------------------------
   // String / id functions (SURVEY §2.7)
   // ---------------------------------------------------------------------

@@ -52,4 +52,38 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: every `a` interval matched to every `b`
+    * interval it overlaps (half-open: `aStart < bEnd && bStart < aEnd`).
+    * The interval×interval generalization of [[binnedIntervalJoin]] —
+    * overlapping sessions, co-occurrence windows, temporal containment.
+    *
+    * Both sides explode into covered bins and equi-join on the bin; an
+    * overlapping pair shares every bin of its (non-empty) intersection,
+    * so it would meet once per shared bin — the FIRST-shared-bin guard
+    * (`__bin == greatest(a's start bin, b's start bin)`) keeps exactly
+    * one meeting per pair, making the join dedup-free: no
+    * `dropDuplicates` exchange over the candidate set. Inverted/empty
+    * intervals are dropped before the explode. Column names must not
+    * collide across inputs. */
+  def binnedOverlapJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      binSeconds: Long): DataFrame = {
+    require(binSeconds > 0, s"binSeconds must be positive: $binSeconds")
+    val reserved = Seq("__bin", "__sa", "__sb")
+    require(!reserved.exists(c => a.columns.contains(c) || b.columns.contains(c)),
+      s"binnedOverlapJoin reserves columns ${reserved.mkString(", ")}")
+    val binMicros = binSeconds * 1000000L
+    def binOf(tsCol: String) = floor(unix_micros(col(tsCol)) / binMicros)
+    val aBinned = a.filter(col(aEnd) > col(aStart))
+      .withColumn("__sa", binOf(aStart))
+      .withColumn("__bin", explode(sequence(col("__sa"), binOf(aEnd))))
+    val bBinned = b.filter(col(bEnd) > col(bStart))
+      .withColumn("__sb", binOf(bStart))
+      .withColumn("__bin", explode(sequence(col("__sb"), binOf(bEnd))))
+    aBinned.join(bBinned, Seq("__bin"))
+      .filter(col("__bin") === greatest(col("__sa"), col("__sb")))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .drop("__bin", "__sa", "__sb")
+  }
 }

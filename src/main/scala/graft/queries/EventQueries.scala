@@ -73,6 +73,22 @@ object EventQueries {
         .orderBy(col("p_start"))
     }),
 
+    // Interval-OVERLAP join (ops/RangeJoin.binnedOverlapJoin): daily
+    // 30-hour windows vs 12-hour-shifted 24-hour windows — every pair
+    // meets in exactly its first shared bin (no dedup exchange), the
+    // exact predicate verifies
+    "q80_overlap_join" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day")).distinct()
+      val a = days.select(col("day").as("a_start"),
+        (col("day") + expr("INTERVAL 30 HOURS")).as("a_end"))
+      val b = days.select((col("day") + expr("INTERVAL 12 HOURS")).as("b_start"),
+        (col("day") + expr("INTERVAL 36 HOURS")).as("b_end"))
+      graft.ops.RangeJoin.binnedOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", binSeconds = 6 * 3600)
+        .orderBy(col("a_start"), col("b_start"))
+    }),
+
     // SCD2 dimension build from a change log (warehouse/Warehouse
     // scd2FromLog): per-user event_type state runs with half-open
     // validity intervals; consecutive same-state rows collapse
@@ -125,6 +141,16 @@ object EventQueries {
         |  round(sum(value), 2) AS sum_value
         |FROM ev e JOIN periods p ON e.ts >= p.p_start AND e.ts < p.p_end
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q80_overlap_join" ->
+      """WITH days AS (
+        |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        |a AS (SELECT day AS a_start, day + INTERVAL 30 HOUR AS a_end FROM days),
+        |b AS (SELECT day + INTERVAL 12 HOUR AS b_start,
+        |             day + INTERVAL 36 HOUR AS b_end FROM days)
+        |SELECT a_start, a_end, b_start, b_end FROM a, b
+        |WHERE a_start < b_end AND b_start < a_end
+        |ORDER BY a_start, b_start""".stripMargin,
     "q70_scd2" ->
       """WITH log AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -133,6 +133,19 @@ object SqlQueries {
     // output file covers a compact (x, y) rectangle and parquet min/max
     // stats prune scans on EITHER dimension (LayoutSpec proves the
     // bounding-box tightening vs an id-ordered layout)
+    // Unicode NFC canonicalization (codegen NormalizeUnicode): the same
+    // visible string in composed vs decomposed form breaks exact dedup /
+    // line hashing / grams until canonicalized — the input appends a
+    // decomposed "café" (e + U+0301), the output re-composes it
+    "q79_normalize" -> ((s, dir) => {
+      val decomposed = concat(col("p_name"), lit(" café"))
+      t(s, dir, "part").select(col("p_partkey"),
+        length(decomposed).as("len_raw"),
+        normalizeNfc(decomposed).as("nfc"),
+        length(normalizeNfc(decomposed)).as("len_nfc"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Column profiling (ops/Profile): one aggregation pass computes
     // every column's stats; exact-distinct mode here for oracle parity
     // (the approx HLL++ mode is the 100 TB default, tested in OpsSpec)
@@ -205,6 +218,12 @@ object SqlQueries {
         |  translate(p_name, 'aeo', 'áéō') AS accented,
         |  strip_accents(translate(p_name, 'aeo', 'áéō')) AS plain
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q79_normalize" ->
+      ("""SELECT p_partkey,
+        |  length(p_name || ' cafe""" + "́" + """') AS len_raw,
+        |  nfc_normalize(p_name || ' cafe""" + "́" + """') AS nfc,
+        |  length(nfc_normalize(p_name || ' cafe""" + "́" + """')) AS len_nfc
+        |FROM part ORDER BY p_partkey""").stripMargin,
     "q78_profile" ->
       """SELECT col_name, n, n_null, n_distinct, min, max FROM (
         |  SELECT 'l_orderkey' AS col_name, count(*) AS n,

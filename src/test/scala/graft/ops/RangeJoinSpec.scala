@@ -59,6 +59,31 @@ class RangeJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("overlap join equals the naive overlap join, each pair exactly once") {
+    val a = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-02 06:00:00")),
+      (2L, ts("2024-01-03 00:00:00"), ts("2024-01-03 01:00:00")),
+      (3L, ts("2024-01-05 00:00:00"), ts("2024-01-04 00:00:00"))) // inverted
+      .toDF("aid", "a_start", "a_end")
+    val b = Seq(
+      (10L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")), // inside 1
+      (11L, ts("2024-01-02 00:00:00"), ts("2024-01-04 00:00:00")), // overlaps 1 and 2
+      (12L, ts("2024-01-02 06:00:00"), ts("2024-01-02 07:00:00")), // abuts 1 (half-open: no)
+      (13L, ts("2024-01-10 00:00:00"), ts("2024-01-11 00:00:00"))) // disjoint
+      .toDF("bid", "b_start", "b_end")
+    val naive = a.filter(col("a_end") > col("a_start")).join(b,
+      col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(naive == Set((1L, 10L), (1L, 11L), (2L, 11L)))
+    for (w <- Seq(3600L, 6 * 3600L, 7 * 86400L)) {
+      val rows = RangeJoin.binnedOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", w)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(rows.length == rows.distinct.length, s"duplicate pairs at bin $w")
+      assert(rows.toSet == naive, s"binSeconds=$w")
+    }
+  }
+
   test("rejects a non-positive bin width") {
     intercept[IllegalArgumentException] {
       RangeJoin.binnedIntervalJoin(points, ranges, "pt", "r_start", "r_end", 0)
