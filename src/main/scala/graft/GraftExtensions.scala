@@ -38,6 +38,7 @@ object GraftExtensions {
     "unaccent" -> (es => Unaccent(es.head)),
     "normalize_nfc" -> (es => NormalizeUnicode(es.head, "NFC")),
     "normalize_nfkc" -> (es => NormalizeUnicode(es.head, "NFKC")),
+    "compression_ratio" -> (es => CompressionRatio(es.head)),
     "fuzz_ratio" -> (es => FuzzRatio(es(0), es(1))),
     "fuzz_partial_ratio" -> (es => PartialRatio(es(0), es(1))),
     "wratio" -> (es => WRatioScore(es(0), es(1))),

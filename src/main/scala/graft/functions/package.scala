@@ -39,6 +39,10 @@ package object functions {
   /** Unicode NFKC compatibility folding (ligatures, full-width forms). */
   def normalizeNfkc(c: Column): Column = expr2col(NormalizeUnicode(col2expr(c), "NFKC"))
 
+  /** Deflate compressed/raw byte ratio — information-theoretic quality
+    * signal (low = repetitive boilerplate, ~1 = high-entropy noise). */
+  def compressionRatio(c: Column): Column = expr2col(CompressionRatio(col2expr(c)))
+
   // ---------------------------------------------------------------------
   // String / id functions (SURVEY §2.7)
   // ---------------------------------------------------------------------

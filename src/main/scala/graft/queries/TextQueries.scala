@@ -117,6 +117,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deflate-ratio quality signal (codegen CompressionRatio): natural
+    // prose vs the same text made degenerate by self-repetition — the
+    // information-theoretic filter next to q22's lexical score. No
+    // DuckDB deflate exists, so this is golden-pinned, with the
+    // repetition-monotonicity semantics tested in FunctionsSpec
+    "q81_compression_ratio" -> ((s, dir) => {
+      val repeated = concat_ws(" ", col("text"), col("text"), col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        round(compressionRatio(col("text")), 4).as("ratio"),
+        round(compressionRatio(repeated), 4).as("ratio_3x"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F12 — multi-format date parsing (ISO datetime, else bare date)
     "q28_flexible_dates" -> ((s, dir) => {
       val raw = t(s, dir, "orders").withColumn("date_str",

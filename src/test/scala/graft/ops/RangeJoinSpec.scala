@@ -84,6 +84,42 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("randomized equivalence with the naive joins (seeded, 3 bin widths)") {
+    val rnd = new scala.util.Random(20260813L)
+    def randTs() = ts("2024-01-01 00:00:00").getTime + rnd.nextInt(14 * 86400) * 1000L
+    val pts = (1 to 300).map(i => (i.toLong, new Timestamp(randTs())))
+      .toDF("pid", "pt")
+    val rgs = (1 to 80).map { i =>
+      val s = randTs()
+      // mix of empty, short, and multi-day spans (some inverted)
+      (i.toLong + 1000, new Timestamp(s), new Timestamp(s + (rnd.nextInt(9) - 1) * 43200L * 1000L))
+    }.toDF("rid", "r_start", "r_end")
+    val naivePt = pts.join(rgs, col("pt") >= col("r_start") && col("pt") < col("r_end"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    val a = rgs.toDF("aid", "a_start", "a_end")
+    val b = rgs.select((col("rid") + 5000).as("bid"),
+      col("r_start").as("b_start"), col("r_end").as("b_end"))
+    // an inverted interval is EMPTY and overlaps nothing, but the raw
+    // predicate a_start < b_end && b_start < a_end can still hold for
+    // one — the naive reference must filter both sides like the op does
+    val naiveOv = a.filter(col("a_end") > col("a_start"))
+      .join(b.filter(col("b_end") > col("b_start")),
+        col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(naivePt.nonEmpty && naiveOv.nonEmpty, "degenerate random fixture")
+    for (w <- Seq(3600L, 21600L, 3 * 86400L)) {
+      val gotPt = RangeJoin.binnedIntervalJoin(pts, rgs, "pt", "r_start", "r_end", w)
+        .select("pid", "rid").as[(Long, Long)].collect()
+      assert(gotPt.length == gotPt.distinct.length, s"interval dup at $w")
+      assert(gotPt.toSet == naivePt, s"interval mismatch at binSeconds=$w")
+      val gotOv = RangeJoin.binnedOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", w)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      assert(gotOv.length == gotOv.distinct.length, s"overlap dup at $w")
+      assert(gotOv.toSet == naiveOv, s"overlap mismatch at binSeconds=$w")
+    }
+  }
+
   test("rejects a non-positive bin width") {
     intercept[IllegalArgumentException] {
       RangeJoin.binnedIntervalJoin(points, ranges, "pt", "r_start", "r_end", 0)
