@@ -88,7 +88,16 @@ object Corpus {
     * Bloom false positive can never inflate a count — output is
     * value-identical to [[contamination]]. The exact-verify join shuffles
     * the bench grams once; the probe side that reaches it is the survivor
-    * set, not the corpus. */
+    * set, not the corpus.
+    *
+    * Cost accounting vs [[contamination]] (the recompute-over-cache
+    * stance this library takes everywhere): the probe side is shingled
+    * twice (n_grams aggregate + prefilter branch) and the bench side
+    * twice (sketch build + exact verify) — the win is that neither the
+    * bench gram set nor the probe stream is ever a broadcast build side;
+    * sketch construction is also an EAGER action (the one driver collect
+    * a sketch literal requires), unlike the library's otherwise-lazy
+    * ops. */
   def contaminationBloom(docs: DataFrame, isBench: Column, idCol: String,
       textCol: String, n: Int, expectedItems: Long = 1L << 20): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
@@ -151,9 +160,11 @@ object Corpus {
     * output is the surviving rows, reassembly stays composable. Scale
     * shape: the frequency pass groups by a 64-bit line hash, so the wide
     * exchange carries (8-byte hash, id) pairs instead of full line text;
-    * the boilerplate set that survives `>= minDocs` is tiny by
-    * construction (it's the TAIL of the line-frequency distribution) and
-    * broadcasts into a map-side anti join. An xxhash64 collision could
+    * the boilerplate set that survives `>= minDocs` is tiny for
+    * chrome-level thresholds (it's the TAIL of the line-frequency
+    * distribution) and AQE broadcasts the anti join at runtime — the
+    * broadcast is deliberately not forced (see in-code note on small
+    * minDocs). An xxhash64 collision could
     * drop an innocent line alongside a boilerplate one — at 2^-64 per
     * pair that is noise against a 100 TB corpus' real near-dup rate. */
   def stripBoilerplate(docLines: DataFrame, idCol: String, lineCol: String,
@@ -166,8 +177,24 @@ object Corpus {
       .agg(count_distinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__lh")
-    hashed.join(broadcast(boiler), Seq("__lh"), "left_anti").drop("__lh")
+    // no forced broadcast: the >=minDocs tail is tiny for chrome-level
+    // thresholds, but at minDocs near 2 it is "every line any two docs
+    // share" — corpus-sized. AQE picks the broadcast at runtime when the
+    // set measures small and falls back to a shuffle join when it isn't,
+    // instead of a forced-broadcast OOM
+    hashed.join(boiler, Seq("__lh"), "left_anti").drop("__lh")
   }
+
+  /** Inverse of the exploded (doc, pos, line) form the line-level ops
+    * consume: reassemble each doc's surviving lines in original order.
+    * The ONE implementation of the sort-and-join idiom shared by
+    * [[graft.pipelines.CorpusPipeline]] and the q60/q69 queries. */
+  def reassembleLines(docLines: DataFrame, idCol: String, posCol: String,
+      lineCol: String, outCol: String): DataFrame =
+    docLines.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(posCol), col(lineCol)))),
+        x => x.getField(lineCol)), "\n").as(outCol))
 
   /** Deterministic epoch-mixture resampling: emit each doc `n` times
     * where `n = floor(w) + Bernoulli(frac(w))` and `w` is the doc's
@@ -181,9 +208,10 @@ object Corpus {
     *
     * `weights` is a (source → weight) dimension frame, broadcast; the
     * explode is map-side, so beyond the broadcast hash join the operator
-    * is shuffle-free. Rows whose source has no weight row are dropped
-    * (inner join) — an unlisted source is a mixture-spec bug better
-    * surfaced loudly than silently weighted 1.0. Returns the input plus
+    * is shuffle-free. A source with no weight row RAISES (per-row
+    * `raise_error` woven into the weight) — an unlisted source is a
+    * mixture-spec bug, and either silent choice (dropping the source or
+    * defaulting it to 1.0) ships a wrong mixture. Returns the input plus
     * (n_copies, epoch_copy ∈ 1..n_copies). */
   def mixtureResample(docs: DataFrame, weights: DataFrame, sourceCol: String,
       weightCol: String, idCol: String, salt: String): DataFrame = {
@@ -197,10 +225,17 @@ object Corpus {
     // but rounds in DuckDB
     val draw = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
       1, 4), 16, 10).cast("long")
-    docs.join(broadcast(weights), Seq(sourceCol))
+    // LEFT join + per-row raise: an unlisted source is a mixture-spec
+    // bug (typo'd name, new crawl source added after the spec), and an
+    // inner join would silently drop that source's whole split
+    val loudW = when(w.isNull, raise_error(concat(
+      lit("mixtureResample: no weight for source "), col(sourceCol)))
+      .cast("double")).otherwise(w)
+    docs.join(broadcast(weights), Seq(sourceCol), "left")
       .withColumn("n_copies",
-        floor(w).cast("long") +
-          when(draw < floor((w - floor(w)) * 65536.0).cast("long"), 1L).otherwise(0L))
+        floor(loudW).cast("long") +
+          when(draw < floor((loudW - floor(loudW)) * 65536.0).cast("long"), 1L)
+            .otherwise(0L))
       .drop(weightCol)
       .filter(col("n_copies") > 0)
       .withColumn("epoch_copy", explode(sequence(lit(1L), col("n_copies"))))

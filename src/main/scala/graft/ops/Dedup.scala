@@ -53,6 +53,18 @@ object Dedup {
     * kernel's `array_sort(collect_list(struct))`. */
   private def cappedBuckets(banded: DataFrame, payload: Column,
       maxBucket: Int, minSize: Int = 2): DataFrame = {
+    // the heap kernel compares raw longs; a non-integral id would cast
+    // to null and SILENTLY empty every bucket ("no duplicates found" on
+    // a duplicated corpus) — reject loudly instead
+    val idType = banded.schema("id").dataType
+    val integral: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(ByteType, ShortType, IntegerType, LongType)
+    }
+    require(integral.contains(idType),
+      s"LSH bucket kernels need an integral id column, got $idType — " +
+        "map string ids to longs first (e.g. zipWithIndex / monotonically_" +
+        "increasing_id kept in a lookup table)")
     val statsName = s"graft_lsh_buckets_${statsCounter.incrementAndGet()}"
     banded.groupBy(col("bk"))
       .agg(collectMinK(col("id"), payload, maxBucket).as("g"))
@@ -68,6 +80,20 @@ object Dedup {
     * metric names unique within a query). */
   private val statsCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** In-bucket ascending (a, b) pair expansion over a capped bucket's
+    * `vs` array — the ONE implementation of the slice arithmetic every
+    * self-join LSH kernel shares (an off-by-one here corrupts all of
+    * them identically, which is the point: fix once). `withPayload`
+    * additionally carries each side's long payload as (av, bv) for
+    * kernels that verify on it (SimHash's popcount). */
+  private def selfPairs(withPayload: Boolean): Column =
+    flatten(transform(col("vs"), (x, i) =>
+      transform(slice(col("vs"), i + lit(2), size(col("vs"))), y =>
+        if (withPayload)
+          struct(x.getField("id").as("a"), y.getField("id").as("b"),
+            x.getField("v").as("av"), y.getField("v").as("bv"))
+        else struct(x.getField("id").as("a"), y.getField("id").as("b")))))
+
   /** Candidate pairs (a_id < b_id, deduped) from an exploded (id, bk)
     * banding frame: in-bucket combinations of each capped bucket's
     * ascending id list (see [[cappedBuckets]] for the bounding and
@@ -80,12 +106,9 @@ object Dedup {
     * HOF lambdas run per bucket over a handful of ids — never on the
     * hot per-document path. */
   private def bucketPairs(banded: DataFrame, maxBucket: Int = 1024): DataFrame = {
-    val combos = flatten(transform(col("vs"), (x, i) =>
-      transform(slice(col("vs"), i + lit(2), size(col("vs"))),
-        y => struct(x.getField("id").as("a"), y.getField("id").as("b")))))
     cappedBuckets(banded, col("id"), maxBucket)
       .drop("bk")
-      .select(explode(combos).as("p"))
+      .select(explode(selfPairs(withPayload = false)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
@@ -186,13 +209,10 @@ object Dedup {
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("bk"))
-    val combos = flatten(transform(col("vs"), (x, i) =>
-      transform(slice(col("vs"), i + lit(2), size(col("vs"))),
-        y => struct(x.getField("id").as("a"), y.getField("id").as("b"),
-          bit_count(x.getField("v").bitwiseXOR(y.getField("v"))).as("h")))))
     cappedBuckets(banded, col("sh"), maxBucket)
-      .select(explode(combos).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"), col("p.h").as("hamming"))
+      .select(explode(selfPairs(withPayload = true)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        bit_count(col("p.av").bitwiseXOR(col("p.bv"))).as("hamming"))
       // hamming is a pure function of the pair, so filtering BEFORE the
       // dropDuplicates exchange is equivalent — and it is the difference
       // between shuffling every in-bucket candidate (16-bit chunks
@@ -226,11 +246,8 @@ object Dedup {
       .select(col("id"), explode(array_distinct(
         graft.ops.Corpus.wordNgrams(col("t"), window))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("bk"))
-    val combos = flatten(transform(col("vs"), (x, i) =>
-      transform(slice(col("vs"), i + lit(2), size(col("vs"))),
-        y => struct(x.getField("id").as("a"), y.getField("id").as("b")))))
     cappedBuckets(banded, col("id"), maxBucket)
-      .select(explode(combos).as("p"))
+      .select(explode(selfPairs(withPayload = false)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
@@ -454,10 +471,16 @@ object Dedup {
     val comps = connectedComponents(pairs)
     val member = docs.select(col(idCol).as("id"), scoreCol.as("__score"))
       .join(comps, Seq("id"))
-    // max_by on a (score, -id) struct: highest score, then smallest id
-    val winners = member.groupBy(col("component"))
-      .agg(max_by(col("id"),
-        struct(col("__score"), (-col("id")).as("neg_id"))).as("keep_id"))
+    // two partial-agg passes instead of max_by(id, struct(score, -id)):
+    // negating the id for the tie-break only works for numeric ids (a
+    // string id negates to null → nondeterministic keeper) and overflows
+    // on Long.MinValue; max-score-then-min-id is type-agnostic
+    val best = member.groupBy(col("component")).agg(max(col("__score")).as("__best"))
+    val winners = member.join(best, Seq("component"))
+      // null-safe: a component whose scores are ALL null still keeps
+      // its min-id member instead of silently vanishing
+      .filter(col("__score") <=> col("__best"))
+      .groupBy(col("component")).agg(min(col("id")).as("keep_id"))
       .select(col("keep_id").as(idCol))
     val clustered = comps.select(col("id").as(idCol))
     docs.join(clustered, Seq(idCol), "left_anti") // singletons

@@ -24,6 +24,10 @@ object Profile {
       approxDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    // names are interpolated into the stack() selectExpr below — a quote
+    // or backtick would corrupt the generated SQL; rename-then-profile
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"profile column names must be [A-Za-z0-9_]+, got '$c' — rename first"))
     def distinctOf(c: String): Column =
       if (approxDistinct) approx_count_distinct(col(c))
       else count_distinct(col(c))

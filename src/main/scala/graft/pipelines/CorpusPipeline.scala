@@ -55,12 +55,9 @@ object CorpusPipeline {
         val lines = docs
           .select(col("doc_id"),
             posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-        val rebuilt = Corpus.stripBoilerplate(lines, "doc_id", "line",
-          boilerplateMinDocs)
-          .groupBy(col("doc_id"))
-          .agg(array_join(transform(
-            array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")), "\n").as("__clean_text"))
+        val rebuilt = Corpus.reassembleLines(
+          Corpus.stripBoilerplate(lines, "doc_id", "line", boilerplateMinDocs),
+          "doc_id", "pos", "line", "__clean_text")
         docs.drop("text")
           .join(rebuilt, Seq("doc_id"))
           .withColumnRenamed("__clean_text", "text")

@@ -38,8 +38,17 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val binConfKey = "spark.graft.interval.join.bin.seconds"
 
-  private def binSeconds: Long =
-    conf.getConfString(binConfKey, "0").toLong
+  private def binSeconds: Long = {
+    val raw = conf.getConfString(binConfKey, "0")
+    // a malformed value must not throw from inside the optimizer — that
+    // would fail EVERY query in the session, not just interval joins
+    try raw.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        logWarning(s"$binConfKey='$raw' is not a long; interval-join rewrite disabled")
+        0L
+    }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bin = binSeconds

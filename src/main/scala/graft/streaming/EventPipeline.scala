@@ -118,19 +118,24 @@ object EventPipeline {
     * ordinary non-equi conjunct on an equi-join, which at batch scale
     * is [[graft.ops.RangeJoin]]'s territory when no equi key exists).
     *
-    * Column names must be disjoint apart from the join keys; both ts
-    * columns must be event-time timestamps. `watermark` bounds how
-    * late either side may arrive (e.g. "10 minutes"). */
+    * The join keys MAY share a name (refs are dataframe-qualified);
+    * all other column names must be disjoint or downstream references
+    * to them will be ambiguous. Both ts columns must be event-time
+    * timestamps. `watermark` bounds how late either side may arrive
+    * (e.g. "10 minutes"). */
   def eventTimeJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
       withinSeconds: Long, watermark: String): DataFrame = {
     require(withinSeconds > 0, s"withinSeconds must be positive: $withinSeconds")
-    left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark),
-        col(leftKey) === col(rightKey) &&
-          col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    // dataframe-qualified refs: with a shared key name (user_id ==
+    // user_id, the documented usage) bare col() is AMBIGUOUS_REFERENCE
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
   }
 
   /** foreachBatch body: merge a micro-batch into the keyed table at

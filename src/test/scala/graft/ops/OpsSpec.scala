@@ -169,6 +169,9 @@ class OpsSpec extends SparkTestBase {
       .collect().head
     assert(math.abs(approx.getLong(3) - 3L) <= 1)
     intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
+    // quote/backtick names would corrupt the generated stack() SQL
+    val weird = df.withColumnRenamed("k", "it's")
+    intercept[IllegalArgumentException](Profile.profile(weird, Seq("it's")))
   }
 
   test("applyDedupBest keeps the highest-score member, ties to min id") {
@@ -185,6 +188,35 @@ class OpsSpec extends SparkTestBase {
     val minId = Dedup.applyDedup(docs, "doc_id", pairs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(minId == Set(1L, 7L))
+  }
+
+  test("LSH kernels reject string ids loudly instead of emitting empty pairs") {
+    // a string id would cast to null inside the long-only heap kernel
+    // and every kernel would silently report "no duplicates"
+    val docs = Seq(("doc-a", "alpha beta gamma delta epsilon zeta"),
+      ("doc-b", "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.minHashPairs(docs, "doc_id", "text").collect())
+    assert(e.getMessage.contains("integral id"))
+  }
+
+  test("applyDedupBest is deterministic for string ids (no negation tie-break)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(("b", 0.9), ("a", 0.9), ("c", 0.1), ("z", 0.5))
+      .toDF("doc_id", "score")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("a_id", "b_id")
+    val kept = Dedup.applyDedupBest(docs, "doc_id", pairs, col("score"))
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("a", "z"), s"tie must break to min string id: $kept")
+  }
+
+  test("mixtureResample raises on a source with no weight row") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "src0"), (2L, "srcX")).toDF("doc_id", "source")
+    val w = Seq(("src0", 2.0)).toDF("source", "weight")
+    val e = intercept[Exception](
+      Corpus.mixtureResample(docs, w, "source", "weight", "doc_id", "t:").collect())
+    assert(e.getMessage.contains("no weight for source"), e.getMessage)
   }
 
   test("brute-force topk: self is rank-1 with score 1") {

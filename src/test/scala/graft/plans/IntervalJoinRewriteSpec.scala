@@ -77,6 +77,21 @@ class IntervalJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("malformed bin conf disables the rule instead of failing every query") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    spark.conf.set(IntervalJoinRewrite.binConfKey, "60s")
+    try {
+      // must not throw NumberFormatException from inside the optimizer
+      val plan = naiveJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally {
+      spark.conf.unset(IntervalJoinRewrite.binConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq IntervalJoinRewrite)
+    }
+  }
+
   test("residual conjuncts survive the rewrite") {
     def joined = points.join(ranges,
       col("pt") >= col("r_start") && col("pt") < col("r_end") &&

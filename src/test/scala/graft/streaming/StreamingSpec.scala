@@ -123,6 +123,19 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, "adA")), s"got $rows")
   }
 
+  test("eventTimeJoin resolves a shared key name (dataframe-qualified refs)") {
+    // static frames exercise the same analysis path; a bare col() key
+    // comparison would throw AMBIGUOUS_REFERENCE here
+    def t(s: String) = Timestamp.valueOf(s)
+    val imps = Seq((1L, "adA", t("2024-01-01 10:00:00")))
+      .toDF("user_id", "ad", "imp_ts")
+    val clks = Seq((1L, t("2024-01-01 10:10:00")), (1L, t("2024-01-01 12:00:00")))
+      .toDF("user_id", "click_ts")
+    val out = EventPipeline.eventTimeJoin(imps, clks,
+      "user_id", "user_id", "imp_ts", "click_ts", 1800, "10 minutes")
+    assert(out.count() == 1)
+  }
+
   test("merge is idempotent (re-applying a batch is a no-op)") {
     val base = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val batch = Seq((2L, "Y"), (3L, "z")).toDF("id", "v")
