@@ -38,6 +38,29 @@ object Layout {
     spread16(x.cast("long").bitwiseAND(lit(0xFFFFL))).bitwiseOR(
       shiftleft(spread16(y.cast("long").bitwiseAND(lit(0xFFFFL))), 1))
 
+  /** N-dimensional Morton value — bit `i` of dimension `d` lands at
+    * position `i·N + d` — for layouts clustered on more than two
+    * columns (the (lat, lon, time) case). Built as a flat OR-chain of
+    * shift-and-mask terms (`bitsPerDim × N` of them): less elegant than
+    * [[zValue]]'s four magic-mask steps, but the magic constants only
+    * exist for the 2-D interleave, and the chain is still pure codegen
+    * arithmetic with no UDF. `N · bitsPerDim` must fit a positive long
+    * (≤ 63 bits); each dimension is masked into `[0, 2^bitsPerDim)`.
+    * For N = 2 this is bit-identical to [[zValue]] (LayoutSpec). */
+  def zValueN(dims: Seq[Column], bitsPerDim: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"zValueN needs at least 2 dimensions, got $n")
+    require(bitsPerDim > 0 && n * bitsPerDim <= 63,
+      s"n*bitsPerDim must be in (0, 63]: $n * $bitsPerDim")
+    val mask = (1L << bitsPerDim) - 1
+    dims.zipWithIndex.map { case (c, d) =>
+      val x = c.cast("long").bitwiseAND(lit(mask))
+      (0 until bitsPerDim).map(i =>
+        shiftleft(shiftrightunsigned(x, i).bitwiseAND(lit(1L)), i * n + d))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Cluster `df` into `numFiles` z-ordered shards on two dimension
     * columns: range-partition by z-value (sampled range bounds — no
     * global sort) and sort each shard locally so row groups inside a

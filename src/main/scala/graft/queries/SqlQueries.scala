@@ -164,8 +164,26 @@ object SqlQueries {
           (col("doc_id") % 97).as("x"), ((col("doc_id") * 7) % 89).as("y"))
         .withColumn("z", graft.ops.Layout.zValue(col("x"), col("y")))
         .orderBy(col("z"), col("doc_id"))
+    }),
+
+    // 3-D Morton clustering key (ops/Layout.zValueN) — the (lat, lon,
+    // time) layout case; flat shift-and-mask OR-chain, oracle-exact
+    // against the same chain spelled in SQL
+    "q82_zorder3" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 97).as("x"), ((col("doc_id") * 7) % 89).as("y"),
+          ((col("doc_id") * 13) % 83).as("t3"))
+        .withColumn("z", graft.ops.Layout.zValueN(
+          Seq(col("x"), col("y"), col("t3")), bitsPerDim = 8))
+        .orderBy(col("z"), col("doc_id"))
     })
   )
+
+  /** One dimension's shift-and-mask OR-chain of the 3-D Morton value,
+    * spelled in portable SQL (the q82 oracle twin of Layout.zValueN). */
+  private def sqlSpread3(c: String, d: Int, bits: Int): String =
+    (0 until bits).map(i => s"((($c >> $i) & 1) << ${i * 3 + d})").mkString(" | ")
 
   val oracle: Map[String, String] = Map(
     "q36_percentile" ->
@@ -262,6 +280,17 @@ object SqlQueries {
         |s4 AS (SELECT doc_id, x, y,
         |  ((xc | (xc << 1)) & 1431655765) AS xd, ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
         |SELECT doc_id, x, y, (xd | (yd << 1)) AS z FROM s4
-        |ORDER BY z, doc_id""".stripMargin
+        |ORDER BY z, doc_id""".stripMargin,
+    "q82_zorder3" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(doc_id % 97 AS BIGINT) AS x,
+         |         CAST((doc_id * 7) % 89 AS BIGINT) AS y,
+         |         CAST((doc_id * 13) % 83 AS BIGINT) AS t3
+         |  FROM documents)
+         |SELECT doc_id, x, y, t3,
+         |  (${sqlSpread3("x", 0, 8)}) |
+         |  (${sqlSpread3("y", 1, 8)}) |
+         |  (${sqlSpread3("t3", 2, 8)}) AS z
+         |FROM c ORDER BY z, doc_id""".stripMargin
   )
 }

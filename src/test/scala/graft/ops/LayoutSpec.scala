@@ -26,6 +26,31 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("zValueN: 2-D agrees with zValue; 3-D matches a bit-at-a-time reference") {
+    val two = Seq((21845L, 43690L), (0L, 65535L), (12345L, 54321L))
+      .toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("a"),
+        Layout.zValueN(Seq(col("x"), col("y")), 16).as("b"))
+      .as[(Long, Long)].collect()
+    two.foreach { case (a, b) => assert(a == b) }
+    def ref3(x: Long, y: Long, t: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 8)
+        z |= (((x >> i) & 1L) << (3 * i)) |
+          (((y >> i) & 1L) << (3 * i + 1)) | (((t >> i) & 1L) << (3 * i + 2))
+      z
+    }
+    val three = Seq((255L, 0L, 128L), (17L, 42L, 99L), (255L, 255L, 255L))
+      .toDF("x", "y", "t")
+      .select(col("x"), col("y"), col("t"),
+        Layout.zValueN(Seq(col("x"), col("y"), col("t")), 8).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    three.foreach { case (x, y, t, z) => assert(z == ref3(x, y, t), s"($x,$y,$t)") }
+    intercept[IllegalArgumentException](Layout.zValueN(Seq(col("x")), 8))
+    intercept[IllegalArgumentException](
+      Layout.zValueN(Seq(col("x"), col("y")), 32))
+  }
+
   test("zValue is monotone in each dimension along axis lines") {
     // fixing one coordinate, z must strictly increase with the other —
     // the property that makes min/max pruning work per dimension
