@@ -190,6 +190,26 @@ class OpsSpec extends SparkTestBase {
     assert(minId == Set(1L, 7L))
   }
 
+  test("LshBucketMetrics captures over-cap bucket truncation") {
+    val listener = LshBucketMetrics.install(spark)
+    try {
+      // 5 docs sharing one 2-word window, maxBucket=2 → truncated bucket
+      val docs = (1 to 5).map(i => (i.toLong, s"shared window tail$i"))
+        .toDF("doc_id", "text")
+      Dedup.sharedWindowPairs(docs, "doc_id", "text",
+        window = 2, minShared = 1, maxBucket = 2).collect()
+      // listener events are async on the bus — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      var stats = listener.snapshot
+      while (!stats.exists(_.overCapBuckets > 0) && System.nanoTime() < deadline) {
+        Thread.sleep(100); stats = listener.snapshot
+      }
+      val hit = stats.filter(_.overCapBuckets > 0)
+      assert(hit.nonEmpty, s"no over-cap bucket surfaced: $stats")
+      assert(hit.exists(_.maxBucketRows == 5), s"max bucket rows: $hit")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("LSH kernels reject string ids loudly instead of emitting empty pairs") {
     // a string id would cast to null inside the long-only heap kernel
     // and every kernel would silently report "no duplicates"
