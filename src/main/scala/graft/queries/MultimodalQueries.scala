@@ -41,6 +41,23 @@ object MultimodalQueries {
           size(Multimodal.frameSample(col("payload"), 64, 16)).as("n_frames"),
           length(Multimodal.resizeStub(col("payload"), 128)).as("resized_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Binary near-dup by exact shared strided frames (the multimodal
+    // dedup member): planted twins = payload + 2 trailing bytes share
+    // almost every frame; unrelated payloads share ~none (16-byte exact
+    // collisions don't happen by chance). Golden-pinned — no DuckDB twin
+    // for the capped-bucket kernel
+    "q83_binary_neardup" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"), col("payload"))
+      val twins = base
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("payload", concat(col("payload"), encode(lit(" x"), "UTF-8")))
+      Multimodal.binaryNearDups(base.unionByName(twins), "doc_id", "payload",
+        stride = 32, frameLen = 16, minShared = 2)
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 

@@ -94,6 +94,25 @@ class CorpusPipelineSpec extends SparkTestBase
     } finally out2.unpersist(blocking = true)
   }
 
+  test("unicode spelling variants collapse in exact dedup (NFC in clean stage)") {
+    import spark.implicits._
+    // pick a body that passes the pipeline's lang/quality filters, so
+    // the only question is whether the spelling variants collapse
+    val body = Tables.t(spark, sf, "documents")
+      .filter(graft.functions.langId(col("text")) =!= "und" &&
+        graft.functions.qualityScore(col("text")) >= 0.2)
+      .select("text").as[String].head()
+    // same visible text, composed vs decomposed é — without NFC these
+    // hash differently and BOTH survive exact dedup
+    val docs = Seq(
+      (1L, "caf\u00e9 " + body, "src0"),   // precomposed
+      (2L, "cafe\u0301 " + body, "src0"))  // decomposed e + combining acute
+      .toDF("doc_id", "text", "source")
+    val bench = docs.filter(lit(false)).select("text")
+    val out2 = CorpusPipeline.prepare(docs, bench)
+    assert(out2.count() == 1, "NFC variants must collapse to one doc")
+  }
+
   test("split and packing invariants hold") {
     val rows = out.select("source", "split", "bin", "n_tok", "doc_id").collect()
     assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
