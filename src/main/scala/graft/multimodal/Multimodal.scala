@@ -71,9 +71,16 @@ object Multimodal {
   def binaryNearDups(df: DataFrame, idCol: String, binCol: String,
       stride: Int = 32, frameLen: Int = 16,
       minShared: Int = 2, maxBucket: Int = 256): DataFrame = {
+    // hash BEFORE distinct: array_distinct over array<binary> takes
+    // Spark's quadratic non-hash path (BinaryType has no proper equals
+    // for the hash-set fast path) — O(frames²) byte compares per row on
+    // a megabyte payload; distinct over the longs is the hash-set path
+    // and is semantically identical modulo the xxhash64 collisions the
+    // kernel already accepts
     val banded = df.select(col(idCol).as("id"),
-      explode(array_distinct(frameSample(col(binCol), stride, frameLen))).as("frame"))
-      .select(col("id"), xxhash64(col("frame")).as("bk"))
+      explode(array_distinct(transform(
+        frameSample(col(binCol), stride, frameLen),
+        f => xxhash64(f)))).as("bk"))
     graft.ops.Dedup.countedPairs(banded, maxBucket, minShared)
   }
 }

@@ -11,12 +11,16 @@ import graft.ops.{Corpus, Dedup}
   * operators so each stage keeps its individually-tested semantics and
   * scale shape:
   *
+  *  0. Unicode NFC canonicalization — precedes every hash-based stage
+  *     (boilerplate frequency, exact dedup, LSH, decontamination) so
+  *     composed vs decomposed spellings hash identically; NFC preserves
+  *     newlines, so the line structure below is intact
   *  1. boilerplate (opt-in): newline-split lines appearing in >=
   *     `boilerplateMinDocs` distinct docs vanish corpus-wide (C4 rule;
   *     hash-keyed frequency pass + broadcast anti join); a doc that was
-  *     ALL boilerplate drops out. This runs FIRST: the cleanup stage
-  *     normalizes whitespace, which destroys the raw line structure the
-  *     rule is defined over
+  *     ALL boilerplate drops out. This runs BEFORE cleanup: whitespace
+  *     normalization destroys the raw line structure the rule is
+  *     defined over
   *  2. clean: HTML strip + entity decode, then PII redaction (map-only)
   *  3. score + filter: language-ID and quality score over the cleaned
   *     post-boilerplate text; drop unidentified or low-quality docs
@@ -46,29 +50,32 @@ object CorpusPipeline {
       maxContamination: Double = 0.5, tokenBudget: Int = 2048,
       boilerplateMinDocs: Long = 0L,
       mixtureWeights: Option[DataFrame] = None): DataFrame = {
+    // 0: Unicode canonicalization FIRST — NFC preserves newlines, so it
+    // is safe before the line-structured boilerplate stage, and it must
+    // precede BOTH hash-based stages: composed vs decomposed spellings
+    // of the same boilerplate line (or the same document) must hash
+    // identically or frequency counting and dedup silently split them
+    val normalized = docs.withColumn("text", normalizeNfc(col("text")))
+
     // 1: cross-corpus boilerplate removal (opt-in) over the RAW line
     // structure — htmlStrip normalizes \s+ to single spaces, so line
     // boundaries only exist before cleanup
     val boiled =
-      if (boilerplateMinDocs < 2) docs
+      if (boilerplateMinDocs < 2) normalized
       else {
-        val lines = docs
+        val lines = normalized
           .select(col("doc_id"),
             posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
         val rebuilt = Corpus.reassembleLines(
           Corpus.stripBoilerplate(lines, "doc_id", "line", boilerplateMinDocs),
           "doc_id", "pos", "line", "__clean_text")
-        docs.drop("text")
+        normalized.drop("text")
           .join(rebuilt, Seq("doc_id"))
           .withColumnRenamed("__clean_text", "text")
       }
 
-    // 2: scrub, one codegen'd map stage. NFC canonicalization runs FIRST
-    // inside the chain: composed vs decomposed spellings of the same
-    // visible text must hash identically or the exact-dedup and LSH
-    // stages below silently treat them as distinct documents
-    val scrubbed = boiled.withColumn("text",
-      piiScrub(htmlStrip(normalizeNfc(col("text")))))
+    // 2: scrub, one codegen'd map stage (text already NFC-canonical)
+    val scrubbed = boiled.withColumn("text", piiScrub(htmlStrip(col("text"))))
 
     // 3: score + filter
     val cleaned = scrubbed
@@ -97,7 +104,8 @@ object CorpusPipeline {
     // benchmark text gets the SAME cleanup as the corpus — n-grams must
     // be computed over identical token streams or markup/PII on either
     // side silently defeats the overlap test
-    val benchRows = bench.select(piiScrub(htmlStrip(col("text"))).as("text"))
+    val benchRows = bench
+      .select(piiScrub(htmlStrip(normalizeNfc(col("text")))).as("text"))
       .withColumn("doc_id", -row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("text"))))
       .select(col("doc_id"), col("text"), lit(true).as("is_bench"))

@@ -26,7 +26,11 @@ object JsonlExport {
     val spark = df.sparkSession
     df.repartitionByRange(shards, col(orderCol))
       .sortWithinPartitions(col(orderCol))
-      .select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      // explicit nulls: to_json drops null fields by default, which
+      // breaks a dataloader indexing the fixed schema on exactly the
+      // rows with missing keys
+      .select(to_json(struct(df.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("value"))
       .write.mode("overwrite").text(path)
     // manifest from the written files: names+bytes from the FS, rows
     // from one pass over the output
@@ -34,8 +38,12 @@ object JsonlExport {
       .groupBy(input_file_name().as("file"))
       .count().collect()
       .map(r => r.getString(0).split("/").last -> r.getLong(1)).toMap
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // Path.getFileSystem, not FileSystem.get(new URI(path)): a raw path
+    // with a space is a legal Path but an illegal URI, and the write
+    // above already succeeded — dying here would strand shards without
+    // a manifest
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)

@@ -108,6 +108,14 @@ class CorpusPipelineSpec extends SparkTestBase
       (1L, "caf\u00e9 " + body, "src0"),   // precomposed
       (2L, "cafe\u0301 " + body, "src0"))  // decomposed e + combining acute
       .toDF("doc_id", "text", "source")
+    // mechanism: the clean stage must make the two spellings
+    // BYTE-identical (count==1 alone is vacuous — the near-dup stage
+    // would collapse the single-token difference anyway)
+    val scrubbed = docs.select(graft.functions.piiScrub(
+      graft.functions.htmlStrip(
+        graft.functions.normalizeNfc(col("text")))).as("t"))
+    assert(scrubbed.distinct().count() == 1,
+      "NFC must canonicalize the spellings to identical bytes")
     val bench = docs.filter(lit(false)).select("text")
     val out2 = CorpusPipeline.prepare(docs, bench)
     assert(out2.count() == 1, "NFC variants must collapse to one doc")
