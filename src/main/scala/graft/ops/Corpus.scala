@@ -218,6 +218,20 @@ object Corpus {
     val reserved = Set("n_copies", "epoch_copy", "__draw")
     require(!docs.columns.exists(reserved),
       s"mixtureResample reserves columns ${reserved.mkString(", ")}")
+    // The weights frame is a user-supplied mixture SPEC, so validate it
+    // rather than trust it: (a) keep only (source, weight) — any extra
+    // column would silently leak into the output schema through the
+    // join; (b) a duplicated source row would multiply that source's
+    // docs before the copy-count logic runs, which is a wrong mixture,
+    // not a recoverable one — raise per-row via a window count woven
+    // into the weight value (lazy, no driver action; the frame is
+    // dimension-sized so the window exchange is negligible)
+    val dupCount = count(lit(1)).over(Window.partitionBy(col(sourceCol)))
+    val checkedWeights = weights
+      .select(col(sourceCol), col(weightCol).cast("double").as(weightCol))
+      .withColumn(weightCol, when(dupCount > 1, raise_error(concat(
+        lit("mixtureResample: duplicate weight rows for source "),
+        col(sourceCol))).cast("double")).otherwise(col(weightCol)))
     val w = col(weightCol)
     // engine-portable fractional draw: first 4 md5 hex digits as an
     // integer in [0, 65536), compared against floor(frac(w)·65536) —
@@ -231,7 +245,7 @@ object Corpus {
     val loudW = when(w.isNull, raise_error(concat(
       lit("mixtureResample: no weight for source "), col(sourceCol)))
       .cast("double")).otherwise(w)
-    docs.join(broadcast(weights), Seq(sourceCol), "left")
+    docs.join(broadcast(checkedWeights), Seq(sourceCol), "left")
       .withColumn("n_copies",
         floor(loudW).cast("long") +
           when(draw < floor((loudW - floor(loudW)) * 65536.0).cast("long"), 1L)
@@ -265,6 +279,19 @@ object Corpus {
   def weightedSample(docs: DataFrame, groupCol: String, idCol: String,
       weightCol: Column, k: Int, salt: String): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
+    // same contract as the LSH bucket kernels: the heap aggregate evals
+    // raw longs, so a non-integral id (e.g. string) would cast to null,
+    // the winner list would be all nulls, and the semi-join would
+    // return an EMPTY sample silently — reject loudly instead
+    val idType = docs.schema(idCol).dataType
+    val integral: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(ByteType, ShortType, IntegerType, LongType)
+    }
+    require(integral.contains(idType),
+      s"weightedSample needs an integral id column, got $idType — " +
+        "map string ids to longs first (e.g. zipWithIndex / monotonically_" +
+        "increasing_id kept in a lookup table)")
     // u in (0, 1): (draw + 0.5) / 65536 from the first 4 md5 hex digits
     val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
       1, 4), 16, 10).cast("double") + 0.5) / 65536.0

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval (range-containment) join: every point row is matched to
@@ -23,8 +23,36 @@ import org.apache.spark.sql.functions._
   * rows; pick `binSeconds` near the median range span so typical ranges
   * explode into ~2 bins. A hot bin (event burst) is ordinary equi-join
   * skew — AQE's skew-join split applies, no custom salting needed.
+  *
+  * Every explode is capped at [[RangeJoin.MaxBinsPerRange]] bins per
+  * row: one open-ended or sentinel-dated range (end = 9999-12-31) with
+  * a small bin width would otherwise materialize a multi-billion-element
+  * sequence and OOM an executor. A row over the cap RAISES (per-row,
+  * lazy) rather than being clamped or dropped — a sentinel date in the
+  * range side is a data bug upstream filtering must resolve, and either
+  * silent choice (truncating the range's coverage or skipping it)
+  * silently loses matches.
   */
 object RangeJoin {
+
+  /** Upper bound on bins a single range row may explode into — 5–6
+    * orders of magnitude above the ~2-bin design point, so it only
+    * fires on genuinely pathological spans (a sentinel end = 9999-12-31
+    * against a 1-second bin is ~2.5e11 bins), while capping the
+    * worst-case explode memory at ~8 MB/row. A deliberately-mismatched
+    * bin width (stress tests, exploratory queries) stays under it. */
+  val MaxBinsPerRange: Long = 1L << 20
+
+  /** `endBin` guarded by the per-row cap: raises with the offending
+    * span instead of exploding an unbounded sequence. */
+  private def cappedEndBin(startBin: Column, endBin: Column): Column =
+    when(endBin - startBin >= MaxBinsPerRange,
+      raise_error(concat(
+        lit(s"range spans more than $MaxBinsPerRange bins ("),
+        endBin - startBin + 1,
+        lit(" ) — filter sentinel/open-ended ranges or raise binSeconds")))
+        .cast("long"))
+      .otherwise(endBin)
 
   /** Inner interval join of timestamp `ptCol` in `points` against
     * `[startCol, endCol)` in `ranges` via the binned equi-join above.
@@ -47,7 +75,8 @@ object RangeJoin {
       // still owns that boundary instant's bin-mates below it; covering
       // bins floor(start/W)..floor(end/W) errs one bin wide at worst —
       // the exact predicate prunes it
-      .withColumn("__bin", explode(sequence(binOf(startCol), binOf(endCol))))
+      .withColumn("__bin", explode(sequence(binOf(startCol),
+        cappedEndBin(binOf(startCol), binOf(endCol)))))
     binnedPts.join(binnedRanges, Seq("__bin"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bin")
@@ -77,10 +106,12 @@ object RangeJoin {
     def binOf(tsCol: String) = floor(unix_micros(col(tsCol)) / binMicros)
     val aBinned = a.filter(col(aEnd) > col(aStart))
       .withColumn("__sa", binOf(aStart))
-      .withColumn("__bin", explode(sequence(col("__sa"), binOf(aEnd))))
+      .withColumn("__bin", explode(sequence(col("__sa"),
+        cappedEndBin(col("__sa"), binOf(aEnd)))))
     val bBinned = b.filter(col(bEnd) > col(bStart))
       .withColumn("__sb", binOf(bStart))
-      .withColumn("__bin", explode(sequence(col("__sb"), binOf(bEnd))))
+      .withColumn("__bin", explode(sequence(col("__sb"),
+        cappedEndBin(col("__sb"), binOf(bEnd)))))
     aBinned.join(bBinned, Seq("__bin"))
       .filter(col("__bin") === greatest(col("__sa"), col("__sb")))
       .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))

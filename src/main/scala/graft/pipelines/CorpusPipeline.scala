@@ -132,6 +132,19 @@ object CorpusPipeline {
     val epoch = mixtureWeights match {
       case None => splitDocs.withColumn("__ord", col("doc_id"))
       case Some(w) =>
+        // the arithmetic fold needs an integral doc_id (a string id
+        // would multiply to NULL, making pack order nondeterministic)
+        // and ×64 headroom (silent overflow would interleave copies) —
+        // both rejected loudly, same contract as the LSH id guards
+        val idType = splitDocs.schema("doc_id").dataType
+        val integral: Set[org.apache.spark.sql.types.DataType] = {
+          import org.apache.spark.sql.types._
+          Set(ByteType, ShortType, IntegerType, LongType)
+        }
+        require(integral.contains(idType),
+          s"mixture packing needs an integral doc_id, got $idType — " +
+            "map string ids to longs first")
+        val maxFoldable = Long.MaxValue / 64
         val train = Corpus.mixtureResample(
           splitDocs.filter(col("split") === "train"),
           w, "source", "weight", "doc_id", "epoch:")
@@ -140,9 +153,12 @@ object CorpusPipeline {
           .withColumn("epoch_copy", lit(1L))
         train.unionByName(rest)
           .withColumn("__ord",
-            when(col("n_copies") < 64,
-              col("doc_id") * 64 + col("epoch_copy"))
-              .otherwise(raise_error(lit("mixture weight >= 64 unsupported"))))
+            when(col("n_copies") >= 64,
+              raise_error(lit("mixture weight >= 64 unsupported")).cast("long"))
+              .when(col("doc_id") > maxFoldable || col("doc_id") < -maxFoldable,
+                raise_error(lit("doc_id overflows the ×64 pack-order fold"))
+                  .cast("long"))
+              .otherwise(col("doc_id") * 64 + col("epoch_copy")))
     }
 
     // 9: pack per (source, split) shard — a packed bin is a training

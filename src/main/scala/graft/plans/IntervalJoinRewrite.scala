@@ -23,7 +23,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * against the unrewritten join).
   *
   * Opt-in: set `spark.graft.interval.join.bin.seconds` to a positive
-  * bin width (choose ≈ the median range span). The rule fires only on
+  * bin width (choose ≈ the median range span). Like the hand-written
+  * operator, the rewrite caps each range row's explode at
+  * [[graft.ops.RangeJoin.MaxBinsPerRange]] bins and RAISES on a wider
+  * span — without the cap, rewriting a sentinel-dated range
+  * (end = 9999-12-31) would turn a working-but-slow nested-loop join
+  * into an executor OOM; with it, the failure is loud and names the
+  * fix (filter the sentinel rows or raise the bin width).
+  * The rule fires only on
   * INNER joins whose condition contains a `pt >= start` / `pt < end`
   * (or `<=`/`BETWEEN`-style) conjunct pair over TimestampType columns
   * from opposite sides and NO cross-side equality conjunct — if an equi
@@ -117,13 +124,27 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val ptBin = Alias(binOf(pt), "__graft_bin_pt")()
       val ptPlan = Project(ptSide.output :+ ptBin, ptSide)
 
+      // per-row explode cap, same contract as RangeJoin.cappedEndBin:
+      // raise on a pathological span instead of materializing an
+      // unbounded bin sequence
+      def cappedEndBin(startBin: Expression, endBin: Expression): Expression =
+        CaseWhen(Seq((
+          GreaterThanOrEqual(Subtract(endBin, startBin),
+            Literal(graft.ops.RangeJoin.MaxBinsPerRange)),
+          Cast(new RaiseError(Literal(
+            s"range spans more than ${graft.ops.RangeJoin.MaxBinsPerRange} " +
+              s"bins — filter sentinel/open-ended ranges or raise $binConfKey")),
+            LongType))),
+          Some(endBin))
+
       val rangeBinAttr = AttributeReference("__graft_bin_rg", LongType,
         nullable = true)()
       val rangePlan = Generate(
         // Sequence is TimeZoneAwareExpression: without an explicit
         // timeZoneId it reports unresolved and fails plan validation,
         // even over plain longs
-        Explode(Sequence(binOf(start), binOf(end), None,
+        Explode(Sequence(binOf(start),
+          cappedEndBin(binOf(start), binOf(end)), None,
           Some(conf.sessionLocalTimeZone))),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
         generatorOutput = Seq(rangeBinAttr),

@@ -73,9 +73,13 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // TF-IDF top-3 terms per doc: tf from exploded tokens, df broadcast
-    // back (vocabulary ≪ corpus), score = tf · ln(N/df) rounded to 1e-6
-    // with the engine-portable floor spelling
+    // TF-IDF top-3 terms per doc: tf from exploded tokens, df joined
+    // back WITHOUT a broadcast hint — the document-frequency frame has
+    // one row per distinct corpus term, and a web corpus' Zipf tail
+    // (URLs, hashes, typos) makes that billions of rows at 100 TB; a
+    // forced broadcast OOMs where AQE would just shuffle (and still
+    // broadcasts when df measures small). Score = tf · ln(N/df)
+    // rounded to 1e-6 with the engine-portable floor spelling.
     "q61_tfidf_terms" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
@@ -84,8 +88,8 @@ object CorpusQueries {
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(df), Seq("term"))
-        .crossJoin(broadcast(nDocs))
+      val scored = tf.join(df, Seq("term"))
+        .crossJoin(nDocs)
         .withColumn("score",
           floor(col("tf") * log(col("n_docs").cast("double") / col("df"))
             * lit(1000000.0) + lit(0.5)) / lit(1000000.0))

@@ -239,6 +239,33 @@ class OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("no weight for source"), e.getMessage)
   }
 
+  test("mixtureResample validates the weights spec: dup sources raise, extra columns don't leak") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "src0"), (2L, "src0")).toDF("doc_id", "source")
+    // a duplicated source row would silently MULTIPLY that source's
+    // docs through the join before the copy-count logic runs
+    val dup = Seq(("src0", 2.0), ("src0", 3.0)).toDF("source", "weight")
+    val e = intercept[Exception](
+      Corpus.mixtureResample(docs, dup, "source", "weight", "doc_id", "t:").collect())
+    assert(e.getMessage.contains("duplicate weight rows"), e.getMessage)
+
+    val extra = Seq(("src0", 2.0, "leak-me")).toDF("source", "weight", "note")
+    val out = Corpus.mixtureResample(docs, extra, "source", "weight", "doc_id", "t:")
+    assert(!out.columns.contains("note"),
+      s"weight-frame extras must not leak: ${out.columns.mkString(",")}")
+    assert(out.filter(col("doc_id") === 1L).count() >= 2L) // weight 2 → ≥2 copies
+  }
+
+  test("weightedSample rejects a non-integral id column loudly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a string id would cast to null inside the heap kernel and return
+    // an EMPTY sample silently — the guard must fire before that
+    val docs = Seq(("a", "g"), ("b", "g")).toDF("doc_id", "grp")
+    val e = intercept[IllegalArgumentException](
+      Corpus.weightedSample(docs, "grp", "doc_id", lit(1.0), 1, "t:"))
+    assert(e.getMessage.contains("integral id"), e.getMessage)
+  }
+
   test("brute-force topk: self is rank-1 with score 1") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

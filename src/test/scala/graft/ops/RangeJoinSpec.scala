@@ -125,4 +125,24 @@ class RangeJoinSpec extends SparkTestBase {
       RangeJoin.binnedIntervalJoin(points, ranges, "pt", "r_start", "r_end", 0)
     }
   }
+
+  test("a sentinel-dated range raises instead of exploding unbounded bins") {
+    // end = 9999-12-31 against 1-second bins would be ~2.5e11 rows for
+    // this one range — the per-row cap must fail loudly, not OOM
+    val sentinel = Seq((99L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00")))
+      .toDF("rid", "r_start", "r_end")
+    val e = intercept[Exception] {
+      RangeJoin.binnedIntervalJoin(points, sentinel, "pt", "r_start", "r_end", 1)
+        .count()
+    }
+    assert(e.getMessage.contains("bins"), e.getMessage)
+
+    val f = intercept[Exception] {
+      RangeJoin.binnedOverlapJoin(
+        points.withColumn("p_end", col("pt") + expr("interval 1 hour"))
+          .withColumnRenamed("pt", "p_start"),
+        sentinel, "p_start", "p_end", "r_start", "r_end", 1).count()
+    }
+    assert(f.getMessage.contains("bins"), f.getMessage)
+  }
 }
