@@ -128,4 +128,60 @@ class SourcesSpec extends SparkTestBase {
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
     assert(first.toSeq == second.toSeq, "export must be byte-stable")
   }
+
+  test("jsonl import: validates the manifest, round-trips byte-stably") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    val dir = base + "/corpus"
+    val df = (1L to 100L).map(i => (i, s"doc $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    JsonlExport.writeJsonlShards(df, dir, shards = 4, orderCol = "doc_id")
+
+    // export → import → re-export must be byte-identical shard for shard
+    val back = JsonlExport.readJsonlShards(spark, dir, df.schema)
+    val dir2 = base + "/corpus2"
+    JsonlExport.writeJsonlShards(back, dir2, shards = 4, orderCol = "doc_id")
+    def shardBytes(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(shardBytes(dir).toSeq == shardBytes(dir2).toSeq,
+      "export→import→export must be byte-stable")
+
+    // missing manifest: refuse (foreign/interrupted export)
+    val noManifest = intercept[IllegalStateException] {
+      val plain = base + "/plain"
+      df.select(to_json(struct(col("doc_id"))).as("value"))
+        .write.mode("overwrite").text(plain)
+      JsonlExport.readJsonlShards(spark, plain, df.schema)
+    }
+    assert(noManifest.getMessage.contains("_graft_manifest"), noManifest.getMessage)
+
+    // corrupted manifest (wrong row count): loud, names the shard.
+    // (Drop the local-FS .crc sidecar — tampering via java.nio leaves a
+    // stale Hadoop checksum that would fail the read before our check.)
+    val mPath = java.nio.file.Paths.get(dir, "_graft_manifest.json")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._graft_manifest.json.crc"))
+    val original = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    java.nio.file.Files.write(mPath,
+      original.replaceFirst("\"rows\":(\\d+)", "\"rows\":999").getBytes("UTF-8"))
+    val badRows = intercept[IllegalStateException] {
+      JsonlExport.readJsonlShards(spark, dir, df.schema)
+    }
+    assert(badRows.getMessage.contains("manifest says 999"), badRows.getMessage)
+    java.nio.file.Files.write(mPath, original.getBytes("UTF-8"))
+
+    // deleted shard: caught from FS metadata before any data pass
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    val savedBytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    assert(victim.delete())
+    val missing = intercept[IllegalStateException] {
+      JsonlExport.readJsonlShards(spark, dir, df.schema)
+    }
+    assert(missing.getMessage.contains("shards, found") ||
+      missing.getMessage.contains("is missing"), missing.getMessage)
+    java.nio.file.Files.write(victim.toPath, savedBytes)
+    assert(JsonlExport.readJsonlShards(spark, dir, df.schema).count() == 100)
+  }
 }
