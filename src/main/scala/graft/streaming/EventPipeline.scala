@@ -138,6 +138,35 @@ object EventPipeline {
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
   }
 
+  /** foreachBatch body factory: enrich each micro-batch against a
+    * slowly-refreshed DIMENSION table and hand the result to `sink` —
+    * the streaming form of the J5 broadcast lookup join (reference:
+    * scripts/people/people_federal.py:22-23), and the most common
+    * production stream shape (events × user/geo/catalog dims).
+    *
+    * The dimension is RE-READ from `dimPath` on every micro-batch. A
+    * plain stream-static join would not do this: the static side's file
+    * listing is resolved once at query start, so a dimension refreshed
+    * mid-stream (new parquet overwrite) would keep serving the stale
+    * snapshot for the lifetime of the query. foreachBatch re-resolution
+    * is the documented pattern for picking up dimension updates; per
+    * batch it costs one re-list + re-broadcast of a dimension-sized
+    * table. The join is hinted broadcast — a dimension that outgrows
+    * broadcast belongs in [[graft.ops.Dedup.dedupAgainstCorpus]]-style
+    * keyed storage, not per-batch re-reads.
+    *
+    * LEFT join by default: an event whose key is missing from the dim
+    * (new user mid-refresh) must not be DROPPED by the enrichment —
+    * null dims are the downstream-visible signal. Composes with
+    * [[mergeBatchSink]]:
+    * `enrichBatchSink(dim, keys, mergeBatchSink(table, mergeKeys))`. */
+  def enrichBatchSink(dimPath: String, keys: Seq[String],
+      sink: (DataFrame, Long) => Unit, joinType: String = "left")(
+      batch: DataFrame, batchId: Long): Unit = {
+    val dim = batch.sparkSession.read.parquet(dimPath)
+    sink(batch.join(broadcast(dim), keys, joinType), batchId)
+  }
+
   /** foreachBatch body: merge a micro-batch into the keyed table at
     * `tablePath` (create on first batch). Parquet overwrite of the merged
     * result — at cluster scale this table would be bucketed by the key so

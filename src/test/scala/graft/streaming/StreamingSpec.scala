@@ -67,6 +67,39 @@ class StreamingSpec extends SparkTestBase {
     assert(out == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 2)))
   }
 
+  test("stream-static enrichment picks up a dimension refresh between micro-batches") {
+    implicit val sql = spark.sqlContext
+    val base = Files.createTempDirectory("enrich").toString
+    val dimDir = base + "/dim"
+    val outDir = base + "/out"
+    Seq((1L, "bronze"), (2L, "silver")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val stream = MemoryStream[(Long, Double)]
+    val q = stream.toDF().toDF("user_id", "value")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventPipeline.enrichBatchSink(dimDir, Seq("user_id"),
+        // append sink keyed by nothing: keep every enriched event row
+        (b, _) => b.write.mode("append").parquet(outDir)) _)
+      .start()
+    stream.addData(Seq((1L, 10.0), (3L, 30.0))) // 3 has no dim row yet
+    q.processAllAvailable()
+    // dimension refresh between micro-batches: user 1 promoted, 3 appears
+    Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("user_id", "tier").write.mode("overwrite").parquet(dimDir)
+    stream.addData(Seq((1L, 11.0), (3L, 31.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(outDir)
+      .select("user_id", "value", "tier")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse("∅"))).toSet
+    assert(rows == Set(
+      (1L, 10.0, "bronze"), // batch 0 saw the old dim
+      (3L, 30.0, "∅"),      // left join: unmatched key kept, null tier
+      (1L, 11.0, "gold"),   // batch 1 sees the refresh
+      (3L, 31.0, "bronze")), rows.toString)
+  }
+
   test("streaming dedup ingest rejects near-dups of earlier batches") {
     implicit val sql = spark.sqlContext
     val dir = Files.createTempDirectory("dedupingest").toString + "/corpus"
