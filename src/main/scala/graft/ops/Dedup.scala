@@ -497,6 +497,32 @@ object Dedup {
       .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
   }
 
+  /** Cluster-size distribution of a near-dup pair set — the
+    * observability query a dedup run at 100 TB needs BEFORE its output
+    * is trusted: the first symptom of a too-loose threshold (or a
+    * boilerplate-dominated corpus) is a degenerate GIANT component
+    * swallowing half the corpus, and the histogram is where it shows.
+    * Returns one row per distinct component size:
+    * (cluster_size, n_clusters), singletons included as size 1 — so
+    * `max(cluster_size)` is the giant-component check and the size-1
+    * row is the singleton count. Scale shape: connected components
+    * (pointer jumping, O(log diameter) rounds) + two partial
+    * aggregations; the docs frame contributes singletons via one
+    * anti-join, never a shuffle of its payload. */
+  def clusterSizeHistogram(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val clustered = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .select(col("cluster_size"))
+    val singletons = docs.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left_anti")
+      .select(lit(1L).as("cluster_size"))
+    clustered.unionByName(singletons)
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+  }
+
   /** Embedding cosine near-dup pairs within a caller-supplied blocking
     * key — only for blocks known small (an upstream partition/label);
     * prefer [[embeddingNearDupsIvf]] when no natural block exists. */

@@ -61,6 +61,21 @@ object GraphQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup observability: cluster-size histogram of the SAME pair set
+    // q47 consumes — the "is there a degenerate giant component" check
+    // that must run before any dedup output is trusted (rows-only;
+    // components are iterative)
+    "q84_cluster_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xq"))))
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+        k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
+      Dedup.clusterSizeHistogram(corpus, "doc_id", pairs)
+        .orderBy(col("cluster_size"))
+    }),
+
     // F18 — PDF-extracted-text cleanup over text with injected artifacts
     "q48_pdf_cleanup" -> ((s, dir) => {
       val dirty = concat(lit("p1\u000c"), translate(col("text"), "ae", "áé"), lit("\nend"))

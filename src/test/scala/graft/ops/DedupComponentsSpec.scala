@@ -44,6 +44,20 @@ class DedupComponentsSpec extends SparkTestBase {
     inEdges.foreach { v => assert(got(v) == want(v), s"node $v: got ${got(v)} want ${want(v)}") }
   }
 
+  test("cluster-size histogram flags a planted giant component") {
+    // 100 docs; ids 1..50 chained into one giant component, 60/61 a twin
+    // pair, the rest singletons — the histogram must make the giant
+    // visible as max(cluster_size) and count singletons as size 1
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (1L until 50L).map(i => (i, i + 1))
+    val pairs = (chain :+ (60L, 61L)).toDF("a_id", "b_id")
+    val hist = Dedup.clusterSizeHistogram(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(50L -> 1L, 2L -> 1L, 1L -> 48L), hist.toString)
+    val giant = hist.keys.max
+    assert(giant == 50L, s"planted giant component must dominate: $giant")
+  }
+
   test("applyDedup keeps one representative per near-dup cluster") {
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (10L, "b"), (42L, "unique"))
       .toDF("doc_id", "text")
