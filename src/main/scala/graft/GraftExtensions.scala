@@ -67,7 +67,9 @@ object GraftExtensions {
     "topk_by_score" -> (es =>
       TopKByScore(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()),
     "heavy_hitters" -> (es =>
-      HeavyHitters(es(0), intArg(es(1), "m")).toAggregateExpression()))
+      HeavyHitters(es(0), intArg(es(1), "m")).toAggregateExpression()),
+    "cms_heavy_hitters" -> (es =>
+      CmsHeavyHitters(es(0), intArg(es(1), "k")).toAggregateExpression()))
 
   /** Register every function into an existing session's catalog. */
   def install(spark: SparkSession): Unit =

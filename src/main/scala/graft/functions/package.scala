@@ -332,6 +332,15 @@ package object functions {
   def heavyHitters(text: Column, m: Int): Column =
     expr2col(HeavyHitters(col2expr(text), m).toAggregateExpression())
 
+  /** Count-min-sketch frequent-token aggregate over a text column — the
+    * mergeable alternative to [[heavyHitters]]: counts are UPPER bounds
+    * (≤ true + e/width · N) and merging is exact cell-wise addition, so
+    * estimates are independent of partition count. */
+  def cmsHeavyHitters(text: Column, k: Int, depth: Int = 4,
+      width: Int = 4096): Column =
+    expr2col(CmsHeavyHitters(col2expr(text), k, depth, width)
+      .toAggregateExpression())
+
   /** Spark's native Bloom-filter sketch aggregate over a LONG item column
     * (xxhash64 the value first): returns the serialized filter as binary.
     * Partial aggregation applies — per-partition filters OR-merge, so only

@@ -71,6 +71,18 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Count-min-sketch heavy hitters: the mergeable twin of q52 — exact
+    // cell-wise table merge makes counts partition-count independent,
+    // where Misra-Gries merge error compounds with executor count
+    // (rows-only; CountMinSpec proves the upper-bound contract vs exact)
+    "q85_cms_heavy_hitters" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .agg(cmsHeavyHitters(col("text"), 20).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.token").as("token"), col("e.count").as("count_ub"))
+        .orderBy(col("count_ub").desc, col("token"))
+    }),
+
     // Sliding-window token chunking — the training-sample splitter:
     // 64-token chunks, stride 48 (16-token overlap), one row per chunk.
     // The last start is rounded UP to the next stride multiple so the

@@ -146,6 +146,28 @@ class SemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q85 CMS heavy hitters: counts are sound upper bounds of the exact counts") {
+    val exact = Tables.t(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val sketch = q("q85_cms_heavy_hitters").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(sketch.nonEmpty)
+    val epsN = math.ceil(math.E / 4096 * n).toLong // default width 4096
+    sketch.foreach { case (tok, ub) =>
+      val truth = exact.getOrElse(tok, 0L)
+      assert(ub >= truth, s"'$tok': CMS must never undercount ($ub < $truth)")
+      assert(ub <= truth + epsN, s"'$tok': overshoot ${ub - truth} > $epsN")
+    }
+    // the reported top token is the true top token (the corpus head is
+    // far above the sketch's error band)
+    val trueTop = exact.maxBy { case (t, c) => (c, t) }._1
+    assert(sketch.head._1 == trueTop, s"${sketch.head} vs $trueTop")
+  }
+
   test("contaminationBloom matches exact contamination; empty bench set yields zeros") {
     val docs = Tables.t(spark, sf, "documents")
     val exact = graft.ops.Corpus.contamination(docs,
