@@ -22,8 +22,18 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * is row-for-row semantics-preserving (IntervalJoinRewriteSpec compares
   * against the unrewritten join).
   *
-  * Opt-in: set `spark.graft.interval.join.bin.seconds` to a positive
-  * bin width (choose ≈ the median range span). Like the hand-written
+  * Opt-in, two ways: set `spark.graft.interval.join.bin.seconds` to a
+  * positive bin width (choose ≈ the median range span), or set
+  * `spark.graft.interval.join.enabled=true` alone and the rule DERIVES
+  * the width per matched join — the approximate median span of (a
+  * bounded 100k-row prefix of) the range side, the exact heuristic the
+  * manual conf documents. The derivation runs one small aggregation
+  * job from inside the optimizer (the same move Spark's own
+  * partition-pruning and AQE stats probes make); it happens once per
+  * optimized join, only when a join actually matches, and any failure
+  * falls back to not rewriting rather than failing the query. An
+  * explicit bin.seconds always wins over derivation. Like the
+  * hand-written
   * operator, the rewrite caps each range row's explode at
   * [[graft.ops.RangeJoin.MaxBinsPerRange]] bins and RAISES on a wider
   * span — without the cap, rewriting a sentinel-dated range
@@ -44,6 +54,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val binConfKey = "spark.graft.interval.join.bin.seconds"
+  val enabledConfKey = "spark.graft.interval.join.enabled"
 
   private def binSeconds: Long = {
     val raw = conf.getConfString(binConfKey, "0")
@@ -57,9 +68,40 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  private def deriveEnabled: Boolean =
+    conf.getConfString(enabledConfKey, "false").trim.equalsIgnoreCase("true")
+
+  /** Derived bin width: approx median of (end − start) over a bounded
+    * prefix of the range side, in whole seconds (≥ 1). The 100k-row
+    * limit bounds the probe's cost no matter how large the range side
+    * is; None (empty/failed probe) means "do not rewrite". */
+  private def deriveBinSeconds(start: Expression, end: Expression,
+      rangeSide: LogicalPlan): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile
+    try {
+      val span = Subtract(UnixMicros(end), UnixMicros(start))
+      val probe = Aggregate(Nil,
+        Seq(Alias(new ApproximatePercentile(span, Literal(0.5))
+          .toAggregateExpression(), "median_span")()),
+        GlobalLimit(Literal(100000),
+          LocalLimit(Literal(100000),
+            Filter(GreaterThan(end, start), rangeSide))))
+      val row = org.apache.spark.sql.graftbridge.ColumnBridge
+        .ofRows(org.apache.spark.sql.SparkSession.active, probe).head()
+      if (row.isNullAt(0)) None
+      else Some(math.max(1L, row.getLong(0) / 1000000L))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // a failed stats probe must not fail the user's query — the
+        // naive nested-loop plan still works, just slowly
+        logWarning(s"interval-join bin derivation failed; not rewriting", e)
+        None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val bin = binSeconds
-    if (bin <= 0) plan
+    if (bin <= 0 && !deriveEnabled) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         rewrite(j, cond, bin).getOrElse(j)
@@ -111,7 +153,19 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         fromOneSide(end, rangeSide)
     } yield (pt1, start, end, ptSide, rangeSide)
 
-    candidates.headOption.map { case (pt, start, end, ptSide, rangeSide) =>
+    candidates.headOption.flatMap { case (pt, start, end, ptSide, rangeSide) =>
+      // explicit conf wins; otherwise derive from the matched range side
+      // (only now — deriving before a match would probe on every join)
+      val effectiveBin =
+        if (binSeconds > 0) Some(binSeconds)
+        else deriveBinSeconds(start, end, rangeSide)
+      effectiveBin.map(rewriteWithBin(j, cond, pt, start, end, ptSide, rangeSide, _))
+    }
+  }
+
+  private def rewriteWithBin(j: Join, cond: Expression, pt: Expression,
+      start: Expression, end: Expression, ptSide: LogicalPlan,
+      rangeSide: LogicalPlan, binSeconds: Long): LogicalPlan = {
       val binMicros = Literal(binSeconds * 1000000L)
       // floor(unix_micros(ts) / binMicros) — double division + Floor,
       // the exact arithmetic of RangeJoin.binnedIntervalJoin (true
@@ -157,6 +211,5 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // the ORIGINAL condition re-verifies every candidate (and carries
       // any residual conjuncts beyond the containment pair)
       Project(j.output, Filter(cond, equiJoin))
-    }
   }
 }

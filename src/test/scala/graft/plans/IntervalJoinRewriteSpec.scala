@@ -92,6 +92,25 @@ class IntervalJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("enabled without a bin width: the rule derives one and still matches the naive join") {
+    val expected = naiveJoin.select("pid", "rid").as[(Long, Long)].collect().toSet
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ IntervalJoinRewrite
+    spark.conf.set(IntervalJoinRewrite.enabledConfKey, "true")
+    try {
+      val df = naiveJoin
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"derived rewrite did not fire:\n$plan")
+      assert(plan.contains("__graft_bin"), s"bin key missing:\n$plan")
+      assert(df.select("pid", "rid").as[(Long, Long)].collect().toSet == expected)
+    } finally {
+      spark.conf.unset(IntervalJoinRewrite.enabledConfKey)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq IntervalJoinRewrite)
+    }
+  }
+
   test("residual conjuncts survive the rewrite") {
     def joined = points.join(ranges,
       col("pt") >= col("r_start") && col("pt") < col("r_end") &&
