@@ -234,6 +234,25 @@ object CorpusQueries {
         budget = 800, salt = "cap:")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus snapshot diff — the release audit between version N and
+    // N+1: one row per added/removed/changed key, unchanged keys
+    // omitted (output ∝ change volume, not corpus). New version built
+    // deterministically from the old: every 17th doc dropped, every
+    // 13th edited, 50 docs appended under fresh keys
+    "q86_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 2000000))
+      graft.warehouse.Warehouse.snapshotDiff(docs, newSnap, "doc_id",
+        Seq("text", "lang", "source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -418,6 +437,27 @@ object CorpusQueries {
         |      CASE WHEN length(trim(text)) = 0 THEN 0
         |           ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
         |    FROM documents))
-        |WHERE cum < 800 ORDER BY doc_id""".stripMargin
+        |WHERE cum < 800 ORDER BY doc_id""".stripMargin,
+    "q86_snapshot_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT doc_id, text, lang, source FROM documents),
+        |newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, lang, source
+        |  FROM documents WHERE doc_id < 50),
+        |joined AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(concat_ws(chr(1), o.text, o.lang, o.source)) <>
+        |              md5(concat_ws(chr(1), n.text, n.lang, n.source)) THEN 'changed'
+        |    END AS status
+        |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM joined WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -126,6 +126,36 @@ object Warehouse {
     closed.unionByName(rebuilt)
   }
 
+  /** Diff two snapshots of a keyed table: one row per key whose content
+    * changed between versions, with status `added` / `removed` /
+    * `changed` — the release-audit op a corpus pipeline runs before
+    * shipping version N+1 ("what did this refresh actually do"), and the
+    * input to an incremental downstream rebuild (reprocess only
+    * added+changed keys). Unchanged keys are omitted: at 100 TB the diff
+    * output is proportional to the CHANGE volume, not the corpus.
+    *
+    * Content equality is an md5 over the `compareCols` concatenated with
+    * a U+0001 separator (engine-portable — DuckDB spells it
+    * concat_ws(chr(1), …) — so the op is DuckDB-oracle-checkable;
+    * concat_ws skips nulls identically in both engines; callers with
+    * null-vs-empty-string ambiguity should coalesce explicitly).
+    * Scale shape: one full-outer hash join on the key; only
+    * (key, 16-byte hash) per side would cross the exchange at cluster
+    * scale if the caller pre-projects, and the join is AQE-skew-safe. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    def hashed(df: DataFrame, side: String) = df.select(col(keyCol),
+      md5(concat_ws("\u0001", compareCols.map(col): _*)).as(s"__h_$side"))
+    hashed(oldSnap, "old").join(hashed(newSnap, "new"), Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col(keyCol), col("status"))
+  }
+
   /** Collapse a multi-batch union to one row per key: highest `ordering`
     * wins (ties broken deterministically by all remaining columns). The
     * batch analog of the reference's sequential per-row overwrite. */

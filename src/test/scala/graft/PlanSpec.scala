@@ -59,6 +59,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q85 CMS heavy hitters: sketch aggregates partially — only sketches cross the exchange") {
+    val p = plan(SparkEntry.queries("q85_cms_heavy_hitters")(spark, sf))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "typed aggregate not planned")
+    assert(p.contains("partial_cms_heavy_hitters"),
+      "CMS not map-side partial: every row would cross the exchange")
+  }
+
+  test("q84 cluster histogram: singleton side is an anti-join, histogram aggs are partial") {
+    val p = plan(SparkEntry.queries("q84_cluster_histogram")(spark, sf))
+    assert(p.contains("LeftAnti"), "singletons must come from an anti-join")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q18 IVF embedding dedup: bucket assignment aggregates map-side, no window") {
     val p = plan(SparkEntry.queries("q18_embedding_neardup")(spark, sf))
     assert(p.contains("ObjectHashAggregate"), "bucket top-k not a typed aggregate")
