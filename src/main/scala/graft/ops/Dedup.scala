@@ -497,6 +497,47 @@ object Dedup {
       .unionByName(docs.join(winners, Seq(idCol), "left_semi"))
   }
 
+  /** Incrementally merge NEW near-dup pairs into an EXISTING component
+    * assignment — the maintenance op for a living dedup index: a daily
+    * crawl adds pairs (from [[minHashPairsBetween]] against the corpus
+    * plus the batch's self-pairs), and recomputing components from the
+    * full pair history would reprocess the entire corpus every day.
+    *
+    * Key insight: an existing `(id, component)` assignment IS an edge
+    * set that reproduces its own components (every member linked to its
+    * representative, star-shaped, diameter 2) — so CC over
+    * (assignment-as-edges ∪ new pairs) yields exactly the components of
+    * (all historical pairs ∪ new pairs), without the historical pair
+    * list. Work scales with |existing assignment| + |new pairs| rather
+    * than |historical pairs|, and the star shape keeps the pointer-jump
+    * round count at the floor. Self-edges (singleton rows with
+    * component == id, as [[leakageSafeSplit]] materializes) are dropped
+    * before the union — they would pass through CC as spurious
+    * singleton work; a singleton that gains no new pair passes through
+    * with its old assignment via one anti-join. Equivalence with the
+    * full recompute is pinned in DedupComponentsSpec. Returns
+    * (id, component), component = min id, covering every id in either
+    * input. */
+  def mergeComponents(existing: DataFrame, newPairs: DataFrame): DataFrame = {
+    // materialize the assignment BEFORE entering connectedComponents:
+    // the natural caller passes a PREVIOUS connectedComponents result,
+    // whose checkpoint blocks the next call's cross-call cleanup drops
+    // at entry — consuming that lineage afterwards (the singleton
+    // anti-join below) would hit CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+    // One assignment-scale snapshot, released by the ContextCleaner
+    // when the returned frame is no longer referenced.
+    val snap = existing.localCheckpoint(true)
+    val assignmentEdges = snap
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("a_id"), col("component").as("b_id"))
+    val merged = connectedComponents(assignmentEdges.unionByName(
+      newPairs.select(col("a_id"), col("b_id"))))
+    // every non-singleton existing id appears in the edge set and so in
+    // `merged`; what's left to carry is singletons the batch didn't touch
+    val untouched = snap.join(merged, Seq("id"), "left_anti")
+    merged.unionByName(untouched.select(col("id"), col("component")))
+  }
+
   /** Cluster-size distribution of a near-dup pair set — the
     * observability query a dedup run at 100 TB needs BEFORE its output
     * is trusted: the first symptom of a too-loose threshold (or a

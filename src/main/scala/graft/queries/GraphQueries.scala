@@ -61,6 +61,28 @@ object GraphQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental component maintenance: yesterday's assignment (CC over
+    // the original-corpus pairs, singletons materialized) + today's
+    // batch (the twin-link pairs) merged WITHOUT the historical pair
+    // list — work scales with |assignment| + |new pairs| (rows-only;
+    // DedupComponentsSpec pins equivalence with the full recompute)
+    "q87_merge_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" xq"))))
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
+        k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
+      val batch1 = pairs.filter(col("b_id") < 1000000)
+      val batch2 = pairs.filter(col("b_id") >= 1000000)
+      val cc1 = Dedup.connectedComponents(batch1)
+      val existing = corpus.select(col("doc_id").as("id"))
+        .join(cc1, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      Dedup.mergeComponents(existing, batch2)
+        .orderBy(col("id"))
+    }),
+
     // Dedup observability: cluster-size histogram of the SAME pair set
     // q47 consumes — the "is there a degenerate giant component" check
     // that must run before any dedup output is trusted (rows-only;

@@ -44,6 +44,36 @@ class DedupComponentsSpec extends SparkTestBase {
     inEdges.foreach { v => assert(got(v) == want(v), s"node $v: got ${got(v)} want ${want(v)}") }
   }
 
+  test("mergeComponents(incremental) == full recompute, on random graphs") {
+    val rnd = new Random(20260813)
+    val n = 60
+    val all = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val (batch1, batch2) = all.splitAt(all.size / 2)
+    // existing assignment covers ALL ids 0..n-1 (untouched ids as
+    // self-assigned singletons, the leakageSafeSplit materialization)
+    val cc1 = Dedup.connectedComponents(batch1.toDF("a_id", "b_id"))
+    val ids = (0L until n.toLong).toDF("id")
+    val existing = ids.join(cc1, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val merged = Dedup.mergeComponents(existing, batch2.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ground truth: union-find over the full pair history + singletons
+    val want = unionFind(n, all)
+    (0L until n.toLong).foreach { id =>
+      assert(merged(id) == want(id),
+        s"id $id: incremental ${merged(id)} vs full ${want(id)}")
+    }
+    // bridging case: two batch-1 clusters united by one batch-2 edge
+    val existing2 = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (5L, 5L))
+      .toDF("id", "component")
+    val merged2 = Dedup.mergeComponents(existing2, Seq((2L, 10L)).toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged2 == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 5L -> 5L),
+      merged2.toString)
+  }
+
   test("cluster-size histogram flags a planted giant component") {
     // 100 docs; ids 1..50 chained into one giant component, 60/61 a twin
     // pair, the rest singletons — the histogram must make the giant
