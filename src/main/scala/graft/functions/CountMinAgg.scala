@@ -152,26 +152,10 @@ case class CmsHeavyHitters(
 
   override def update(buf: CmsBuffer, input: InternalRow): CmsBuffer = {
     val raw = child.eval(input)
-    if (raw != null) {
-      // tokenizer parity with HeavyHitters.update (and with q51's exact
-      // split-on-\s+ twin): Locale.ROOT lowercase, \s boundary set —
-      // the sketch's counts must bound the exact counts of the SAME
-      // token stream or the comparison is meaningless
-      val text = raw.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-      var start = -1
-      var i = 0
-      def isBoundary(c: Char): Boolean =
-        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-      while (i <= text.length) {
-        if (i == text.length || isBoundary(text.charAt(i))) {
-          if (start >= 0) {
-            buf.addOne(UTF8String.fromString(text.substring(start, i)))
-            start = -1
-          }
-        } else if (start < 0) start = i
-        i += 1
-      }
-    }
+    // the shared [[Tokenize]] kernel — parity with HeavyHittersAgg and
+    // q51's exact split-on-\s+ twin, in one place by construction
+    if (raw != null)
+      Tokenize.foreachToken(raw.asInstanceOf[UTF8String])(buf.addOne)
     buf
   }
 

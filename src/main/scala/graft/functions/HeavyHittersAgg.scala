@@ -74,31 +74,11 @@ case class HeavyHitters(
 
   override def update(buf: HeavyHittersBuffer, input: InternalRow): HeavyHittersBuffer = {
     val raw = child.eval(input)
-    if (raw != null) {
-      // tokenize the lowercased text inline; clone tokens before retaining
-      // (the input UTF8String may point into a reused row buffer)
-      // Locale.ROOT: Spark's lower() is locale-independent; default-locale
-      // toLowerCase would diverge under e.g. tr_TR ('I' → dotless 'ı')
-      val text = raw.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-      var start = -1
-      var i = 0
-      // token boundary = Java regex \s — [ \t\n\x0B\f\r] — NOT
-      // Character.isWhitespace: the exact twin q51 splits on \s+, and the
-      // two tokenizations must agree or the sketch's counts stop being
-      // lower bounds of the exact counts (Unicode separators like U+2028
-      // are isWhitespace-true but \s-false)
-      def isBoundary(c: Char): Boolean =
-        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-      while (i <= text.length) {
-        if (i == text.length || isBoundary(text.charAt(i))) {
-          if (start >= 0) {
-            buf.addOne(UTF8String.fromString(text.substring(start, i)))
-            start = -1
-          }
-        } else if (start < 0) start = i
-        i += 1
-      }
-    }
+    // the shared [[Tokenize]] kernel — its agreement with q51's exact
+    // split-on-\s+ twin is load-bearing (sketch counts must bound the
+    // exact counts of the SAME token stream)
+    if (raw != null)
+      Tokenize.foreachToken(raw.asInstanceOf[UTF8String])(buf.addOne)
     buf
   }
 

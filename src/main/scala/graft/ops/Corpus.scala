@@ -280,18 +280,8 @@ object Corpus {
       weightCol: Column, k: Int, salt: String): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
     // same contract as the LSH bucket kernels: the heap aggregate evals
-    // raw longs, so a non-integral id (e.g. string) would cast to null,
-    // the winner list would be all nulls, and the semi-join would
-    // return an EMPTY sample silently — reject loudly instead
-    val idType = docs.schema(idCol).dataType
-    val integral: Set[org.apache.spark.sql.types.DataType] = {
-      import org.apache.spark.sql.types._
-      Set(ByteType, ShortType, IntegerType, LongType)
-    }
-    require(integral.contains(idType),
-      s"weightedSample needs an integral id column, got $idType — " +
-        "map string ids to longs first (e.g. zipWithIndex / monotonically_" +
-        "increasing_id kept in a lookup table)")
+    // raw longs, so a non-integral id would silently empty the sample
+    Guards.requireIntegralId(docs, idCol, "weightedSample")
     // u in (0, 1): (draw + 0.5) / 65536 from the first 4 md5 hex digits
     val u = (conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
       1, 4), 16, 10).cast("double") + 0.5) / 65536.0

@@ -54,17 +54,8 @@ object Dedup {
   private def cappedBuckets(banded: DataFrame, payload: Column,
       maxBucket: Int, minSize: Int = 2): DataFrame = {
     // the heap kernel compares raw longs; a non-integral id would cast
-    // to null and SILENTLY empty every bucket ("no duplicates found" on
-    // a duplicated corpus) — reject loudly instead
-    val idType = banded.schema("id").dataType
-    val integral: Set[org.apache.spark.sql.types.DataType] = {
-      import org.apache.spark.sql.types._
-      Set(ByteType, ShortType, IntegerType, LongType)
-    }
-    require(integral.contains(idType),
-      s"LSH bucket kernels need an integral id column, got $idType — " +
-        "map string ids to longs first (e.g. zipWithIndex / monotonically_" +
-        "increasing_id kept in a lookup table)")
+    // to null and silently empty every bucket — shared guard raises
+    Guards.requireIntegralId(banded, "id", "LSH bucket kernels")
     val statsName = s"graft_lsh_buckets_${statsCounter.incrementAndGet()}"
     banded.groupBy(col("bk"))
       .agg(collectMinK(col("id"), payload, maxBucket).as("g"))

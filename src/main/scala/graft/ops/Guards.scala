@@ -26,4 +26,21 @@ object Guards {
     val obs = Observation(name)
     (df.observe(obs, sum(when(bad, 1L).otherwise(0L)).as("violations")), obs)
   }
+
+  /** Shared id-type contract of the heap/arithmetic kernels (LSH bucket
+    * pairing, weighted sampling, mixture packing): they eval ids as raw
+    * longs, so a non-integral id (e.g. string) casts to null and the op
+    * SILENTLY returns empty/garbage — "no duplicates found" on a
+    * duplicated corpus. Reject loudly instead, from ONE place so the
+    * accepted-type set cannot drift between ops documented as sharing
+    * this contract. */
+  def requireIntegralId(df: DataFrame, idCol: String, context: String): Unit = {
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(idType),
+      s"$context needs an integral id column, got $idType — " +
+        "map string ids to longs first (e.g. zipWithIndex / monotonically_" +
+        "increasing_id kept in a lookup table)")
+  }
 }

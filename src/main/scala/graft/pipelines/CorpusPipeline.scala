@@ -135,15 +135,8 @@ object CorpusPipeline {
         // the arithmetic fold needs an integral doc_id (a string id
         // would multiply to NULL, making pack order nondeterministic)
         // and ×64 headroom (silent overflow would interleave copies) —
-        // both rejected loudly, same contract as the LSH id guards
-        val idType = splitDocs.schema("doc_id").dataType
-        val integral: Set[org.apache.spark.sql.types.DataType] = {
-          import org.apache.spark.sql.types._
-          Set(ByteType, ShortType, IntegerType, LongType)
-        }
-        require(integral.contains(idType),
-          s"mixture packing needs an integral doc_id, got $idType — " +
-            "map string ids to longs first")
+        // both rejected loudly, the shared kernel id contract
+        graft.ops.Guards.requireIntegralId(splitDocs, "doc_id", "mixture packing")
         val maxFoldable = Long.MaxValue / 64
         val train = Corpus.mixtureResample(
           splitDocs.filter(col("split") === "train"),

@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
   * bounded 100k-row prefix of) the range side, the exact heuristic the
   * manual conf documents. The derivation runs one small aggregation
   * job from inside the optimizer (the same move Spark's own
-  * partition-pruning and AQE stats probes make); it happens once per
-  * optimized join, only when a join actually matches, and any failure
+  * partition-pruning and AQE stats probes make); it fires only when a
+  * join actually matches, successful derivations are CACHED per
+  * canonicalized join shape (each new action re-runs the optimizer, so
+  * an uncached probe would re-pay the job per action), and any failure
   * falls back to not rewriting rather than failing the query. An
   * explicit bin.seconds always wins over derivation. Like the
   * hand-written
@@ -70,6 +72,32 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def deriveEnabled: Boolean =
     conf.getConfString(enabledConfKey, "false").trim.equalsIgnoreCase("true")
+
+  /** Successful derivations, cached per canonicalized (start, end,
+    * range side). Every ACTION on a DataFrame re-runs the optimizer, so
+    * without this an uncached probe job fires per action on the same
+    * interval-join frame — and a transiently failing probe could flip
+    * that frame between binned and nested-loop plans across actions.
+    * Bounded: cleared wholesale past 128 entries (a session optimizing
+    * more distinct interval joins than that re-probes; the map never
+    * grows without bound). Failures are NOT cached, so a transient
+    * probe error can still recover to the fast plan on a later action
+    * (results are identical either way; only the plan shape differs). */
+  private val derivedCache = new java.util.concurrent.ConcurrentHashMap[
+    (Expression, Expression, LogicalPlan), java.lang.Long]()
+
+  private def deriveBinSecondsCached(start: Expression, end: Expression,
+      rangeSide: LogicalPlan): Option[Long] = {
+    val key = (start.canonicalized, end.canonicalized, rangeSide.canonicalized)
+    Option(derivedCache.get(key)).map(_.longValue()).orElse {
+      val derived = deriveBinSeconds(start, end, rangeSide)
+      derived.foreach { w =>
+        if (derivedCache.size >= 128) derivedCache.clear()
+        derivedCache.put(key, w)
+      }
+      derived
+    }
+  }
 
   /** Derived bin width: approx median of (end − start) over a bounded
     * prefix of the range side, in whole seconds (≥ 1). The 100k-row
@@ -158,7 +186,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // (only now — deriving before a match would probe on every join)
       val effectiveBin =
         if (binSeconds > 0) Some(binSeconds)
-        else deriveBinSeconds(start, end, rangeSide)
+        else deriveBinSecondsCached(start, end, rangeSide)
       effectiveBin.map(rewriteWithBin(j, cond, pt, start, end, ptSide, rangeSide, _))
     }
   }

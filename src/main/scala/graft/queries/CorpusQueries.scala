@@ -453,8 +453,9 @@ object CorpusQueries {
         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
         |    CASE WHEN o.doc_id IS NULL THEN 'added'
         |         WHEN n.doc_id IS NULL THEN 'removed'
-        |         WHEN md5(concat_ws(chr(1), o.text, o.lang, o.source)) <>
-        |              md5(concat_ws(chr(1), n.text, n.lang, n.source)) THEN 'changed'
+        |         WHEN o.text IS DISTINCT FROM n.text
+        |           OR o.lang IS DISTINCT FROM n.lang
+        |           OR o.source IS DISTINCT FROM n.source THEN 'changed'
         |    END AS status
         |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM joined WHERE status IS NOT NULL

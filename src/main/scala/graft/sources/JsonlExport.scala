@@ -117,8 +117,13 @@ object JsonlExport {
     }
     for (name <- onDisk.keys if !declaredFiles.contains(name))
       fail(s"shard $name is not in the manifest")
-    // the one data pass: per-file line counts vs the manifest
-    val counted = spark.read.text(path)
+    // the one data pass: per-file line counts vs the manifest — over the
+    // DECLARED file list explicitly, not the directory: a stray non-part
+    // file (someone's notes.txt) must neither fail validation with a
+    // misleading count mismatch nor ride into the "proven" corpus below
+    val declaredPaths = declaredFiles.keys.toSeq.sorted
+      .map(n => new org.apache.hadoop.fs.Path(root, n).toString)
+    val counted = spark.read.text(declaredPaths: _*)
       .groupBy(input_file_name().as("file"))
       .count().collect()
       .map(r => r.getString(0).split("/").last -> r.getLong(1)).toMap
@@ -129,6 +134,6 @@ object JsonlExport {
     val total = counted.values.sum
     if (total != declared.getLong(1))
       fail(s"shards hold $total rows, manifest says ${declared.getLong(1)}")
-    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    spark.read.schema(schema).option("mode", "FAILFAST").json(declaredPaths: _*)
   }
 }

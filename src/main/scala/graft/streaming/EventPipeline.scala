@@ -147,11 +147,20 @@ object EventPipeline {
     * The dimension is RE-READ from `dimPath` on every micro-batch. A
     * plain stream-static join would not do this: the static side's file
     * listing is resolved once at query start, so a dimension refreshed
-    * mid-stream (new parquet overwrite) would keep serving the stale
-    * snapshot for the lifetime of the query. foreachBatch re-resolution
-    * is the documented pattern for picking up dimension updates; per
-    * batch it costs one re-list + re-broadcast of a dimension-sized
-    * table. The join is hinted broadcast — a dimension that outgrows
+    * mid-stream would keep serving the stale snapshot for the lifetime
+    * of the query. foreachBatch re-resolution is the documented pattern
+    * for picking up dimension updates; per batch it costs one re-list +
+    * re-broadcast of a dimension-sized table.
+    *
+    * The REFRESHER's contract: the swap at `dimPath` must be atomic
+    * against concurrent readers — write the new version to a side
+    * directory and rename it in (the [[mergeBatchSink]] tmp+rename
+    * dance), or point `dimPath` at a snapshot-isolated table format. A
+    * plain `mode("overwrite").parquet(dimPath)` deletes files before
+    * the replacements land: a micro-batch reading mid-swap either dies
+    * on FileNotFound or broadcast-joins half the dimension, and with a
+    * left join the resulting null dims mislabel events SILENTLY.
+    * The join is hinted broadcast — a dimension that outgrows
     * broadcast belongs in [[graft.ops.Dedup.dedupAgainstCorpus]]-style
     * keyed storage, not per-batch re-reads.
     *

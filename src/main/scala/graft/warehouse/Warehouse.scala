@@ -134,11 +134,15 @@ object Warehouse {
     * added+changed keys). Unchanged keys are omitted: at 100 TB the diff
     * output is proportional to the CHANGE volume, not the corpus.
     *
-    * Content equality is an md5 over the `compareCols` concatenated with
-    * a U+0001 separator (engine-portable — DuckDB spells it
-    * concat_ws(chr(1), …) — so the op is DuckDB-oracle-checkable;
-    * concat_ws skips nulls identically in both engines; callers with
-    * null-vs-empty-string ambiguity should coalesce explicitly).
+    * Content equality hashes each compare column SEPARATELY (null is
+    * a fixed marker) before combining: a naive md5 over
+    * separator-concatenated values has two false-NEGATIVE holes a
+    * release audit cannot have, concat_ws silently SKIPS nulls so a
+    * null-position swap across columns hashes identically, and a value
+    * containing the separator aliases a column boundary. Per-column md5
+    * yields fixed-width hex tokens no value can forge; the marker "n"
+    * cannot collide with hex. Engine-portable, so the op stays
+    * DuckDB-oracle-checkable.
     * Scale shape: one full-outer hash join on the key; only
     * (key, 16-byte hash) per side would cross the exchange at cluster
     * scale if the caller pre-projects, and the join is AQE-skew-safe. */
@@ -146,7 +150,9 @@ object Warehouse {
       compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
     def hashed(df: DataFrame, side: String) = df.select(col(keyCol),
-      md5(concat_ws("\u0001", compareCols.map(col): _*)).as(s"__h_$side"))
+      md5(concat_ws("|",
+        compareCols.map(c => coalesce(md5(col(c).cast("string")), lit("n"))): _*))
+        .as(s"__h_$side"))
     hashed(oldSnap, "old").join(hashed(newSnap, "new"), Seq(keyCol), "full_outer")
       .withColumn("status",
         when(col("__h_old").isNull, "added")

@@ -163,8 +163,9 @@ class SemanticsSpec extends SparkTestBase {
       assert(ub <= truth + epsN, s"'$tok': overshoot ${ub - truth} > $epsN")
     }
     // the reported top token is the true top token (the corpus head is
-    // far above the sketch's error band)
-    val trueTop = exact.maxBy { case (t, c) => (c, t) }._1
+    // far above the sketch's error band); tie-break must match the
+    // query's count-desc-then-token-ASC ordering
+    val trueTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.head._1
     assert(sketch.head._1 == trueTop, s"${sketch.head} vs $trueTop")
   }
 

@@ -171,6 +171,13 @@ class SourcesSpec extends SparkTestBase {
     assert(badRows.getMessage.contains("manifest says 999"), badRows.getMessage)
     java.nio.file.Files.write(mPath, original.getBytes("UTF-8"))
 
+    // stray non-part file: invisible to validation AND to the returned
+    // frame (reads go through the declared file list, not the directory)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "notes.txt"),
+      "not a shard\n".getBytes("UTF-8"))
+    assert(JsonlExport.readJsonlShards(spark, dir, df.schema).count() == 100)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "notes.txt"))
+
     // deleted shard: caught from FS metadata before any data pass
     val victim = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).minBy(_.getName)

@@ -36,6 +36,20 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(got == Map(1L -> "changed", 2L -> "changed"), got.toString)
   }
 
+  test("snapshotDiff: null-position swaps and separator-like values are NOT false negatives") {
+    // (a, null) -> (null, a): a concat_ws-skips-nulls hash would miss this
+    val oldSnap = Seq((1L, Option("a"), Option.empty[String]),
+      (2L, Option("x"), Option("y")))
+      .toDF("id", "text", "lang")
+    val newSnap = Seq((1L, Option.empty[String], Option("a")),
+      // value swallowing a would-be column boundary
+      (2L, Option("x|y"), Option.empty[String]))
+      .toDF("id", "text", "lang")
+    val got = Warehouse.snapshotDiff(oldSnap, newSnap, "id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed"), got.toString)
+  }
+
   test("snapshotDiff rejects an empty compare-column list") {
     val df = Seq((1L, "a")).toDF("id", "text")
     intercept[IllegalArgumentException] {
