@@ -333,4 +333,63 @@ object Corpus {
       .withColumn("bin", expr(s"cum_before div $budget"))
       .drop("cum_before")
   }
+
+  /** Bigram-language-model quality scoring — the CCNet recipe: train
+    * unigram/bigram counts on a REFERENCE slice (known-good text, e.g.
+    * the target language's high-quality band), then score EVERY document
+    * by the average negative log-probability of its token bigrams under
+    * that model. High score = unlike the reference = low quality or
+    * wrong language; thresholding/banding the score is the standard
+    * perplexity filter for web corpora.
+    *
+    * Model: P(w2|w1) = (c2(w1,w2) + 1) / (c1(w1) + V) — Laplace
+    * smoothing with V = reference vocabulary size and c1 the CONTEXT
+    * count (bigrams starting with w1, i.e. sum of c2 over w2; an unseen
+    * context backs off to 1/V). Per-bigram −ln P is rounded to integer
+    * micro-nats BEFORE the per-doc aggregation, so the per-doc sum is
+    * exact integer math — float summation order (which differs across
+    * engines and across partitionings of the SAME engine) can never
+    * move the result; one final double division by the bigram count is
+    * IEEE-correctly-rounded and deterministic. That is what keeps this
+    * op DuckDB-oracle-exact rather than rows-only. Docs with fewer than
+    * two tokens have no bigrams to judge and emit no row.
+    *
+    * Scale shape: the count tables are CORPUS-DERIVED — a Zipf-tailed
+    * bigram vocabulary reaches billions of rows at 100 TB, so neither
+    * is broadcast (the q61/stripBoilerplate discipline); both joins are
+    * shuffle equi-joins AQE downgrades to broadcast when the reference
+    * measures small. V is one row and rides a cross join. The doc side
+    * explodes to one row per bigram — the q61 token-explode fan-out
+    * class, map-side before its join. */
+  def bigramLmScore(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col("*"), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    // explode positions 1..n-1; the size guard matters — an unguarded
+    // sequence(1, 0) is DESCENDING in Spark (DuckDB's generate_series
+    // is just empty, so the guard also keeps the twins identical)
+    def bigrams(df: DataFrame, keep: Column*) = toks(df)
+      .filter(size(col("__toks")) >= 2)
+      .select(keep :+ col("__toks") :+
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"): _*)
+      .select(keep :+ element_at(col("__toks"), col("__i")).as("w1") :+
+        element_at(col("__toks"), col("__i") + 1).as("w2"): _*)
+    val v = toks(refDocs).select(explode(col("__toks")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val c2 = bigrams(refDocs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    bigrams(docs, col(idCol))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(v) // one row — auto-broadcast
+      .withColumn("__m", floor(-log(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+        * lit(1000000.0) + lit(0.5)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("__m")).cast("double") / count(lit(1)) + lit(0.5))
+          / lit(1000000.0)).as("avg_nll"))
+  }
 }

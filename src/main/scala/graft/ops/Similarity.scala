@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,5 +123,149 @@ object Similarity {
     val scored = corpusAssigned.join(broadcast(probesAssigned), Seq("cluster"))
       .withColumn("score", round(cosineSimilarity(col("pv"), col("cv2")), 6))
     rankTopK(scored, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid — "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011). The MEMORY scale path:
+  // IVF cuts how much of the corpus a probe scans; PQ cuts what each
+  // corpus vector costs to keep. A D-dim float vector becomes M small
+  // codes (64 floats = 256 B → 8 codes = 8 B, 32×), so a 100 TB
+  // embedding corpus's index fits in a fraction of the executors'
+  // memory, and query scoring touches codes only — the raw vectors
+  // never cross an exchange after encoding.
+  // ---------------------------------------------------------------------
+
+  /** Ragged input is a silent mis-encode (a short vector slices to a
+    * short subvector and still produces a code) — raise instead, riding
+    * the pass that touches the vector anyway (zero extra scans). */
+  private def assertDim(v: Column, dim: Int): Column =
+    when(size(v) === dim, v).otherwise(raise_error(
+      concat(lit(s"PQ expects $dim-dim vectors, got "), size(v).cast("string"))))
+
+  /** Train per-subspace codebooks: Lloyd k-means in each of the M
+    * subspaces, all subspaces in the SAME distributed pass (subvectors
+    * tagged by subspace index; centroids keyed (sub, cid)). Training
+    * uses a bounded deterministic sample (`trainCap`, hash-ordered
+    * take — per-partition partial top-N, no full sort; the standard
+    * codebook practice: FAISS trains on a sample too). Centroids are
+    * collected per round — M×ksub×subDim doubles, the index's
+    * dimension table — which also truncates the iterative lineage.
+    * Returns (sub, cid, cv); empty clusters drop out (codes are
+    * POSITIONS in the packed per-sub array, so gaps are harmless). */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int, iters: Int,
+      trainCap: Int = 100000): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    require(ksub > 1, s"ksub must be > 1: $ksub")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def collected(df: DataFrame) = spark.createDataFrame(
+      df.select(col("sub"), col("cid"), col("cv"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq)
+      .toDF("sub", "cid", "cv")
+    val train = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("v", assertDim(col("v"), dim))
+      .orderBy(xxhash64(col("id")), col("id")).limit(trainCap)
+    val subvecs = train
+      .select(col("id"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("id"), col("sub"),
+        slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
+    // seed from DISTINCT subvectors: duplicate seeds collapse Lloyd (the
+    // tied assignment drains one centroid, the empty one drops out, and
+    // the subspace degenerates to a single code); fewer distinct values
+    // than ksub legitimately yields a smaller codebook
+    val wInit = Window.partitionBy(col("sub")).orderBy(xxhash64(col("sv")), col("sv"))
+    var centroids = collected(subvecs
+      .select(col("sub"), col("sv")).distinct()
+      .withColumn("rn", row_number().over(wInit))
+      .filter(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("cid"), col("sv").as("cv")))
+    for (_ <- 1 to iters) {
+      val assigned = subvecs.join(broadcast(centroids), Seq("sub"))
+        .withColumn("d2", l2DistanceSquared(col("sv"), col("cv")))
+        .groupBy(col("id"), col("sub"))
+        .agg(first(col("sv")).as("sv"), min(struct(col("d2"), col("cid"))).as("best"))
+        .select(col("sub"), col("best.cid").as("cid"), col("sv"))
+      val means = assigned
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dimi", "x")))
+        .groupBy(col("sub"), col("cid"), col("dimi")).agg(avg(col("x")).as("mx"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(sort_array(collect_list(struct(col("dimi"), col("mx")))).as("ds"))
+        .select(col("sub"), col("cid"),
+          transform(col("ds"), d => d.getField("mx")).as("cv"))
+      centroids = collected(means)
+    }
+    centroids
+  }
+
+  /** One-row frame holding the whole codebook as
+    * cb[sub][position][dim] — positions are the per-sub cid sort order;
+    * codes and ADC tables both index it positionally, so they can never
+    * disagree about what a code means. */
+  private def packCodebook(cb: DataFrame): DataFrame = cb
+    .groupBy(col("sub"))
+    .agg(sort_array(collect_list(struct(col("cid"), col("cv")))).as("cs"))
+    .select(col("sub"), transform(col("cs"), c => c.getField("cv")).as("cbs"))
+    .groupBy()
+    .agg(sort_array(collect_list(struct(col("sub"), col("cbs")))).as("ss"))
+    .select(transform(col("ss"), s => s.getField("cbs")).as("cb"))
+
+  /** Encode every vector as M codes — entirely MAP-SIDE: the packed
+    * codebook rides a one-row broadcast, the per-sub argmin is
+    * array_position(dists, array_min(dists)) over higher-order
+    * functions (first-match ties → deterministic), and exactly one
+    * (id, codes) row per input leaves the stage. No shuffle, no
+    * custom state — whole-stage codegen end to end. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("v", assertDim(col("v"), dim))
+      .crossJoin(broadcast(packCodebook(codebook)))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s => {
+        val sv = slice(col("v"), s * subDim + 1, lit(subDim))
+        val dists = transform(element_at(col("cb"), s + 1),
+          c => l2DistanceSquared(sv, c))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }))
+      .select(col("id"), col("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k: train codebooks, encode the corpus,
+    * and score each probe by table lookup — the probe precomputes an
+    * M×ksub table of EXACT subspace distances (broadcast with the
+    * probe), a corpus row's approximate distance is M lookups over its
+    * codes. Output ranks ascending approximate L2 (ties by neighbor
+    * id). Scale shape: after encoding, only (id, M codes) ever moves;
+    * the bounded-heap [[graft.functions.TopKByScore]] keeps the final
+    * exchange at O(probes × k). */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
+      kmeansIters: Int = 2, trainCap: Int = 100000): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, kmeansIters, trainCap)
+    val subDim = dim / m
+    val codes = pqEncode(corpus, cb, idCol, vecCol, dim, m)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    val tables = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).cast("array<double>").as("pv"))
+      .withColumn("pv", assertDim(col("pv"), dim))
+      .crossJoin(broadcast(packCodebook(cb)))
+      .withColumn("tables", transform(sequence(lit(0), lit(m - 1)), s => {
+        val sv = slice(col("pv"), s * subDim + 1, lit(subDim))
+        transform(element_at(col("cb"), s + 1), c => l2DistanceSquared(sv, c))
+      }))
+      .select(col("probe_id"), col("tables"))
+    val scored = codes.join(broadcast(tables))
+      .withColumn("adist", round(aggregate(
+        zip_with(col("codes"), col("tables"), (cd, t) => element_at(t, cd + 1)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      // rankTopK keeps the LARGEST scores — negate to rank ascending
+      .withColumn("score", -col("adist"))
+    rankTopK(scored, k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        (-col("score")).as("adist"))
   }
 }

@@ -253,6 +253,20 @@ object CorpusQueries {
       graft.warehouse.Warehouse.snapshotDiff(docs, newSnap, "doc_id",
         Seq("text", "lang", "source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bigram-LM perplexity scoring (the CCNet quality filter): counts
+    // trained on the English slice, every doc scored by avg -ln P of
+    // its bigrams under Laplace smoothing. Per-bigram micro-nat
+    // rounding BEFORE aggregation keeps the per-doc sum exact integer
+    // math (float summation order can't move it) — which is what makes
+    // a perplexity query oracle-exact instead of rows-only. The count
+    // tables are corpus-derived and deliberately NOT broadcast
+    "q88_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.bigramLmScore(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -459,6 +473,31 @@ object CorpusQueries {
         |    END AS status
         |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM joined WHERE status IS NOT NULL
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q88_bigram_lm" ->
+      """WITH reftok AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(l) AS w FROM reftok)),
+        |c2 AS (SELECT l[i] AS w1, l[i + 1] AS w2, count(*) AS c2
+        |       FROM reftok, unnest(generate_series(1, len(l) - 1)) AS t(i)
+        |       GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |doctok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |big AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        |        FROM doctok, unnest(generate_series(1, len(l) - 1)) AS t(i)),
+        |nll AS (
+        |  SELECT doc_id,
+        |    CAST(floor(-ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+        |        / CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS m
+        |  FROM big LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(CAST(sum(m) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_nll
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

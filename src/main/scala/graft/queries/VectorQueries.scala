@@ -28,6 +28,18 @@ object VectorQueries {
       Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 3, centroidStride = 50, kmeansIters = 2)
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Product-quantization top-5: 64-dim floats → 8 codes (32× memory),
+    // asymmetric-distance scoring over a broadcast lookup table — the
+    // memory scale path next to q20's scan-reduction path. Golden-pinned
+    // (k-means float iteration isn't oracle-portable)
+    "q89_ann_pq" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.pqTopK(vecs, vecs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
+        kmeansIters = 2)
+        .orderBy(col("probe_id"), col("rank"))
     })
   )
 

@@ -94,4 +94,56 @@ class KMeansSpec extends SparkTestBase {
     out.foreach(r =>
       assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("probe_id")))
   }
+
+  test("pqEncode: same subspace value → same code, different value → different code") {
+    // 2-dim, m=2 → 1-dim subspaces with values {0, 9}: after Lloyd the
+    // two centroids sit at 0 and 9, so the code partitions by value
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 9.0f)),
+      (3L, Seq(9.0f, 0.0f)), (4L, Seq(9.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      dim = 2, m = 2, ksub = 2, iters = 3)
+    val codes = Similarity.pqEncode(vecs, cb, "vec_id", "embedding", dim = 2, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.forall(x => x >= 0 && x < 2)), codes.toString)
+    assert(codes(1L)(0) == codes(2L)(0) && codes(3L)(0) == codes(4L)(0) &&
+      codes(1L)(0) != codes(3L)(0), s"sub-0 codes: $codes")
+    assert(codes(1L)(1) == codes(3L)(1) && codes(2L)(1) == codes(4L)(1) &&
+      codes(1L)(1) != codes(2L)(1), s"sub-1 codes: $codes")
+  }
+
+  test("pqTopK: neighbors of a blob probe come from the probe's blob") {
+    // 4-dim, 3 well-separated blobs, m=2/ksub=4: quantization error is
+    // tiny next to the inter-blob distance, so ADC ranking stays in-blob
+    val anchors = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(50.0, 50.0, 50.0, 50.0),
+      Seq(100.0, 100.0, 0.0, 0.0))
+    val rows = for {
+      (a, b) <- anchors.zipWithIndex
+      i <- 0 until 20
+    } yield (b * 100L + i,
+      a.zipWithIndex.map { case (x, d) => (x + ((i * 7 + d * 3) % 5) * 0.1).toFloat })
+    val vecs = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vecs,
+      vecs.filter(col("vec_id").isin(0L, 105L, 210L)),
+      "vec_id", "embedding", k = 5, dim = 4, m = 2, ksub = 4, kmeansIters = 3)
+      .collect()
+    assert(out.length == 15, s"expected 3 probes × 5: ${out.length}")
+    out.foreach { r =>
+      val (p, n) = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      assert(p / 100 == n / 100, s"probe $p got cross-blob neighbor $n")
+      assert(r.getAs[Double]("adist") >= 0.0)
+    }
+  }
+
+  test("pqEncode raises loudly on a ragged (wrong-dimension) vector") {
+    val good = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(good, "vec_id", "embedding",
+      dim = 2, m = 2, ksub = 2, iters = 1)
+    val ragged = Seq((3L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](
+      Similarity.pqEncode(ragged, cb, "vec_id", "embedding", dim = 2, m = 2).collect())
+    assert(e.getMessage != null && e.getMessage.contains("PQ expects"),
+      s"wrong error: ${e.getMessage}")
+  }
 }

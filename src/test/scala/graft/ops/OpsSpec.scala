@@ -266,6 +266,32 @@ class OpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("integral id"), e.getMessage)
   }
 
+  test("bigramLmScore: exact Laplace micro-nat math; <2-token docs emit no row") {
+    // ref model: tokens the,cat,sat,the,cat,ran → V=4;
+    // c2: (the,cat)=2 (cat,sat)=1 (cat,ran)=1; c1: the=2, cat=2
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the cat"), // P(cat|the)=(2+1)/(2+4)=0.5 → -ln = 0.693147
+      (11L, "dog dog"), // unseen: P=(0+1)/(0+4)   → -ln(0.25) = 1.386294
+      (12L, "x"),       // no bigrams → no row
+      (13L, "  "))      // whitespace-only → filtered before tokenizing
+      .toDF("doc_id", "text")
+    val got = Corpus.bigramLmScore(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(10L -> ((1L, 0.693147)), 11L -> ((1L, 1.386294))), got.toString)
+  }
+
+  test("bigramLmScore: reference-like text scores lower than gibberish") {
+    val ref = (1L to 50L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "zx qv wk jj pq mn bb cc")).toDF("doc_id", "text")
+    val nll = Corpus.bigramLmScore(docs, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(100L) < nll(101L), nll.toString)
+  }
+
   test("brute-force topk: self is rank-1 with score 1") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
