@@ -169,4 +169,70 @@ object Warehouse {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering.desc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Compact a parquet table directory's files into ≈`targetBytes`
+    * outputs. Small-file proliferation is the silent warehouse killer
+    * at 100 TB: every per-batch merge/append ([[graft.streaming
+    * .EventPipeline.mergeBatchSink]], streaming ingest) leaves another
+    * file generation behind, downstream scans pay per-file open+footer
+    * cost, and eventually the LISTING is the bottleneck. Compaction
+    * rewrites the same rows into size-targeted files; output count
+    * derives from the actual on-disk footprint (parquet→parquet keeps
+    * roughly the input compression ratio), so the op self-tunes as the
+    * table grows.
+    *
+    * `sortCol`: compaction is exactly the moment to (re)establish
+    * intra-file clustering — pass the z-order key from
+    * [[graft.ops.Layout]] (or a range key) and files come out
+    * range-partitioned + internally sorted, restoring min/max pruning
+    * that generations of unsorted appends destroyed. Without it, a
+    * plain even repartition (NOT coalesce: coalesce merges adjacent
+    * partitions without a shuffle and inherits their skew — even file
+    * sizes are the point of the exercise).
+    *
+    * Loss-proof by construction: input rows are counted ON the write
+    * job (`observe` — no extra scan), the written output is counted
+    * from parquet metadata, and the swap happens only if they match.
+    * The swap itself is the tmp+rename dance (readers never see a
+    * partial directory); the pre-compaction generation is deleted after
+    * the swap — the rows were just proven identical, and keeping a
+    * second copy of a table-sized directory is the one thing a
+    * compactor of SMALL-FILE bloat must not do.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      targetBytes: Long, sortCol: Option[String] = None): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(hPath).filter(s =>
+      s.isFile && s.getPath.getName.startsWith("part-"))
+    require(parts.nonEmpty, s"no part files to compact under $tablePath")
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val data = spark.read.parquet(tablePath)
+    val shaped = sortCol match {
+      case Some(c) =>
+        data.repartitionByRange(nOut, col(c)).sortWithinPartitions(col(c))
+      case None => data.repartition(nOut)
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val tmp = tablePath + ".compact-tmp"
+    shaped.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(tmp)
+    val inRows = obs.get("rows").asInstanceOf[Long]
+    val outRows = spark.read.parquet(tmp).count()
+    if (inRows != outRows) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new IllegalStateException(
+        s"compaction wrote $outRows rows for $inRows inputs — aborted, $tablePath untouched")
+    }
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val old = new org.apache.hadoop.fs.Path(tablePath + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(hPath, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+    fs.delete(old, true)
+    (parts.length, outFiles)
+  }
 }

@@ -191,4 +191,47 @@ class SourcesSpec extends SparkTestBase {
     java.nio.file.Files.write(victim.toPath, savedBytes)
     assert(JsonlExport.readJsonlShards(spark, dir, df.schema).count() == 100)
   }
+
+  test("incremental ingest: only new files, at-least-once commit, immutability raise") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val in = root + "/landing"; val ledger = root + "/ledger"; val out = root + "/table"
+    new java.io.File(in).mkdirs()
+    def land(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    land("a.jsonl", Seq("""{"id":1}""", """{"id":2}"""))
+    land("b.jsonl", Seq("""{"id":3}""", """{"id":4}""", """{"id":5}"""))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def read(paths: Seq[String]) = spark.read.schema(schema).json(paths: _*)
+    def append(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("append").parquet(out)
+
+    // first run: both files
+    assert(IncrementalIngest.ingest(spark, in, ledger)(read)(append)
+      == Seq("a.jsonl", "b.jsonl"))
+    assert(spark.read.parquet(out).count() == 5)
+    // re-run: nothing new, write not invoked
+    assert(IncrementalIngest.ingest(spark, in, ledger)(read)(
+      _ => fail("write called with no new files")).isEmpty)
+    // a third file lands: only it is read
+    land("c.jsonl", Seq("""{"id":6}"""))
+    assert(IncrementalIngest.ingest(spark, in, ledger)(read)(append) == Seq("c.jsonl"))
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 6L))
+
+    // failed write → no commit → the file is retried next run
+    land("d.jsonl", Seq("""{"id":7}"""))
+    intercept[RuntimeException] {
+      IncrementalIngest.ingest(spark, in, ledger)(read)(
+        _ => throw new RuntimeException("sink down"))
+    }
+    assert(IncrementalIngest.newFiles(spark, in, ledger).map(_._1) == Seq("d.jsonl"))
+    assert(IncrementalIngest.ingest(spark, in, ledger)(read)(append) == Seq("d.jsonl"))
+
+    // immutability: a committed file changing size raises loudly
+    land("a.jsonl", Seq("""{"id":1}""", """{"id":2}""", """{"id":99}"""))
+    val e = intercept[IllegalStateException](IncrementalIngest.newFiles(spark, in, ledger))
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+  }
 }
