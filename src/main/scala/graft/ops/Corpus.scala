@@ -360,7 +360,14 @@ object Corpus {
     * shuffle equi-joins AQE downgrades to broadcast when the reference
     * measures small. V is one row and rides a cross join. The doc side
     * explodes to one row per bigram — the q61 token-explode fan-out
-    * class, map-side before its join. */
+    * class, map-side before its join. The model build scans the
+    * REFERENCE slice more than once (c2, its w1 margin, V) because
+    * Spark does not share uncached subplans; the reference is a curated
+    * slice — orders of magnitude smaller than the corpus being scored,
+    * which is scanned exactly once — and a production deployment
+    * materializes the counts table once and reuses it across scoring
+    * runs (the bench query is standalone by design, the CC-family
+    * precedent). */
   def bigramLmScore(docs: DataFrame, refDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     def toks(df: DataFrame) = df

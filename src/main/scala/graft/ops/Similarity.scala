@@ -169,10 +169,15 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("v", assertDim(col("v"), dim))
       .orderBy(xxhash64(col("id")), col("id")).limit(trainCap)
+    // materialized once: init + every Lloyd round re-reads this frame,
+    // and without the persist each pass re-scans the corpus and re-runs
+    // the sampling take (FAISS materializes its training sample for the
+    // same reason); bounded at trainCap × dim doubles, freed below
     val subvecs = train
       .select(col("id"), col("v"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
       .select(col("id"), col("sub"),
         slice(col("v"), col("sub") * subDim + 1, lit(subDim)).as("sv"))
+      .persist()
     // seed from DISTINCT subvectors: duplicate seeds collapse Lloyd (the
     // tied assignment drains one centroid, the empty one drops out, and
     // the subspace degenerates to a single code); fewer distinct values
@@ -198,6 +203,7 @@ object Similarity {
           transform(col("ds"), d => d.getField("mx")).as("cv"))
       centroids = collected(means)
     }
+    subvecs.unpersist()
     centroids
   }
 

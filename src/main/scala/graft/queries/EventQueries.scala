@@ -98,6 +98,18 @@ object EventQueries {
           .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
         "user_id", "ts", "event_id", Seq("event_type"))
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    }),
+
+    // Rate-anomaly monitoring: per-event-type hourly counts flagged
+    // spike/ok/warmup by trailing z-score — mean/variance from EXACT
+    // integer window sums, never avg()/stddev() (float summation order
+    // differs across engines), which is what keeps an anomaly flag
+    // oracle-exact
+    "q90_rate_spikes" -> ((s, dir) => {
+      graft.ops.Monitoring.rateSpikes(t(s, dir, "events"),
+        col("ts"), col("event_type"))
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type"), col("hour"))
     })
   )
 
@@ -164,6 +176,31 @@ object EventQueries {
         |SELECT user_id, event_type, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-        |FROM runs ORDER BY user_id, valid_from, event_type""".stripMargin
+        |FROM runs ORDER BY user_id, valid_from, event_type""".stripMargin,
+    // exact integer window sums (Σn, Σn², count) → identical IEEE
+    // doubles in both engines; DuckDB sum() yields HUGEINT, pinned back
+    // to BIGINT before the double math
+    "q90_rate_spikes" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour, n,
+        |    count(n) OVER tw AS t_cnt,
+        |    CAST(sum(n) OVER tw AS BIGINT) AS t_sum,
+        |    CAST(sum(n * n) OVER tw AS BIGINT) AS t_sum2
+        |  FROM hourly
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hour, n,
+        |  CASE WHEN t_cnt < 12 THEN 'warmup'
+        |       WHEN n > CAST(t_sum AS DOUBLE) / t_cnt
+        |         + 3.0 * sqrt(greatest(
+        |             (CAST(t_sum2 AS DOUBLE)
+        |               - CAST(t_sum AS DOUBLE) * t_sum / t_cnt)
+        |               / (t_cnt - 1), CAST(0.0 AS DOUBLE)))
+        |         THEN 'spike'
+        |       ELSE 'ok' END AS status
+        |FROM w ORDER BY event_type, hour""".stripMargin
   )
 }

@@ -292,6 +292,24 @@ class OpsSpec extends SparkTestBase {
     assert(nll(100L) < nll(101L), nll.toString)
   }
 
+  test("rateSpikes flags a planted burst, warms up, and stays quiet on steady load") {
+    // 30 steady hours of ~60 events (count 58-62), then one 300-event hour
+    val steady = for {
+      h <- 0 until 30
+      i <- 0 until (58 + (h * 7) % 5)
+    } yield (s"h$h-$i", new Timestamp(86400000L + h * 3600000L + i * 1000L), "ingest")
+    val burst = (0 until 300).map(i =>
+      (s"b-$i", new Timestamp(86400000L + 30 * 3600000L + i * 1000L), "ingest"))
+    val events = (steady ++ burst).toDF("event_id", "ts", "event_type")
+    val got = Monitoring.rateSpikes(events, col("ts"), col("event_type"))
+      .orderBy(col("hour")).collect()
+      .map(r => r.getTimestamp(1).getTime / 3600000L % 100 -> r.getString(3))
+    val byHour = got.toMap
+    assert(got.take(12).forall(_._2 == "warmup"), got.take(13).mkString(","))
+    assert((12 until 30).forall(h => byHour(h + 24) == "ok"), got.mkString(","))
+    assert(byHour(30 + 24) == "spike", got.mkString(","))
+  }
+
   test("brute-force topk: self is rank-1 with score 1") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
