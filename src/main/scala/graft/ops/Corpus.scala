@@ -390,9 +390,17 @@ object Corpus {
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(v) // one row — auto-broadcast
+      // V = 0 (empty/fully-filtered reference) would make the smoothed
+      // probability 1/0 = +Inf and every score collapse to garbage with
+      // no signal the model was empty — raise instead, woven into the
+      // scoring pass (zero extra jobs; the check is per-row but V is a
+      // broadcast scalar, so it costs one comparison)
+      .withColumn("__v_ok", when(col("v") > 0, col("v")).otherwise(raise_error(
+        lit("bigramLmScore: the reference slice has no tokens — " +
+          "an empty model scores nothing; check the reference filter"))))
       .withColumn("__m", floor(-log(
         (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+          (coalesce(col("c1"), lit(0L)) + col("__v_ok")).cast("double"))
         * lit(1000000.0) + lit(0.5)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

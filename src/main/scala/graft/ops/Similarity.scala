@@ -152,7 +152,14 @@ object Similarity {
     * collected per round — M×ksub×subDim doubles, the index's
     * dimension table — which also truncates the iterative lineage.
     * Returns (sub, cid, cv); empty clusters drop out (codes are
-    * POSITIONS in the packed per-sub array, so gaps are harmless). */
+    * POSITIONS in the packed per-sub array, so gaps are harmless).
+    *
+    * Deliberately a separate kernel from [[refineCentroids]] despite
+    * the shared Lloyd shape: this one keys every stage by (sub, cid),
+    * trains on a bounded sample, and ROUNDS its means (codes are a
+    * discretization — see the in-code note), none of which the IVF
+    * path wants; parameterizing one kernel for both would couple the
+    * q18/q20/q53 pinned goldens to every PQ change. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ksub: Int, iters: Int,
       trainCap: Int = 100000): DataFrame = {
@@ -196,7 +203,16 @@ object Similarity {
         .select(col("sub"), col("best.cid").as("cid"), col("sv"))
       val means = assigned
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dimi", "x")))
-        .groupBy(col("sub"), col("cid"), col("dimi")).agg(avg(col("x")).as("mx"))
+        // round(avg, 9): avg's partial-aggregation sum order follows the
+        // partitioning, so raw means can differ by ULPs across partition
+        // counts — and code assignment DISCRETIZES (an argmin over the
+        // centroids), where a ULP can flip a near-equidistant subvector's
+        // code and with it the pinned golden. 9 dp is far above float
+        // noise, far below any real centroid separation. (refineCentroids
+        // deliberately does NOT round: its q18/q20/q53 goldens pin the
+        // historical unrounded values, and its consumers threshold
+        // continuous scores rather than discretize.)
+        .groupBy(col("sub"), col("cid"), col("dimi")).agg(round(avg(col("x")), 9).as("mx"))
         .groupBy(col("sub"), col("cid"))
         .agg(sort_array(collect_list(struct(col("dimi"), col("mx")))).as("ds"))
         .select(col("sub"), col("cid"),

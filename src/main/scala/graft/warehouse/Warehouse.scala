@@ -192,12 +192,17 @@ object Warehouse {
     *
     * Loss-proof by construction: input rows are counted ON the write
     * job (`observe` — no extra scan), the written output is counted
-    * from parquet metadata, and the swap happens only if they match.
-    * The swap itself is the tmp+rename dance (readers never see a
-    * partial directory); the pre-compaction generation is deleted after
-    * the swap — the rows were just proven identical, and keeping a
+    * from parquet metadata, the part listing is re-checked against the
+    * entry snapshot (a CONCURRENT append would otherwise ride into the
+    * discarded generation unseen by the row proof — single-writer is
+    * the contract, and violating it aborts loudly), and every rename's
+    * boolean result is checked (Hadoop reports failure by returning
+    * false; an unchecked swap could delete the only live generation).
+    * Only then is the pre-compaction generation deleted — keeping a
     * second copy of a table-sized directory is the one thing a
-    * compactor of SMALL-FILE bloat must not do.
+    * compactor of small-file bloat must not do. Between the two renames
+    * the table is briefly absent (single-FS batch semantics; a failed
+    * second rename rolls back).
     * Returns (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       targetBytes: Long, sortCol: Option[String] = None): (Int, Int) = {
@@ -216,22 +221,46 @@ object Warehouse {
       case None => data.repartition(nOut)
     }
     val obs = org.apache.spark.sql.Observation()
-    val tmp = tablePath + ".compact-tmp"
-    shaped.observe(obs, count(lit(1)).as("rows"))
-      .write.mode("overwrite").parquet(tmp)
-    val inRows = obs.get("rows").asInstanceOf[Long]
-    val outRows = spark.read.parquet(tmp).count()
-    if (inRows != outRows) {
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      throw new IllegalStateException(
-        s"compaction wrote $outRows rows for $inRows inputs — aborted, $tablePath untouched")
+    val tmpPath = new org.apache.hadoop.fs.Path(tablePath + ".compact-tmp")
+    def abort(reason: String): Nothing = {
+      fs.delete(tmpPath, true)
+      throw new IllegalStateException(s"$reason — aborted, $tablePath untouched")
     }
-    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+    shaped.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(tmpPath.toString)
+    val inRows = obs.get("rows").asInstanceOf[Long]
+    val outRows = spark.read.parquet(tmpPath.toString).count()
+    if (inRows != outRows)
+      abort(s"compaction wrote $outRows rows for $inRows inputs")
+    // single-writer check: a part file appended AFTER the snapshot read
+    // (a concurrent mergeBatchSink/ingest batch) would ride into the old
+    // generation and be deleted — its rows are in neither count, so the
+    // row proof above cannot see it. Abort loudly instead of losing it;
+    // compaction belongs in the ingest quiet window.
+    val partsNow = fs.listStatus(hPath).filter(s =>
+      s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1).toSeq
+    if (partsNow != parts.map(s => (s.getPath.getName, s.getLen)).sortBy(_._1).toSeq)
+      abort("table changed during compaction (concurrent writer?)")
+    val outFiles = fs.listStatus(tmpPath)
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    // Hadoop rename reports failure by RETURNING FALSE, not throwing —
+    // an unchecked swap could delete the only live generation. Between
+    // the two renames the table is briefly absent (single-FS batch
+    // semantics; snapshot-isolated formats commit via metadata instead);
+    // a failed second rename rolls the original back.
     val old = new org.apache.hadoop.fs.Path(tablePath + ".compact-old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(hPath, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath)
+    if (!fs.rename(hPath, old))
+      abort(s"could not move $tablePath aside")
+    if (!fs.rename(tmpPath, hPath)) {
+      val rolledBack = fs.rename(old, hPath)
+      fs.delete(tmpPath, true)
+      throw new IllegalStateException(
+        s"could not move compacted data into $tablePath — " +
+          (if (rolledBack) "original restored"
+           else s"ROLLBACK FAILED, original is at $old"))
+    }
     fs.delete(old, true)
     (parts.length, outFiles)
   }

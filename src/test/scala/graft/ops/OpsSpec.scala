@@ -281,6 +281,17 @@ class OpsSpec extends SparkTestBase {
     assert(got == Map(10L -> ((1L, 0.693147)), 11L -> ((1L, 1.386294))), got.toString)
   }
 
+  test("bigramLmScore raises on an empty reference slice instead of scoring garbage") {
+    // V=0 would make the smoothed probability 1/0 = +Inf and every
+    // score collapse silently — the guard must fire
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Corpus.bigramLmScore(docs, docs.filter(col("doc_id") < 0), "doc_id", "text")
+        .collect())
+    assert(e.getMessage != null && e.getMessage.contains("reference slice has no tokens"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("bigramLmScore: reference-like text scores lower than gibberish") {
     val ref = (1L to 50L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")

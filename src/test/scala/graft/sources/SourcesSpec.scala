@@ -226,12 +226,23 @@ class SourcesSpec extends SparkTestBase {
       IncrementalIngest.ingest(spark, in, ledger)(read)(
         _ => throw new RuntimeException("sink down"))
     }
-    assert(IncrementalIngest.newFiles(spark, in, ledger).map(_._1) == Seq("d.jsonl"))
+    assert(IncrementalIngest.newFiles(spark, in, ledger).map(_.file) == Seq("d.jsonl"))
     assert(IncrementalIngest.ingest(spark, in, ledger)(read)(append) == Seq("d.jsonl"))
 
-    // immutability: a committed file changing size raises loudly
-    land("a.jsonl", Seq("""{"id":1}""", """{"id":2}""", """{"id":99}"""))
+    // immutability: a committed file REWRITTEN AT THE SAME SIZE (the
+    // case a size-only guard misses) raises via the mtime check
+    val aPath = java.nio.file.Paths.get(in, "a.jsonl")
+    val originalBytes = java.nio.file.Files.readAllBytes(aPath)
+    java.nio.file.Files.write(aPath,
+      new String(originalBytes, "UTF-8").replace("\"id\":2", "\"id\":9").getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(aPath,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
     val e = intercept[IllegalStateException](IncrementalIngest.newFiles(spark, in, ledger))
     assert(e.getMessage.contains("immutable"), e.getMessage)
+
+    // and a size change raises too
+    land("a.jsonl", Seq("""{"id":1}""", """{"id":2}""", """{"id":99}"""))
+    val e2 = intercept[IllegalStateException](IncrementalIngest.newFiles(spark, in, ledger))
+    assert(e2.getMessage.contains("immutable"), e2.getMessage)
   }
 }
