@@ -33,12 +33,18 @@ object Monitoring {
     * one window exchange partitioned by key — per-key series process
     * independently. */
   def rateSpikes(events: DataFrame, tsCol: Column, keyCol: Column,
-      trailHours: Int = 24, minHistory: Int = 12, z: Double = 3.0): DataFrame = {
+      trailHours: Int = 24, minHistory: Int = 12, z: Double = 3.0): DataFrame =
+    rateSpikesFromHourly(events
+      .groupBy(keyCol.as("key"), date_trunc("hour", tsCol).as("hour"))
+      .agg(count(lit(1)).as("n")), trailHours, minHistory, z)
+
+  /** [[rateSpikes]] over a pre-aggregated (key, hour, n) series — the
+    * entry point when counts are maintained incrementally (the
+    * streaming sink merges per-batch counts, then evaluates here). */
+  def rateSpikesFromHourly(hourly: DataFrame, trailHours: Int = 24,
+      minHistory: Int = 12, z: Double = 3.0): DataFrame = {
     require(trailHours >= 2 && minHistory >= 2 && minHistory <= trailHours,
       s"need 2 <= minHistory <= trailHours, got $minHistory/$trailHours")
-    val hourly = events
-      .groupBy(keyCol.as("key"), date_trunc("hour", tsCol).as("hour"))
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("key")).orderBy(col("hour"))
       .rowsBetween(-trailHours, -1)
     hourly

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -182,22 +182,34 @@ object EventPipeline {
     * the anti-join side stays shuffle-free. */
   def mergeBatchSink(tablePath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
-      if (new java.io.File(tablePath).exists()) {
-        val existing = spark.read.parquet(tablePath)
-        Warehouse.mergeByKey(existing, batch, keys)
-      } else batch
-    val tmp = tablePath + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+      if (fs.exists(hPath))
+        Warehouse.mergeByKey(spark.read.parquet(tablePath), batch, keys)
+      else batch
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
     // atomic-ish swap (single-FS local semantics; object stores would
-    // version the table instead)
-    val fs = new java.io.File(tablePath)
-    if (fs.exists()) {
-      val old = new java.io.File(tablePath + ".old")
-      if (old.exists()) old.delete()
-      fs.renameTo(old)
+    // version the table instead), every step CHECKED: the original
+    // java.io.File spelling silently lost every batch after the second —
+    // File.delete() on the non-empty .old generation is non-recursive
+    // and returns false, the two renames then both no-op'd, and the
+    // table stayed on the previous generation with no error. Hadoop
+    // rename/delete report failure by returning false; unchecked swaps
+    // are how merge sinks eat data.
+    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new IllegalStateException(s"could not clear $old")
+    if (fs.exists(hPath) && !fs.rename(hPath, old))
+      throw new IllegalStateException(s"could not move $tablePath aside")
+    if (!fs.rename(tmp, hPath)) {
+      val rolledBack = fs.rename(old, hPath)
+      throw new IllegalStateException(
+        s"could not move merged batch $batchId into $tablePath — " +
+          (if (rolledBack) "previous generation restored"
+           else s"ROLLBACK FAILED, previous generation is at $old"))
     }
-    new java.io.File(tmp).renameTo(new java.io.File(tablePath))
   }
 
   /** foreachBatch body for streaming corpus ingest with near-dup
@@ -230,5 +242,36 @@ object EventPipeline {
           spark.read.parquet(corpusPath), selfDeduped, idCol, textCol, threshold)
       else selfDeduped
     survivors.write.mode("append").parquet(corpusPath)
+  }
+
+  /** foreachBatch body for streaming rate-anomaly monitoring — the
+    * streaming face of [[graft.ops.Monitoring.rateSpikes]]: each
+    * micro-batch's per-(key, hour) counts are merged into the counts
+    * table at `countsPath`, the refreshed series is re-evaluated, and
+    * currently-flagged spike hours go to `alert` (e.g. a log table, a
+    * pager topic via its own sink).
+    *
+    * Replay-idempotent BY KEY, not by addition: hourly counts are
+    * additive, but foreachBatch re-delivers a batch after failure and
+    * adding its slice twice would double-count — so each batch's
+    * partial counts are keyed (key, hour, batch_id) and OVERWRITTEN on
+    * replay via [[mergeBatchSink]]; evaluation sums the slices. An
+    * hour's count converges to the same total no matter how often any
+    * batch replays. Compaction of the slice table is
+    * [[graft.warehouse.Warehouse.compact]] in a quiet window. */
+  def spikeMonitorSink(countsPath: String, keyCol: Column, tsCol: Column,
+      alert: DataFrame => Unit, trailHours: Int = 24, minHistory: Int = 12,
+      z: Double = 3.0)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val slice = batch
+      .groupBy(keyCol.as("key"), date_trunc("hour", tsCol).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(batchId))
+    mergeBatchSink(countsPath, Seq("key", "hour", "batch_id"))(slice, batchId)
+    val hourly = spark.read.parquet(countsPath)
+      .groupBy(col("key"), col("hour")).agg(sum(col("n")).as("n"))
+    alert(graft.ops.Monitoring.rateSpikesFromHourly(
+      hourly, trailHours, minHistory, z)
+      .filter(col("status") === "spike"))
   }
 }

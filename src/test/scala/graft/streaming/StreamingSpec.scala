@@ -60,11 +60,19 @@ class StreamingSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("mergesink").toString + "/tbl"
     val b0 = Seq((1L, "a", 1), (2L, "b", 1)).toDF("id", "v", "batch")
     val b1 = Seq((2L, "B", 2), (3L, "c", 2)).toDF("id", "v", "batch")
+    // three+ batches: the third is the regression case — the swap's
+    // .old generation exists non-empty from batch 1, and an unchecked
+    // non-recursive delete used to fail there, silently freezing the
+    // table at the batch-1 generation forever
+    val b2 = Seq((3L, "C", 3), (4L, "d", 3)).toDF("id", "v", "batch")
+    val b3 = Seq((1L, "A", 4)).toDF("id", "v", "batch")
     EventPipeline.mergeBatchSink(dir, Seq("id"))(b0, 0)
     EventPipeline.mergeBatchSink(dir, Seq("id"))(b1, 1)
+    EventPipeline.mergeBatchSink(dir, Seq("id"))(b2, 2)
+    EventPipeline.mergeBatchSink(dir, Seq("id"))(b3, 3)
     val out = spark.read.parquet(dir).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
-    assert(out == Seq((1L, "a", 1), (2L, "B", 2), (3L, "c", 2)))
+    assert(out == Seq((1L, "A", 4), (2L, "B", 2), (3L, "C", 3), (4L, "d", 3)))
   }
 
   test("stream-static enrichment picks up a dimension refresh between micro-batches") {
@@ -175,5 +183,46 @@ class StreamingSpec extends SparkTestBase {
     val once = Warehouse.mergeByKey(base, batch, Seq("id"))
     val twice = Warehouse.mergeByKey(once, batch, Seq("id"))
     assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+
+  test("streaming spike monitor flags a planted burst; batch replay can't double-count") {
+    implicit val sql = spark.sqlContext
+    val counts = Files.createTempDirectory("spikes").toString + "/counts"
+    val alerts = scala.collection.mutable.Set[(String, Long)]()
+    def alert(df: org.apache.spark.sql.DataFrame): Unit =
+      alerts ++= df.collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val stream = MemoryStream[(String, Timestamp)]
+    val q = stream.toDF().toDF("event_type", "ts")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventPipeline.spikeMonitorSink(counts, col("event_type"),
+        col("ts"), alert, trailHours = 24, minHistory = 12) _)
+      .start()
+    def hour(h: Int) = new Timestamp(86400000L + h * 3600000L)
+    // 30 steady hours of ~60 events, split across two batches
+    def steady(hs: Range) = for {
+      h <- hs; i <- 0 until (58 + (h * 7) % 5)
+    } yield ("ingest", new Timestamp(hour(h).getTime + i * 1000L))
+    stream.addData(steady(0 until 15)); q.processAllAvailable()
+    stream.addData(steady(15 until 30)); q.processAllAvailable()
+    assert(alerts.isEmpty, s"steady load must not alert: $alerts")
+    // burst hour → flagged
+    stream.addData((0 until 300).map(i =>
+      ("ingest", new Timestamp(hour(30).getTime + i * 1000L))))
+    q.processAllAvailable()
+    q.stop()
+    assert(alerts == Set(("ingest", hour(30).getTime)), alerts.toString)
+
+    // replaying a batch's slice (same batch_id) overwrites, never adds:
+    // a steady hour re-delivered stays unflagged
+    val preReplay = spark.read.parquet(counts)
+      .groupBy("key", "hour").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    EventPipeline.spikeMonitorSink(counts, col("event_type"), col("ts"),
+      alert, trailHours = 24, minHistory = 12)(
+      steady(15 until 30).toDF("event_type", "ts"), 1L) // batch 1 re-delivered
+    val postReplay = spark.read.parquet(counts)
+      .groupBy("key", "hour").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(postReplay == preReplay, "replay changed the accumulated counts")
   }
 }
