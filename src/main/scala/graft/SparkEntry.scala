@@ -32,7 +32,8 @@ object SparkEntry {
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (SqlQueries.queries, SqlQueries.oracle),
       (CorpusQueries.queries, CorpusQueries.oracle),
-      (GraphQueries.queries, GraphQueries.oracle))
+      (GraphQueries.queries, GraphQueries.oracle),
+      (RetrievalQueries.queries, RetrievalQueries.oracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _)

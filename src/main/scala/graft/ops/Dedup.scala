@@ -589,6 +589,9 @@ object Dedup {
   def embeddingNearDupsIvf(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, centroidStride: Int = 50,
       nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
+    // a string id nulls the stride modulo → zero seeds → silently empty
+    // index; fail loudly instead (same contract as the LSH kernels)
+    Guards.requireIntegralId(vecs, idCol, "embeddingNearDupsIvf centroid-stride seeding")
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val seeds = base.filter(col("id") % centroidStride === 0)
       .select(col("id").as("centroid_id"), col("v").as("cv"))

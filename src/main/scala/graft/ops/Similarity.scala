@@ -34,6 +34,26 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact top-k EUCLIDEAN neighbors per probe — same plan shape as
+    * [[bruteForceTopK]] (broadcast probes, linear corpus scan, bounded
+    * heap), ranking ascending L2. This is the ground truth an L2 index
+    * ([[pqTopK]], [[ivfPqTopK]]) should be recall-scored against:
+    * scoring an L2 index against cosine truth conflates metric
+    * disagreement with index error. */
+  def bruteForceTopKL2(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(p))
+      .withColumn("dist2", round(l2DistanceSquared(col("pv"), col("cv")), 6))
+      .withColumn("score", -col("dist2"))
+    rankTopK(scored, k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        (-col("score")).as("dist2"))
+  }
+
   /** groupBy(probe_id) + bounded-heap top-k → exploded (rank, id, score). */
   private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("probe_id"))
@@ -111,6 +131,9 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, centroidStride: Int = 50,
       kmeansIters: Int = 0): DataFrame = {
+    // a string id nulls the stride modulo → zero seeds → silently empty
+    // index; fail loudly instead (same contract as the LSH kernels)
+    Guards.requireIntegralId(corpus, idCol, "ivfTopK centroid-stride seeding")
     val centroids0 = corpus.filter(col(idCol) % centroidStride === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
     val centroids =
@@ -235,26 +258,36 @@ object Similarity {
     .agg(sort_array(collect_list(struct(col("sub"), col("cbs")))).as("ss"))
     .select(transform(col("ss"), s => s.getField("cbs")).as("cb"))
 
-  /** Encode every vector as M codes — entirely MAP-SIDE: the packed
-    * codebook rides a one-row broadcast, the per-sub argmin is
-    * array_position(dists, array_min(dists)) over higher-order
-    * functions (first-match ties → deterministic), and exactly one
-    * (id, codes) row per input leaves the stage. No shuffle, no
-    * custom state — whole-stage codegen end to end. */
-  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+  /** Append a `codes` column (M codes for `vecCol`) to `df` — entirely
+    * MAP-SIDE: the packed codebook rides a one-row broadcast, the
+    * per-sub argmin is array_position(dists, array_min(dists)) over
+    * higher-order functions (first-match ties → deterministic). Other
+    * columns pass through untouched, so callers that need the codes
+    * NEXT TO other per-row state (e.g. the IVF-PQ cluster id) avoid a
+    * corpus-sized re-join on id. No shuffle, no custom state —
+    * whole-stage codegen end to end. */
+  private def withPqCodes(df: DataFrame, codebook: DataFrame,
       vecCol: String, dim: Int, m: Int): DataFrame = {
     val subDim = dim / m
-    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("v", assertDim(col("v"), dim))
-      .crossJoin(broadcast(packCodebook(codebook)))
+    df.crossJoin(broadcast(packCodebook(codebook)))
       .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s => {
-        val sv = slice(col("v"), s * subDim + 1, lit(subDim))
+        val sv = slice(col(vecCol), s * subDim + 1, lit(subDim))
         val dists = transform(element_at(col("cb"), s + 1),
           c => l2DistanceSquared(sv, c))
         (array_position(dists, array_min(dists)) - 1).cast("int")
       }))
-      .select(col("id"), col("codes"))
+      .drop("cb")
   }
+
+  /** Encode every vector as M codes (see [[withPqCodes]] for the plan
+    * shape); exactly one (id, codes) row per input leaves the stage. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int): DataFrame =
+    withPqCodes(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("v", assertDim(col("v"), dim)),
+      codebook, "v", dim, m)
+      .select(col("id"), col("codes"))
 
   /** PQ asymmetric-distance top-k: train codebooks, encode the corpus,
     * and score each probe by table lookup — the probe precomputes an
@@ -285,6 +318,112 @@ object Similarity {
         zip_with(col("codes"), col("tables"), (cd, t) => element_at(t, cd + 1)),
         lit(0.0), (acc, x) => acc + x), 6))
       // rankTopK keeps the LARGEST scores — negate to rank ascending
+      .withColumn("score", -col("adist"))
+    rankTopK(scored, k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        (-col("score")).as("adist"))
+  }
+
+  /** Recall@k of an approximate ANN result against an exact one — the
+    * standard index-quality gauge (one row per probe: hits / truth
+    * size). Both inputs are rankTopK-shaped (probe_id, rank,
+    * neighbor_id, …) and O(probes × k) small; the eval is a toy join —
+    * it's the indexes feeding it that cost. At 100 TB you run this on
+    * a sampled probe set after every index build: a threshold drop is
+    * the first sign a codebook trained on a drifted corpus. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    truth.filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .join(approx.filter(col("rank") <= k)
+          .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_truth"), 4))
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ (Jégou, Douze, Schmid 2011 §IV — the FAISS "IVFx,PQy"
+  // production shape): the coarse IVF quantizer cuts how much of the
+  // corpus a probe scans, and PQ codes over the RESIDUAL (v − coarse
+  // centroid) cut what each kept vector costs in memory. Residual
+  // encoding is what makes the combination better than either piece:
+  // residuals concentrate near the origin, so the same ksub codes per
+  // subspace quantize far finer than on raw vectors, and within a
+  // shared cell ‖p − x‖² = ‖(p−c) − (x−c)‖² exactly — recentering
+  // loses nothing from the ADC estimate.
+  // ---------------------------------------------------------------------
+
+  /** IVF-PQ approximate top-k. Index build: coarse centroids
+    * (stride-seeded + honest Lloyd rounds), per-vector cell assignment
+    * with the residual computed in the SAME partial-agg argmin pass
+    * (the centroid vector rides the min-struct behind (dist2, id), so
+    * the compare never reaches it and no re-join on id is needed),
+    * shared PQ codebooks trained on the residuals, residual codes
+    * encoded in place next to the cell id. Query: each probe
+    * multi-probes its `nProbe` nearest cells (bounded-heap top-k) and
+    * precomputes one ADC table PER PROBED CELL from its recentered
+    * residual; scoring a corpus row is M lookups. Scale shape: after
+    * encoding, only (id, cell, M codes) ever moves; probes/tables ride
+    * broadcasts; the final exchange is O(probes × k) via the bounded
+    * heap. A corpus vector lives in exactly one cell, so multi-probe
+    * can never emit a (probe, neighbor) pair twice — no dedup pass.
+    *
+    * Coarse centroid components are rounded to 9 dp: BOTH downstream
+    * uses discretize (the cell argmin and, through the residual, the
+    * PQ code argmin), where partial-agg ULP jitter in an unrounded
+    * mean can flip an assignment (same reasoning as the pqCodebooks
+    * mean rounding; [[refineCentroids]] itself stays unrounded for its
+    * pinned q18/q20/q53 consumers). */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
+      nProbe: Int = 2, centroidStride: Int = 50, kmeansIters: Int = 2,
+      pqIters: Int = 2, trainCap: Int = 100000): DataFrame = {
+    val subDim = dim / m
+    Guards.requireIntegralId(corpus, idCol, "ivfPqTopK centroid-stride seeding")
+    val base = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("v", assertDim(col("v"), dim))
+    val seeds = base.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("centroid_id"), col("v").as("cv"))
+    val coarse0 =
+      if (kmeansIters <= 0) seeds
+      else refineCentroids(base, seeds, "id", "v", kmeansIters)
+    val coarse = coarse0.select(col("centroid_id"),
+      transform(col("cv").cast("array<double>"), x => round(x, 9)).as("cv"))
+    val assigned = base.join(broadcast(coarse))
+      .withColumn("dist2", l2DistanceSquared(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(first(col("v")).as("v"),
+        min(struct(col("dist2"), col("centroid_id"), col("cv"))).as("best"))
+      .select(col("id"), col("best.centroid_id").as("cluster"),
+        zip_with(col("v"), col("best.cv"), (a, b) => a - b).as("r"))
+    val cb = pqCodebooks(assigned, "id", "r", dim, m, ksub, pqIters, trainCap)
+    val codes = withPqCodes(assigned, cb, "r", dim, m)
+      .select(col("id").as("neighbor_id"), col("cluster"), col("codes"))
+    val probed = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).cast("array<double>").as("pv"))
+      .withColumn("pv", assertDim(col("pv"), dim))
+      .join(broadcast(coarse))
+      .withColumn("score", -l2DistanceSquared(col("pv"), col("cv")))
+      .groupBy(col("probe_id"))
+      .agg(first(col("pv")).as("pv"),
+        topKByScore(col("score"), col("centroid_id"), nProbe).as("cells"))
+      .select(col("probe_id"), col("pv"), explode(col("cells")).as("cell"))
+      .select(col("probe_id"), col("pv"), col("cell.id").as("cluster"))
+      .join(broadcast(coarse.withColumnRenamed("centroid_id", "cluster")),
+        Seq("cluster"))
+      .withColumn("rp", zip_with(col("pv"), col("cv"), (a, b) => a - b))
+    val tables = probed.crossJoin(broadcast(packCodebook(cb)))
+      .withColumn("tables", transform(sequence(lit(0), lit(m - 1)), s => {
+        val sv = slice(col("rp"), s * subDim + 1, lit(subDim))
+        transform(element_at(col("cb"), s + 1), c => l2DistanceSquared(sv, c))
+      }))
+      .select(col("probe_id"), col("cluster"), col("tables"))
+    val scored = codes.join(broadcast(tables), Seq("cluster"))
+      .withColumn("adist", round(aggregate(
+        zip_with(col("codes"), col("tables"), (cd, t) => element_at(t, cd + 1)),
+        lit(0.0), (acc, x) => acc + x), 6))
       .withColumn("score", -col("adist"))
     rankTopK(scored, k)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),

@@ -40,6 +40,34 @@ object VectorQueries {
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
         kmeansIters = 2)
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // IVF-PQ top-5 (the FAISS production shape): coarse cells cut the
+    // scan, residual PQ codes cut the memory — scan reduction (q20) and
+    // compression (q89) combined. Golden-pinned (float iteration)
+    "q91_ann_ivfpq" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
+        nProbe = 2, centroidStride = 50, kmeansIters = 2, pqIters = 2)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Recall@5 of the IVF-PQ index against exact L2 brute force — the
+    // index-quality gauge you re-run after every build at scale
+    // (L2 truth for an L2 index: cosine truth would conflate metric
+    // disagreement with index error). Golden-pinned (the approx side
+    // is float iteration)
+    "q92_ann_recall" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopKL2(vecs, probes,
+        "vec_id", "embedding", k = 5)
+      val approx = Similarity.ivfPqTopK(vecs, probes,
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
+        nProbe = 2, centroidStride = 50, kmeansIters = 2, pqIters = 2)
+      Similarity.recallAtK(exact, approx, k = 5)
+        .orderBy(col("probe_id"))
     })
   )
 

@@ -136,6 +136,92 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("ivfPqTopK: neighbors of a blob probe come from the probe's blob") {
+    // 4-dim, 3 well-separated blobs; stride 50 seeds one centroid in
+    // blob 0 (ids 0, 100, 200 → after Lloyd one per blob); residual PQ
+    // error is tiny next to inter-blob distance, so ranking stays in-blob
+    val anchors = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(50.0, 50.0, 50.0, 50.0),
+      Seq(100.0, 100.0, 0.0, 0.0))
+    val rows = for {
+      (a, b) <- anchors.zipWithIndex
+      i <- 0 until 20
+    } yield (b * 100L + i,
+      a.zipWithIndex.map { case (x, d) => (x + ((i * 7 + d * 3) % 5) * 0.1).toFloat })
+    val vecs = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqTopK(vecs,
+      vecs.filter(col("vec_id").isin(0L, 105L, 210L)),
+      "vec_id", "embedding", k = 5, dim = 4, m = 2, ksub = 4,
+      nProbe = 2, centroidStride = 50, kmeansIters = 2, pqIters = 3)
+      .collect()
+    assert(out.length == 15, s"expected 3 probes × 5: ${out.length}")
+    out.foreach { r =>
+      val (p, n) = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      assert(p / 100 == n / 100, s"probe $p got cross-blob neighbor $n")
+      assert(r.getAs[Double]("adist") >= 0.0)
+    }
+  }
+
+  test("bruteForceTopKL2 matches hand-computed euclidean ranking") {
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f)), (4L, Seq(0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 1L)
+    val got = Similarity.bruteForceTopKL2(corpus, probes, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("dist2")))
+    assert(got.toSeq == Seq((1, 1L, 0.0), (2, 2L, 1.0), (3, 3L, 9.0)), got.toSeq.toString)
+  }
+
+  test("recallAtK counts hits and misses per probe") {
+    val truth = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("probe_id", "rank", "neighbor_id")
+    val approx = Seq((1L, 1, 10L), (1L, 2, 99L), (2L, 1, 21L), (2L, 2, 20L))
+      .toDF("probe_id", "rank", "neighbor_id")
+    val got = Similarity.recallAtK(truth, approx, k = 2)
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        (r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(got(1L) == (1L, 0.5), got.toString)   // 10 hit, 11 missed
+    assert(got(2L) == (2L, 1.0), got.toString)   // order within k irrelevant
+  }
+
+  test("ivfPqTopK recall vs exact L2 truth is high on clustered data") {
+    val anchors = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(50.0, 50.0, 50.0, 50.0),
+      Seq(100.0, 100.0, 0.0, 0.0))
+    val rows = for {
+      (a, b) <- anchors.zipWithIndex
+      i <- 0 until 20
+    } yield (b * 100L + i,
+      a.zipWithIndex.map { case (x, d) => (x + ((i * 7 + d * 3) % 5) * 0.1).toFloat })
+    val vecs = rows.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopKL2(vecs, probes, "vec_id", "embedding", k = 5)
+    val approx = Similarity.ivfPqTopK(vecs, probes, "vec_id", "embedding",
+      k = 5, dim = 4, m = 2, ksub = 4, nProbe = 2, centroidStride = 50,
+      kmeansIters = 2, pqIters = 3)
+    val rec = Similarity.recallAtK(exact, approx, k = 5)
+      .agg(avg("recall")).collect()(0).getDouble(0)
+    assert(rec >= 0.8, s"mean recall@5 too low: $rec")
+  }
+
+  test("stride-seeded indexes refuse a string id (silent empty-index trap)") {
+    // a string id nulls `id % stride` → zero seeds → an empty index that
+    // returns nothing without error; the guard makes it loud
+    val vecs = Seq(("a", Seq(0.0f, 0.0f)), ("b", Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding", k = 1))
+    assert(e1.getMessage.contains("integral id"))
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.ivfPqTopK(vecs, vecs, "vec_id", "embedding",
+        k = 1, dim = 2, m = 1, ksub = 2))
+    assert(e2.getMessage.contains("integral id"))
+    val e3 = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDupsIvf(vecs, "vec_id", "embedding"))
+    assert(e3.getMessage.contains("integral id"))
+  }
+
   test("pqEncode raises loudly on a ragged (wrong-dimension) vector") {
     val good = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
     val cb = Similarity.pqCodebooks(good, "vec_id", "embedding",
