@@ -244,6 +244,45 @@ object EventPipeline {
     survivors.write.mode("append").parquet(corpusPath)
   }
 
+  /** foreachBatch body for a streaming perplexity quality gate — the
+    * CCNet-style filter ([[graft.ops.Corpus.bigramLmScore]]) applied at
+    * ingest time: each micro-batch is scored against the reference
+    * slice at `refPath`, docs with average bigram negative-log-prob at
+    * or under `maxAvgNll` merge into the accept table, everything else
+    * into the reject table (scores kept for audit — a reject spike is
+    * the first sign the upstream source drifted). The reference is
+    * re-read per batch — the stream-static shape of
+    * [[enrichBatchSink]]: a curator can refresh the reference slice
+    * between micro-batches and the gate follows without a restart.
+    *
+    * Docs with fewer than two tokens produce no bigrams to judge;
+    * `keepUnjudgeable` picks their side (default false — reject, the
+    * conservative web-corpus default; their audit row carries a null
+    * score, distinguishing "too short to judge" from "judged bad").
+    *
+    * Replay-idempotent: both sides go through [[mergeBatchSink]] KEYED
+    * ON THE DOC ID — a doc's verdict is a pure function of (doc,
+    * reference), so a replayed batch overwrites its own rows and the
+    * tables converge no matter how often a batch re-delivers. At
+    * cluster scale the model counts would be materialized once and
+    * reused across batches (the q88 scale note); re-deriving from the
+    * curated slice per micro-batch is the honest local form. */
+  def qualityGateSink(refPath: String, acceptPath: String,
+      rejectPath: String, idCol: String, textCol: String,
+      maxAvgNll: Double, keepUnjudgeable: Boolean = false)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val scores = graft.ops.Corpus.bigramLmScore(
+      batch, spark.read.parquet(refPath), idCol, textCol)
+    val judged = batch.join(
+      scores.select(col(idCol), col("avg_nll")), Seq(idCol), "left")
+    val keep = when(col("avg_nll").isNotNull, col("avg_nll") <= maxAvgNll)
+      .otherwise(lit(keepUnjudgeable))
+    mergeBatchSink(acceptPath, Seq(idCol))(
+      judged.filter(keep).drop("avg_nll"), batchId)
+    mergeBatchSink(rejectPath, Seq(idCol))(judged.filter(!keep), batchId)
+  }
+
   /** foreachBatch body for streaming rate-anomaly monitoring — the
     * streaming face of [[graft.ops.Monitoring.rateSpikes]]: each
     * micro-batch's per-(key, hour) counts are merged into the counts

@@ -138,6 +138,59 @@ class StreamingSpec extends SparkTestBase {
     assert(!ingested.contains(4L), "cross-batch near-dup must be rejected")
   }
 
+  test("streaming quality gate accepts reference-like docs, rejects junk; replay converges") {
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("qualgate").toString
+    val (ref, acc, rej) = (root + "/ref", root + "/accept", root + "/reject")
+    // reference slice: V=2, bigrams (a,b) c=40 / (b,a) c=30 — reference-
+    // like docs score ~0.03 avg nll, unseen-vocab docs back off to
+    // -ln(1/2)=0.693; threshold 0.3 separates them with a wide margin
+    Seq.fill(10)((0L, "a b a b a b a b")).toDF("doc_id", "text")
+      .write.parquet(ref)
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventPipeline.qualityGateSink(
+        ref, acc, rej, "doc_id", "text", maxAvgNll = 0.3) _)
+      .start()
+    stream.addData(Seq(
+      (1L, "a b a b"),        // reference-like → accept
+      (2L, "zz qq zz qq"),    // unseen vocabulary → reject
+      (3L, "solo")))          // one token: unjudgeable → reject (default)
+    q.processAllAvailable()
+    stream.addData(Seq((4L, "b a b a")))
+    q.processAllAvailable()
+    stream.addData(Seq((5L, "a b zz qq zz qq zz qq"))) // mostly junk → reject
+    q.processAllAvailable()
+    q.stop()
+    val accepted = spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(1L, 4L), accepted.toString)
+    val rejects = spark.read.parquet(rej).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[Any]("avg_nll"))).toMap
+    assert(rejects.keySet == Set(2L, 3L, 5L), rejects.toString)
+    assert(rejects(3L).isEmpty, "unjudgeable doc must carry a null score")
+    assert(rejects(2L).nonEmpty && rejects(5L).nonEmpty)
+    // foreachBatch re-delivers a batch after failure: the keyed merge
+    // overwrites rather than appends, so the tables converge
+    EventPipeline.qualityGateSink(ref, acc, rej, "doc_id", "text", 0.3)(
+      Seq((5L, "a b zz qq zz qq zz qq")).toDF("doc_id", "text"), 2L)
+    assert(spark.read.parquet(acc).count() == 2)
+    assert(spark.read.parquet(rej).count() == 3)
+  }
+
+  test("quality gate keepUnjudgeable=true routes short docs to accept") {
+    val root = Files.createTempDirectory("qualgate2").toString
+    val (ref, acc, rej) = (root + "/ref", root + "/accept", root + "/reject")
+    Seq.fill(10)((0L, "a b a b a b a b")).toDF("doc_id", "text")
+      .write.parquet(ref)
+    EventPipeline.qualityGateSink(ref, acc, rej, "doc_id", "text", 0.3,
+      keepUnjudgeable = true)(
+      Seq((1L, "solo"), (2L, "zz qq zz qq")).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(rej).select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("stream-stream event-time join matches within the window, evicts outside") {
     implicit val sql = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s)
