@@ -324,6 +324,35 @@ object Similarity {
         (-col("score")).as("adist"))
   }
 
+  /** Exact re-rank of an approximate candidate list (the FAISS refine
+    * step): fetch each candidate's TRUE vector, recompute the exact L2
+    * distance, and keep each probe's k best — an index retrieves a
+    * generous candidate set cheaply (ADC error included), then a final
+    * exact pass fixes the order. Works over any rankTopK-shaped list
+    * ((probe_id, rank, neighbor_id, …) — [[pqTopK]], [[ivfPqTopK]]).
+    *
+    * Scale shape: the candidate list is O(probes × R) small and rides
+    * broadcasts on BOTH joins, so the corpus is touched by one
+    * broadcast-hash semi-join-shaped pass that only materializes
+    * candidate vectors — the corpus never shuffles, and the final
+    * exchange is the bounded-heap O(probes × k). */
+  def refineTopK(candidates: DataFrame, corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).cast("array<double>").as("pv"))
+    val scored = c
+      .join(broadcast(candidates.select(col("probe_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("dist2", round(l2DistanceSquared(col("pv"), col("cv")), 6))
+      .withColumn("score", -col("dist2"))
+    rankTopK(scored, k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        (-col("score")).as("dist2"))
+  }
+
   /** Recall@k of an approximate ANN result against an exact one — the
     * standard index-quality gauge (one row per probe: hits / truth
     * size). Both inputs are rankTopK-shaped (probe_id, rank,

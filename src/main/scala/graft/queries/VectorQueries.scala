@@ -68,6 +68,20 @@ object VectorQueries {
         nProbe = 2, centroidStride = 50, kmeansIters = 2, pqIters = 2)
       Similarity.recallAtK(exact, approx, k = 5)
         .orderBy(col("probe_id"))
+    }),
+
+    // Retrieve-then-refine (the FAISS refine step): a generous IVF-PQ
+    // ADC top-20 candidate set, exact-re-ranked to a top-5 — index
+    // quantization error is bounded by the exact final pass while the
+    // corpus still never shuffles. Golden-pinned (float iteration)
+    "q95_ann_refine" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      val cand = Similarity.ivfPqTopK(vecs, probes, "vec_id", "embedding",
+        k = 20, dim = 64, m = 8, ksub = 16, nProbe = 2,
+        centroidStride = 50, kmeansIters = 2, pqIters = 2)
+      Similarity.refineTopK(cand, vecs, probes, "vec_id", "embedding", k = 5)
+        .orderBy(col("probe_id"), col("rank"))
     })
   )
 

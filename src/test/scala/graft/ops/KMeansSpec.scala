@@ -205,6 +205,47 @@ class KMeansSpec extends SparkTestBase {
     assert(rec >= 0.8, s"mean recall@5 too low: $rec")
   }
 
+  test("refineTopK exactly re-ranks the candidate set and nothing else") {
+    val corpus = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(4.0f, 0.0f)), (5L, Seq(0.5f, 0.0f))) // 5 = true nearest to probe
+      .toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 1L)
+    // candidate list deliberately EXCLUDES the true nearest (5): refine
+    // must rank within the given candidates, never re-open the corpus
+    val cand = Seq((1L, 1, 4L), (1L, 2, 2L), (1L, 3, 3L))
+      .toDF("probe_id", "rank", "neighbor_id")
+    val got = Similarity.refineTopK(cand, corpus, probes, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("dist2")))
+    assert(got.toSeq == Seq((1, 3L, 1.0), (2, 2L, 4.0)), got.toSeq.toString)
+  }
+
+  test("refine lifts (or holds) IVF-PQ recall on clustered data") {
+    val anchors = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(50.0, 50.0, 50.0, 50.0),
+      Seq(100.0, 100.0, 0.0, 0.0))
+    val rows = for {
+      (a, b) <- anchors.zipWithIndex
+      i <- 0 until 20
+    } yield (b * 100L + i,
+      a.zipWithIndex.map { case (x, d) => (x + ((i * 7 + d * 3) % 5) * 0.1).toFloat })
+    val vecs = rows.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") % 25 === 0)
+    val exact = Similarity.bruteForceTopKL2(vecs, probes, "vec_id", "embedding", k = 5)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(exact, approx, k = 5)
+        .agg(avg("recall")).collect()(0).getDouble(0)
+    val cand = Similarity.ivfPqTopK(vecs, probes, "vec_id", "embedding",
+      k = 15, dim = 4, m = 2, ksub = 4, nProbe = 2, centroidStride = 50,
+      kmeansIters = 2, pqIters = 3)
+    val unrefined = meanRecall(cand.filter(col("rank") <= 5))
+    val refined = meanRecall(
+      Similarity.refineTopK(cand, vecs, probes, "vec_id", "embedding", k = 5))
+    assert(refined >= unrefined, s"refine dropped recall: $refined < $unrefined")
+    assert(refined >= 0.9, s"refined recall@5 too low: $refined")
+  }
+
   test("stride-seeded indexes refuse a string id (silent empty-index trap)") {
     // a string id nulls `id % stride` → zero seeds → an empty index that
     // returns nothing without error; the guard makes it loud
