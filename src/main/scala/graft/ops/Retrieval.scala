@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -106,6 +107,55 @@ object Retrieval {
     rankByScore(fused, col("__sm").cast("double"), k)
       .withColumn("rrf_score", col("__score") / 1000000000.0)
       .drop("__score")
+  }
+
+  /** Ranking-quality gauge: per-query reciprocal rank, nDCG@k, and hit
+    * count of a ranked list against a graded relevance truth — the
+    * retrieve side's analog of [[Similarity.recallAtK]], closing the
+    * build→search→evaluate loop (tune BM25/RRF/ANN parameters against a
+    * labeled or cross-modal truth set).
+    *
+    * `ranked` is (query_id, rank, doc_id); `truth` is (query_id,
+    * doc_id, rel) with integer grades (higher = more relevant). Output:
+    * one row per truth query — rr (1/rank of the first relevant hit, 0
+    * if none in the top k), ndcg (DCG/IDCG over the top k), hits.
+    *
+    * Both inputs are already O(queries × k) — every join and window
+    * here runs on gauge-sized frames; the corpus is never touched.
+    *
+    * Determinism (oracle-exact): each position's gain rel/ln(pos+1) is
+    * rounded to integer MICRO-units before summation (log base cancels
+    * in the DCG/IDCG ratio, and ln is the one log both engines compute
+    * bit-identically — the q93 idf precedent), so DCG and IDCG are
+    * exact integers and nDCG is one deterministic double division. */
+  def evalRanking(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    def gain(rel: Column, pos: Column): Column =
+      floor(rel.cast("double") / log(pos.cast("double") + lit(1.0))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    val r = ranked.filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val tr = truth.select(col("query_id"), col("doc_id"), col("rel"))
+    val hits = r.join(tr, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(
+        floor(lit(1000000.0) / min(col("rank")).cast("double") + lit(0.5))
+          .cast("long").as("__rrm"),
+        sum(gain(col("rel"), col("rank"))).as("__dcg"),
+        count(lit(1)).as("__hits"))
+    val ideal = tr
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rel").desc, col("doc_id"))))
+      .filter(col("__rn") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(gain(col("rel"), col("__rn"))).as("__idcg"))
+    ideal.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__rrm"), lit(0L)).cast("double") / 1000000.0).as("rr"),
+        (floor(coalesce(col("__dcg"), lit(0L)).cast("double")
+          / col("__idcg").cast("double") * 1000000.0 + 0.5) / 1000000.0)
+          .as("ndcg"),
+        coalesce(col("__hits"), lit(0L)).as("hits"))
   }
 
   /** Bounded-heap per-query top-k over (query_id, doc_id, score) →

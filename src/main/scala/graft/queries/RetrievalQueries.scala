@@ -51,6 +51,25 @@ object RetrievalQueries {
           col("neighbor_id").as("doc_id"))
       Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Retrieval evaluation gauge: the BM25 top-5 scored against a
+    // cross-modal truth — exact dense-cosine top-3 per probe, graded
+    // rel = 4 − rank — yielding per-query MRR / nDCG@5 / hit count.
+    // The sparse-vs-dense agreement check a hybrid stack runs before
+    // trusting either ranker alone; gauge-sized frames only.
+    "q96_retrieval_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vecs = t(s, dir, "embeddings")
+      val sparse = Retrieval.bm25TopK(docs, prefixQueries(docs), "doc_id",
+        "text", "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      val truth = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", k = 3)
+        .select(col("probe_id").as("query_id"),
+          col("neighbor_id").as("doc_id"), (lit(4) - col("rank")).as("rel"))
+      Retrieval.evalRanking(sparse, truth, k = 5)
+        .orderBy(col("query_id"))
     })
   )
 
@@ -120,6 +139,45 @@ object RetrievalQueries {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY sm DESC, doc_id) AS rank
         |  FROM fused) WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin),
+    "q96_retrieval_eval" -> (bm25Ctes +
+      """,
+        |sparse AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sm DESC, doc_id) AS rank
+        |    FROM agg) WHERE rank <= 5),
+        |truth AS (SELECT query_id, doc_id, 4 - rank AS rel FROM (
+        |    SELECT p.vec_id AS query_id, c.vec_id AS doc_id,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY round(list_cosine_similarity(
+        |          CAST(p.embedding AS DOUBLE[]),
+        |          CAST(c.embedding AS DOUBLE[])), 6) DESC, c.vec_id) AS rank
+        |    FROM embeddings p CROSS JOIN embeddings c
+        |    WHERE p.vec_id % 97 = 0) WHERE rank <= 3),
+        |hagg AS (SELECT s.query_id,
+        |    CAST(floor(1000000.0 / CAST(min(s.rank) AS DOUBLE) + 0.5)
+        |      AS BIGINT) AS rrm,
+        |    sum(CAST(floor(CAST(t.rel AS DOUBLE)
+        |      / ln(CAST(s.rank + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS dcg,
+        |    count(*) AS hits
+        |  FROM sparse s JOIN truth t USING (query_id, doc_id)
+        |  GROUP BY 1),
+        |ideal AS (SELECT query_id,
+        |    sum(CAST(floor(CAST(rel AS DOUBLE)
+        |      / ln(CAST(rn + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT)) AS idcg
+        |  FROM (SELECT query_id, rel, row_number() OVER (
+        |          PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn
+        |        FROM truth)
+        |  WHERE rn <= 5 GROUP BY 1)
+        |SELECT i.query_id,
+        |  CAST(coalesce(h.rrm, 0) AS DOUBLE) / 1000000.0 AS rr,
+        |  floor(CAST(coalesce(h.dcg, 0) AS DOUBLE)
+        |    / CAST(i.idcg AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS ndcg,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+        |FROM ideal i LEFT JOIN hagg h USING (query_id)
+        |ORDER BY query_id""".stripMargin)
   )
 }

@@ -72,4 +72,50 @@ class RetrievalSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq.empty, k = 3))
     assert(e.getMessage.contains("at least one"))
   }
+
+  private def evalRow(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("query_id"), r.getAs[Double]("rr"),
+      r.getAs[Double]("ndcg"), r.getAs[Long]("hits"))
+
+  test("evalRanking: the ideal ordering scores rr 1, ndcg 1, full hits") {
+    val ranked = Seq((1L, 1, 20L), (1L, 2, 40L), (1L, 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val truth = Seq((1L, 20L, 3), (1L, 40L, 2), (1L, 30L, 1))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.evalRanking(ranked, truth, k = 5).collect().map(evalRow)
+    assert(got.toSeq == Seq((1L, 1.0, 1.0, 3L)), got.toSeq.toString)
+  }
+
+  test("evalRanking: misranking discounts ndcg; rr is the first hit's rank") {
+    // hits at ranks 2 (rel 3) and 3 (rel 1); rel-2 doc 40 missed entirely
+    val ranked = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val truth = Seq((1L, 20L, 3), (1L, 40L, 2), (1L, 30L, 1))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.evalRanking(ranked, truth, k = 5).collect().map(evalRow)
+    val (q, rr, ndcg, hits) = got.head
+    assert((q, rr, hits) == ((1L, 0.5, 2L)), got.toSeq.toString)
+    val want = (3.0 / math.log(3) + 1.0 / math.log(4)) /
+      (3.0 / math.log(2) + 2.0 / math.log(3) + 1.0 / math.log(4))
+    assert(math.abs(ndcg - want) < 2e-6, s"ndcg $ndcg != $want")
+    assert(ndcg < 1.0)
+  }
+
+  test("evalRanking: a truth query with no ranked hits still reports a zero row") {
+    val ranked = Seq((1L, 1, 20L)).toDF("query_id", "rank", "doc_id")
+    val truth = Seq((1L, 20L, 2), (2L, 99L, 3))
+      .toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.evalRanking(ranked, truth, k = 5)
+      .orderBy("query_id").collect().map(evalRow)
+    assert(got.toSeq == Seq((1L, 1.0, 1.0, 1L), (2L, 0.0, 0.0, 0L)),
+      got.toSeq.toString)
+  }
+
+  test("evalRanking: hits beyond k are excluded from every metric") {
+    val ranked = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val truth = Seq((1L, 30L, 3)).toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.evalRanking(ranked, truth, k = 2).collect().map(evalRow)
+    assert(got.toSeq == Seq((1L, 0.0, 0.0, 0L)), got.toSeq.toString)
+  }
 }
