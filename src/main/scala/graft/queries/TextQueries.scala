@@ -142,6 +142,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE vocabulary induction: 10 merges learned from the corpus's
+    // word-frequency table (one corpus scan; every round runs on the
+    // vocabulary frame). Golden-pinned — the iterative argmax+merge
+    // loop has no portable SQL twin; vocab_size_after pins that each
+    // merge was applied corpus-wide, not just chosen.
+    "q97_bpe_merges" -> ((s, dir) => {
+      graft.ops.Bpe.learnMerges(t(s, dir, "documents"), "text",
+        merges = 10, minFreq = 2)
+        .orderBy(col("step"))
+    }),
+
     // F12 — multi-format date parsing (ISO datetime, else bare date)
     "q28_flexible_dates" -> ((s, dir) => {
       val raw = t(s, dir, "orders").withColumn("date_str",

@@ -1,0 +1,118 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Independent reference BPE (classic get_stats/merge_vocab over a
+    * word-frequency dict), used differentially against the distributed
+    * implementation. */
+  private def refBpe(wordFreq: Map[String, Long], nMerges: Int,
+      minFreq: Long): Seq[(Int, String, String, Long, Long)] = {
+    var vocab: Vector[(Vector[String], Long)] = wordFreq.toVector.map {
+      case (w, f) => (w.map(_.toString).toVector :+ Bpe.Eow, f)
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var step = 0
+    var done = false
+    while (step < nMerges && !done) {
+      val stats = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => stats((a, b)) += f
+          case _ =>
+        }
+      }
+      if (stats.isEmpty || stats.values.max < minFreq) done = true
+      else {
+        val ((l, r), f) = stats.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (syms, wf) =>
+          val merged = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc.init :+ (l + r)
+            else acc :+ x
+          }
+          (merged, wf)
+        }
+        step += 1
+        out += ((step, l, r, f, vocab.flatMap(_._1).distinct.size.toLong))
+      }
+    }
+    out.toSeq
+  }
+
+  private def corpusDf(wordFreq: Map[String, Long]) =
+    wordFreq.toSeq.zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, (Seq.fill(f.toInt)(w)).mkString(" "))
+    }.toDF("doc_id", "text")
+
+  // the Sennrich et al. worked example's word-frequency dict
+  private val classic = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+    "widest" -> 3L)
+
+  private def gotMerges(wordFreq: Map[String, Long], n: Int, minFreq: Long) =
+    Bpe.learnMerges(corpusDf(wordFreq), "text", n, minFreq)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_freq"),
+        r.getAs[Long]("vocab_size_after")))
+
+  test("learnMerges matches the reference BPE on the classic corpus") {
+    val want = refBpe(classic, 8, minFreq = 2)
+    assert(want.size == 8, s"fixture should sustain 8 merges: $want")
+    assert(gotMerges(classic, 8, 2).toSeq == want, "distributed != reference")
+  }
+
+  test("learnMerges first merge on the classic corpus is (e,s) with freq 9") {
+    val first = gotMerges(classic, 1, 2).head
+    assert((first._2, first._3, first._4) == (("e", "s", 9L)), first.toString)
+  }
+
+  test("learnMerges matches the reference on a messier corpus (ties, 1-char words)") {
+    val freqs = Map("a" -> 7L, "ab" -> 4L, "abab" -> 3L, "banana" -> 5L,
+      "bandana" -> 2L, "nab" -> 6L, "x" -> 1L)
+    assert(gotMerges(freqs, 10, 2).toSeq == refBpe(freqs, 10, 2))
+  }
+
+  test("learnMerges stops early when no pair reaches minFreq") {
+    val got = gotMerges(Map("ab" -> 1L, "cd" -> 1L), 5, minFreq = 2)
+    assert(got.isEmpty, got.toSeq.toString)
+  }
+
+  test("encodeBpe applies merges greedily left-to-right, non-overlapping") {
+    val merges = Seq(("a", "a"))
+    val got = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")
+      .select(Bpe.encodeBpe(col("text"), merges).as("toks"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("aa", "a", Bpe.Eow, "aa", "aa", Bpe.Eow), got.toString)
+  }
+
+  test("encodeBpe with learned merges is lossless and shrinks token counts") {
+    val docs = corpusDf(classic)
+    val merges = gotMerges(classic, 8, 2).map(m => (m._2, m._3)).toSeq
+    val row = docs.select(
+      col("text"),
+      Bpe.bpeTokenCount(col("text"), Seq.empty).as("n0"),
+      Bpe.bpeTokenCount(col("text"), merges).as("n1"),
+      array_join(Bpe.encodeBpe(col("text"), merges), "").as("glued"))
+      .collect()
+    row.foreach { r =>
+      val original = r.getAs[String]("text").trim.toLowerCase
+        .split("\\s+").mkString(Bpe.Eow) + Bpe.Eow
+      assert(r.getAs[String]("glued") == original, "merge lost characters")
+      assert(r.getAs[Int]("n1") < r.getAs[Int]("n0"),
+        s"merges should shrink the token count: $r")
+    }
+  }
+
+  test("learnMerges refuses a non-positive merge budget") {
+    val e = intercept[IllegalArgumentException](
+      Bpe.learnMerges(corpusDf(classic), "text", 0))
+    assert(e.getMessage.contains("merges > 0"))
+  }
+}
