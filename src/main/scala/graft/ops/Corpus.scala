@@ -407,4 +407,79 @@ object Corpus {
         (floor(sum(col("__m")).cast("double") / count(lit(1)) + lit(0.5))
           / lit(1000000.0)).as("avg_nll"))
   }
+
+  private def gramTokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Exact cross-source overlap matrix: for every source pair (a < b),
+    * the count of shared distinct word n-grams and the exact Jaccard
+    * similarity of the two sources' gram sets — the data-mixing
+    * diagnostic ("how much of B is already inside A") behind mixture
+    * weights, per-source dedup ordering, and drop decisions. Every
+    * pair appears, including zero-overlap ones.
+    *
+    * Scale shape: one corpus scan explodes to a distinct
+    * (source, gram) frame (vocabulary-scale — shuffled, never
+    * collected or broadcast); set sizes are a partial-agg count; the
+    * intersection is a self-equi-join on the gram, where each gram
+    * meets at most |sources containing it| rows. Sources are
+    * dimension-cardinality by contract (the q78 exact-mode contract),
+    * so the S×S completion grid rides broadcasts and the output is
+    * O(S²). When even the distinct gram frame is too hot,
+    * [[sourceOverlapSketch]] estimates the same matrix in one pass
+    * with no distinct and no gram self-join. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"sourceOverlap needs n > 0, got $n")
+    val grams = docs.select(col(sourceCol).as("source"),
+        explode(wordNgrams(gramTokens(col(textCol)), n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = grams.select(col("source").as("source_a"), col("gram"))
+      .join(grams.select(col("source").as("source_b"), col("gram")), Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = broadcast(
+      sizes.select(col("source").as("source_a"), col("n").as("n_a")))
+      .join(broadcast(
+        sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        col("source_a") < col("source_b"))
+    pairs.join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_a"), col("n_b"),
+        (floor(coalesce(col("n_shared"), lit(0L)).cast("double")
+          / (col("n_a") + col("n_b") - coalesce(col("n_shared"), lit(0L)))
+            .cast("double") * lit(1000000.0) + lit(0.5)) / 1000000.0)
+          .as("jaccard"))
+  }
+
+  /** MinHash estimate of [[sourceOverlap]]'s Jaccard matrix for
+    * corpora where the exact distinct-gram frame is too hot: each
+    * source gets a `perms`-component signature sig[i] = min over the
+    * source's grams of hash_i(gram), and a pair's estimated Jaccard is
+    * the fraction of agreeing components. min() absorbs duplicates, so
+    * there is NO distinct and NO gram self-join — one corpus scan,
+    * a partial-aggregated min per (source, i) (only S × perms rows
+    * cross the exchange), and an O(S² × perms) signature meeting.
+    * Deterministic: hash_i is xxhash64 seeded by the component index. */
+  def sourceOverlapSketch(docs: DataFrame, sourceCol: String,
+      textCol: String, n: Int, perms: Int = 64): DataFrame = {
+    require(n > 0 && perms > 0,
+      s"sourceOverlapSketch needs n > 0 and perms > 0, got n=$n perms=$perms")
+    val sigs = docs.select(col(sourceCol).as("source"),
+        explode(wordNgrams(gramTokens(col(textCol)), n)).as("gram"))
+      .select(col("source"), col("gram"),
+        explode(sequence(lit(0), lit(perms - 1))).as("i"))
+      .groupBy(col("source"), col("i"))
+      .agg(min(xxhash64(col("i"), col("gram"))).as("m"))
+    sigs.select(col("source").as("source_a"), col("i"), col("m").as("m_a"))
+      .join(sigs.select(col("source").as("source_b"), col("i"),
+        col("m").as("m_b")), Seq("i"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg((sum(when(col("m_a") === col("m_b"), 1L).otherwise(0L))
+        .cast("double") / perms).as("jaccard_est"))
+  }
 }

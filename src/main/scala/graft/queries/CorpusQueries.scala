@@ -267,6 +267,16 @@ object CorpusQueries {
       Corpus.bigramLmScore(docs, docs.filter(col("lang") === "en"),
         "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source overlap matrix: exact word-3-gram Jaccard between
+    // every source pair — the data-mixing diagnostic behind mixture
+    // weights and per-source dedup ordering. Sources are
+    // dimension-cardinality (q78 exact-mode contract); the MinHash
+    // one-pass estimate (sourceOverlapSketch) is the scale escape
+    "q98_source_overlap" -> ((s, dir) => {
+      Corpus.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -498,6 +508,28 @@ object CorpusQueries {
         |  CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(CAST(sum(m) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_nll
-        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q98_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT DISTINCT source, array_to_string(l[s:s+2], ' ') AS gram
+        |      FROM d, unnest(generate_series(1, len(l) - 2)) AS u(s)),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |it AS (SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS n_shared
+        |       FROM g a JOIN g b USING (gram)
+        |       WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b,
+        |  CAST(coalesce(it.n_shared, 0) AS BIGINT) AS n_shared,
+        |  p.n_a, p.n_b,
+        |  floor(CAST(coalesce(it.n_shared, 0) AS DOUBLE)
+        |    / CAST(p.n_a + p.n_b - coalesce(it.n_shared, 0) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM (SELECT a.source AS source_a, a.n AS n_a,
+        |        b.source AS source_b, b.n AS n_b
+        |      FROM sz a JOIN sz b ON a.source < b.source) p
+        |LEFT JOIN it USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

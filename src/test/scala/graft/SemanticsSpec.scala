@@ -337,4 +337,55 @@ class SemanticsSpec extends SparkTestBase {
     assert(math.abs(realized - expected) / expected < 0.1,
       s"realized $realized vs expected $expected")
   }
+
+  test("sourceOverlap: exact hand-computed pair matrix, zero pairs included") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "a b c d"), (2L, "B", "b c d e"), (3L, "C", "x y"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.Corpus.sourceOverlap(docs, "source", "text", n = 2)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("jaccard")))
+    // A={ab,bc,cd} B={bc,cd,de} C={xy}; A∩B={bc,cd} → j=2/4
+    assert(got.toSeq == Seq(
+      ("A", "B", 2L, 3L, 3L, 0.5),
+      ("A", "C", 0L, 3L, 1L, 0.0),
+      ("B", "C", 0L, 3L, 1L, 0.0)), got.toSeq.toString)
+  }
+
+  test("sourceOverlap: duplicate docs don't change the set-semantics matrix") {
+    import spark.implicits._
+    val base = Seq((1L, "A", "a b c"), (2L, "B", "b c d"))
+    val dup = base :+ (9L, "A", "a b c")
+    def m(rows: Seq[(Long, String, String)]) =
+      graft.ops.Corpus.sourceOverlap(rows.toDF("doc_id", "source", "text"),
+        "source", "text", n = 2)
+        .orderBy("source_a", "source_b").collect().map(_.toSeq).toSeq
+    assert(m(base) == m(dup))
+  }
+
+  test("sourceOverlapSketch tracks exact Jaccard; disjoint sources stay near 0") {
+    import spark.implicits._
+    // shared pool of 60 bigram-generating tokens + 40 private per source
+    def words(tag: String, k: Int) = (0 until k).map(i => s"$tag$i")
+    val shared = words("s", 60)
+    val aText = (shared ++ words("a", 40)).mkString(" ")
+    val bText = (shared ++ words("b", 40)).mkString(" ")
+    val docs = Seq((1L, "A", aText), (2L, "B", bText), (3L, "C", words("z", 30).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val exact = graft.ops.Corpus.sourceOverlap(docs, "source", "text", n = 2)
+      .collect().map(r => ((r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")), r.getAs[Double]("jaccard"))).toMap
+    val est = graft.ops.Corpus
+      .sourceOverlapSketch(docs, "source", "text", n = 2, perms = 128)
+      .collect().map(r => ((r.getAs[String]("source_a"),
+        r.getAs[String]("source_b")), r.getAs[Double]("jaccard_est"))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, j) =>
+      assert(math.abs(est(k) - j) <= 0.15, s"pair $k: est ${est(k)} vs exact $j")
+    }
+    assert(est(("A", "C")) <= 0.05 && est(("B", "C")) <= 0.05,
+      "disjoint sources should estimate near zero")
+  }
 }
