@@ -203,6 +203,46 @@ object NgramHash {
     out
   }
 
+  /** STRICT word n-gram hashes: one 64-bit rolling hash per n-token
+    * window, EMPTY when the doc has fewer than n tokens — the key-exact
+    * twin of [[graft.ops.Corpus.wordNgrams]] (whose window set the SQL
+    * oracles mirror). [[wordWindowHashes]] instead collapses a short doc
+    * to one whole-doc hash, which is right for the near-dup kernels but
+    * wrong for exact set arithmetic. Kept as its own walk rather than a
+    * flag on wordWindowHashes: the q15/q17/q74 pinned goldens ride that
+    * kernel byte-for-byte (the pqCodebooks/refineCentroids
+    * golden-coupling precedent). */
+  def wordNgramHashesStrict(s: UTF8String, n: Int): GenericArrayData = {
+    val text = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = new scala.collection.mutable.ArrayBuffer[Long]
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || Character.isWhitespace(text.charAt(i))) {
+        if (inTok) { toks += mix(h); h = 0L; inTok = false }
+      } else { h = h * P + text.charAt(i); inTok = true }
+      i += 1
+    }
+    val m = toks.length
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m - n + 1)
+    var pow = 1L
+    i = 0
+    while (i < n - 1) { pow *= P; i += 1 }
+    var g = 0L
+    i = 0
+    while (i < n) { g = g * P + toks(i); i += 1 }
+    out(0) = mix(g)
+    i = 1
+    while (i + n <= m) {
+      g = (g - toks(i - 1) * pow) * P + toks(i + n - 1)
+      out(i) = mix(g)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def sigFromWindows(ws: Array[Long], k: Int): GenericArrayData = {
     val sig = Array.fill[Long](k)(Long.MaxValue)
     var j = 0
@@ -272,6 +312,20 @@ case class NgramMinHash(child: Expression, n: Int, k: Int, word: Boolean)
   override protected def withNewChildInternal(newChild: Expression): NgramMinHash =
     copy(child = newChild)
   override def prettyName: String = "ngram_minhash"
+}
+
+case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"word_ngram_hashes: n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    NgramHash.wordNgramHashesStrict(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NgramHash.wordNgramHashesStrict($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "word_ngram_hashes"
 }
 
 case class NgramJaccard(left: Expression, right: Expression, n: Int, word: Boolean)

