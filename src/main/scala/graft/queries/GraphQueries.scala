@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.functions._
-import graft.ops.Dedup
+import graft.ops.{Dedup, Graph}
 
 /** Graph-shaped and composite operators: relational 2-hop traversal
   * (the person↔area edge-table pattern, SURVEY J6), dedup application
@@ -98,6 +98,24 @@ object GraphQueries {
         .orderBy(col("cluster_size"))
     }),
 
+    // Link-graph quality weighting: 5-iteration all-integer PageRank
+    // over the symmetrized customer↔supplier trade graph (supplier ids
+    // offset past the customer key space). Oracle-exact — the
+    // all-BIGINT update rule unrolls to a 5-CTE SQL twin.
+    "q99_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val base = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val edges = base
+        .select(col("cust").as("src"), (col("supp") + 1000000).as("dst"))
+        .unionByName(base
+          .select((col("supp") + 1000000).as("src"), col("cust").as("dst")))
+      Graph.pageRank(edges, "src", "dst", iterations = 5)
+        .orderBy(col("node"))
+    }),
+
     // F18 — PDF-extracted-text cleanup over text with injected artifacts
     "q48_pdf_cleanup" -> ((s, dir) => {
       val dirty = concat(lit("p1\u000c"), translate(col("text"), "ae", "áé"), lit("\nend"))
@@ -108,6 +126,40 @@ object GraphQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q99_pagerank" -> {
+      // Unrolled fixed-point: r0 → r5, each step the same all-BIGINT
+      // update the Spark loop runs (`//` = DuckDB integer division ≡
+      // Spark `div` on non-negative BIGINTs; sums cast back to BIGINT
+      // because DuckDB sum(BIGINT) widens to HUGEINT).
+      val steps = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT n.node,
+           |    CAST(150000000 AS BIGINT)
+           |      + (85 * coalesce(s.c, 0)) // 100 AS rank_nano
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum(r.rank_nano // d.outdeg) AS BIGINT) AS c
+           |    FROM edges e
+           |    JOIN r${i - 1} r ON e.src = r.node
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT CAST(cust AS BIGINT) AS src,
+         |    CAST(supp + 1000000 AS BIGINT) AS dst FROM base
+         |  UNION ALL
+         |  SELECT CAST(supp + 1000000 AS BIGINT) AS src,
+         |    CAST(cust AS BIGINT) AS dst FROM base),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |r0 AS (
+         |  SELECT node, CAST(1000000000 AS BIGINT) AS rank_nano FROM nodes),
+         |$steps
+         |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
+    },
     "q46_graph_2hop" ->
       """WITH edges AS (
         |  SELECT o_custkey AS cust, l_partkey AS part
