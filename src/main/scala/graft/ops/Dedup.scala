@@ -606,4 +606,61 @@ object Dedup {
       .select(col("id"), col("bk.id").as("bk"))
     verifyCosinePairs(bucketPairs(assigned), base, threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by embedding clustering. Vectors are IVF-bucketed
+    * exactly like [[embeddingNearDupsIvf]]; candidate pairs above
+    * `threshold` are grouped into duplicate clusters (connected
+    * components), and within each cluster ONE member is kept — the one
+    * LEAST similar to its own centroid (the paper's keep-low-similarity
+    * rule: prototypical members near the centroid are the redundant
+    * ones; the "edge" example carries the most marginal information).
+    * Ties break to the smaller id. Returns every input id with
+    * (component, centroid_sim, kept) — `kept = false` rows are the
+    * semantic duplicates to drop.
+    *
+    * Scale shape: one corpus scan scores all C broadcast centroids per
+    * vector; the bounded-heap top-nProbe bucket assignment and the
+    * per-vector best-centroid similarity come out of the SAME partial
+    * aggregate, so the corpus shuffles once for assignment (nProbe
+    * rows/vector + one 8-byte sim). Pairing, verification and CC reuse
+    * the audited kernels (capped buckets, pointer-jump CC); the keep
+    * rule is two partial aggregations over component-scale rows. No
+    * step materializes a per-cluster pairwise matrix — the paper's
+    * within-cluster O(|c|²) cosine scan is exactly what the capped
+    * bucket join + exact verify replaces at corpus scale. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, centroidStride: Int = 50,
+      nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
+    Guards.requireIntegralId(vecs, idCol, "semDedup centroid-stride seeding")
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val seeds = base.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("centroid_id"), col("v").as("cv"))
+    val centroids =
+      if (kmeansIters <= 0) seeds
+      else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
+    val assigned = base.join(broadcast(centroids))
+      .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
+      .groupBy(col("id"))
+      .agg(topKByScore(col("sim"), col("centroid_id"), nProbe).as("bks"),
+        max(col("sim")).as("centroid_sim"))
+    val buckets = assigned.select(col("id"), explode(col("bks")).as("bk"))
+      .select(col("id"), col("bk.id").as("bk"))
+    val pairs = verifyCosinePairs(bucketPairs(buckets), base, threshold)
+    val comps = connectedComponents(pairs)
+    val members = comps.join(
+      assigned.select(col("id"), col("centroid_sim")), Seq("id"))
+    val keepers = members.groupBy(col("component"))
+      .agg(min(struct(col("centroid_sim"), col("id"))).as("kp"))
+      .select(col("component"), col("kp.id").as("keep_id"))
+    val flagged = members.join(keepers, Seq("component"))
+      .select(col("id"), col("component"), col("centroid_sim"),
+        (col("id") === col("keep_id")).as("kept"))
+    // ids in no pair are their own cluster and always kept
+    val singles = assigned.select(col("id"), col("centroid_sim"))
+      .join(comps, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"), col("centroid_sim"),
+        lit(true).as("kept"))
+    flagged.unionByName(singles)
+  }
 }

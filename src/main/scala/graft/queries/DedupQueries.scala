@@ -118,6 +118,20 @@ object DedupQueries {
         graft.functions.qualityScore(col("text")))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup (semantic dedup): IVF-bucketed cosine clusters, keep the
+    // member least similar to its own centroid. The scaled twins are
+    // cosine-identical to their originals (sim 1.0 to the same
+    // centroid), so every pair cluster exercises the min-id tie-break,
+    // while singletons pass through kept — both paths exercised
+    "q100_semdedup" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
+      Dedup.semDedup(vecs.unionByName(scaled), "vec_id", "embedding",
+        threshold = 0.999, centroidStride = 50, nProbe = 2)
+        .orderBy(col("id"))
     })
   )
 
