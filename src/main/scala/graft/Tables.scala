@@ -13,13 +13,23 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table is written with parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects. Read nanos as long and convert to a proper
-    * TimestampType (micros) with integer division — `ts div 1000` stays in
-    * long arithmetic, so no double-precision loss at 1.7e18 ns. */
+  /** Schema-adaptive events reader. Driver-generated `events.parquet` has
+    * shipped with `ts` as both parquet TIMESTAMP(NANOS) (older snapshots)
+    * and TIMESTAMP(MICROS) (current). Spark rejects NANOS unless read as
+    * long via `nanosAsLong`, so: inspect the footer schema and branch —
+    *  - LongType (nanos-as-long): `timestamp_micros(ts div 1000)`; integer
+    *    division stays in long arithmetic, no double loss at 1.7e18 ns.
+    *  - TimestampNTZ / Timestamp: cast to the session TimestampType so every
+    *    downstream query sees one stable type regardless of writer version. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TimestampNTZType or other timestamp flavor
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }

@@ -121,10 +121,11 @@ object EventQueries {
     "q27_pseudo_json" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
-    // NB: events.parquet stores TIMESTAMP(NANOS); Spark reads it truncated to
-    // micros, so the oracle must CAST(ts AS TIMESTAMP) (DuckDB ns→us truncation)
-    // in the innermost scan, and the windowed sum must be cast back to BIGINT
-    // (DuckDB sum() yields HUGEINT) — both are representation pins, not semantics.
+    // NB: the oracle CAST(ts AS TIMESTAMP) pins DuckDB to micros regardless of
+    // the writer's physical unit (the driver has shipped both NANOS and MICROS
+    // events.parquet — Tables.events adapts on read), and the windowed sum is
+    // cast back to BIGINT (DuckDB sum() yields HUGEINT) — representation pins,
+    // not semantics.
     "q33_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
