@@ -595,6 +595,10 @@ object Dedup {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val seeds = base.filter(col("id") % centroidStride === 0)
       .select(col("id").as("centroid_id"), col("v").as("cv"))
+    require(!seeds.isEmpty,
+      s"embeddingNearDupsIvf: centroidStride=$centroidStride selected zero " +
+        "centroid seeds (no id divisible by the stride) — lower the stride " +
+        "or remap ids so at least one seed exists")
     val centroids =
       if (kmeansIters <= 0) seeds
       else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
@@ -636,14 +640,26 @@ object Dedup {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     val seeds = base.filter(col("id") % centroidStride === 0)
       .select(col("id").as("centroid_id"), col("v").as("cv"))
+    // An empty seed set (no id ≡ 0 mod stride — e.g. a small corpus whose
+    // ids start at 1) would empty the inner centroid join and make EVERY
+    // input id vanish from the result, violating the every-id contract.
+    // Fail loudly, matching the requireIntegralId convention.
+    require(!seeds.isEmpty,
+      s"semDedup: centroidStride=$centroidStride selected zero centroid " +
+        "seeds (no id divisible by the stride) — lower the stride or " +
+        "remap ids so at least one seed exists")
     val centroids =
       if (kmeansIters <= 0) seeds
       else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
+    // Materialized once: the scoring aggregate below is consumed by three
+    // branches (bucket explode → pairs, members join, singles anti-join);
+    // without this the full corpus×centroids scan recomputes per branch.
     val assigned = base.join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
       .groupBy(col("id"))
       .agg(topKByScore(col("sim"), col("centroid_id"), nProbe).as("bks"),
         max(col("sim")).as("centroid_sim"))
+      .localCheckpoint()
     val buckets = assigned.select(col("id"), explode(col("bks")).as("bk"))
       .select(col("id"), col("bk.id").as("bk"))
     val pairs = verifyCosinePairs(bucketPairs(buckets), base, threshold)
