@@ -456,25 +456,17 @@ object CivicPipeline {
   /** Merge a built table into the warehouse directory (idempotent). */
   def ingest(spark: SparkSession, tablePath: String, incoming: DataFrame,
       keys: Seq[String]): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val merged =
-      if (new java.io.File(tablePath).exists())
+      if (fs.exists(hPath))
         Warehouse.mergeByKey(spark.read.parquet(tablePath), incoming, keys,
           preserve = Seq("created_at"))
       else incoming
     val tmp = tablePath + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val dst = new java.io.File(tablePath)
-    if (dst.exists()) {
-      val old = new java.io.File(tablePath + ".old")
-      if (old.exists()) deleteRecursively(old)
-      dst.renameTo(old)
-    }
-    new java.io.File(tmp).renameTo(dst)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val children = f.listFiles()
-    if (children != null) children.foreach(deleteRecursively)
-    f.delete()
+    // checked swap (not java.io.File.renameTo, whose silent false-return
+    // no-op loses the merge — see Warehouse.checkedSwapInto)
+    Warehouse.checkedSwapInto(spark, tablePath, tmp)
   }
 }

@@ -188,28 +188,11 @@ object EventPipeline {
       if (fs.exists(hPath))
         Warehouse.mergeByKey(spark.read.parquet(tablePath), batch, keys)
       else batch
-    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    // atomic-ish swap (single-FS local semantics; object stores would
-    // version the table instead), every step CHECKED: the original
-    // java.io.File spelling silently lost every batch after the second —
-    // File.delete() on the non-empty .old generation is non-recursive
-    // and returns false, the two renames then both no-op'd, and the
-    // table stayed on the previous generation with no error. Hadoop
-    // rename/delete report failure by returning false; unchecked swaps
-    // are how merge sinks eat data.
-    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
-    if (fs.exists(old) && !fs.delete(old, true))
-      throw new IllegalStateException(s"could not clear $old")
-    if (fs.exists(hPath) && !fs.rename(hPath, old))
-      throw new IllegalStateException(s"could not move $tablePath aside")
-    if (!fs.rename(tmp, hPath)) {
-      val rolledBack = fs.rename(old, hPath)
-      throw new IllegalStateException(
-        s"could not move merged batch $batchId into $tablePath — " +
-          (if (rolledBack) "previous generation restored"
-           else s"ROLLBACK FAILED, previous generation is at $old"))
-    }
+    val tmp = tablePath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    // every FS step checked — unchecked swaps are how merge sinks eat
+    // data (see Warehouse.checkedSwapInto for the found-bug history)
+    Warehouse.checkedSwapInto(spark, tablePath, tmp)
   }
 
   /** foreachBatch body for streaming corpus ingest with near-dup

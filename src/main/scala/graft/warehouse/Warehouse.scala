@@ -17,6 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
+  /** Checked tmp→live directory swap for parquet table generations.
+    * `tmpPath` (a fully-written new generation) replaces `tablePath`,
+    * parking the previous generation at `tablePath + ".old"`. Every FS
+    * step is CHECKED: the unchecked `java.io.File` spelling silently lost
+    * every batch after the second (non-recursive `delete()` on the
+    * non-empty `.old` returned false, both renames then no-op'd, and the
+    * table stayed on the previous generation with no error). Hadoop
+    * rename/delete report failure by returning false — raise instead of
+    * eating data. Single-FS local semantics; an object-store deployment
+    * would version the table instead of renaming. */
+  def checkedSwapInto(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, tmpPath: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new IllegalStateException(s"could not clear $old")
+    if (fs.exists(hPath) && !fs.rename(hPath, old))
+      throw new IllegalStateException(s"could not move $tablePath aside")
+    if (!fs.rename(tmp, hPath)) {
+      val rolledBack = fs.rename(old, hPath)
+      throw new IllegalStateException(
+        s"could not move $tmpPath into $tablePath — " +
+          (if (rolledBack) "previous generation restored"
+           else s"ROLLBACK FAILED, previous generation is at $old"))
+    }
+  }
+
   /** Last-writer-wins merge of `incoming` into `existing` on `keys`.
     * Columns listed in `preserve` (e.g. `created_at`) keep the existing
     * row's value when the key already exists. Schemas must match. */

@@ -507,4 +507,27 @@ class PipelineSpec extends SparkTestBase {
     val out = spark.read.parquet(tbl)
     assert(out.count() == 2)
   }
+
+  // The swap-loss replay: the unchecked java.io.File spelling silently
+  // no-ops the swap from batch 3 on (non-empty `.old` defeats the
+  // non-recursive delete, both renameTo calls return false unchecked),
+  // freezing the table at the batch-2 generation with no error. Four
+  // sequential ingests with per-batch count+value asserts pin the fix.
+  test("ingest: four sequential merges all land (checked-swap replay)") {
+    val tbl = Files.createTempDirectory("wh").toString + "/areas"
+    val batches = Seq(
+      Seq(("a", 1), ("b", 1)),          // create
+      Seq(("b", 2), ("c", 2)),          // first real merge — creates .old
+      Seq(("d", 3)),                    // the batch the unchecked swap lost
+      Seq(("a", 4), ("e", 4)))          // and every one after it
+    val wantCounts = Seq(2L, 3L, 4L, 5L)
+    batches.zip(wantCounts).foreach { case (rows, want) =>
+      CivicPipeline.ingest(spark, tbl, rows.toDF("id", "v"), Seq("id"))
+      assert(spark.read.parquet(tbl).count() == want,
+        s"after batch $rows expected $want rows")
+    }
+    val fin = spark.read.parquet(tbl).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(fin == Map("a" -> 4, "b" -> 2, "c" -> 2, "d" -> 3, "e" -> 4))
+  }
 }
