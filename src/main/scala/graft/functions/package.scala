@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, TimestampType}
 
 /** Scalar function library of the engine.
   *
@@ -116,6 +116,19 @@ package object functions {
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
     try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
     try_to_timestamp(c, lit("yyyy-MM-dd")))
+
+  /** F12 strict form, matching the reference's raise-on-unparseable
+    * contract exactly (scripts/bills/bills_state.py:35-51): null/empty
+    * input → null (`if not date_str: return None`), any other
+    * unparseable string raises — a malformed scraped date must be a loud
+    * failure, not a silent null action date. */
+  def parseFlexibleTimestampStrict(c: Column): Column = {
+    val parsed = parseFlexibleTimestamp(c)
+    when(c.isNull || c === "", lit(null).cast(TimestampType))
+      .when(parsed.isNotNull, parsed)
+      .otherwise(raise_error(
+        concat(lit("Could not parse date '"), c, lit("'"))).cast(TimestampType))
+  }
 
   /** F14: pseudo-JSON "~{…}" columns: drop the sentinel char, parse with the
     * given schema; malformed -> null (reference: scripts/bills/vote_matching.py:14-20). */

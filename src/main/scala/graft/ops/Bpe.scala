@@ -53,9 +53,23 @@ object Bpe {
     * merge table IS the tokenizer artifact; `vocab_size_after` (distinct
     * symbol count once the merge is applied) pins that each round's
     * merge was applied corpus-wide, not just chosen. */
+  /** Supported merge-round regime for [[learnMerges]]: each round is one
+    * Spark shuffle + one-row collect + localCheckpoint, sequentially —
+    * right when the vocabulary frame is too big to collect, but a real
+    * 32k–50k-merge tokenizer would mean 32k sequential Spark jobs.
+    * Beyond this bound use [[learnMergesLocal]], which runs the merge
+    * loop driver-side on the distributed-counted word-frequency table
+    * (how production tokenizer trainers actually split the work). */
+  val MaxDistributedMerges = 256
+
   def learnMerges(docs: DataFrame, textCol: String, merges: Int,
       minFreq: Long = 2): DataFrame = {
     require(merges > 0, s"learnMerges needs merges > 0, got $merges")
+    require(merges <= MaxDistributedMerges,
+      s"learnMerges runs one Spark job round PER merge — $merges rounds " +
+        s"exceeds the supported $MaxDistributedMerges. Use learnMergesLocal " +
+        "(driver-side loop over the word-frequency table) for tokenizer-" +
+        "scale merge counts.")
     val spark = docs.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
@@ -106,6 +120,84 @@ object Bpe {
       }
     }
     dropBlocks(curIds)
+    out.toSeq.toDF("step", "left", "right", "pair_freq", "vocab_size_after")
+  }
+
+  /** Tokenizer-scale BPE: ONE distributed pass counts word frequencies
+    * (the only corpus-size-dependent work), the top `maxWords` rows by
+    * (freq desc, word) are collected, and the classic merge loop runs
+    * driver-side — zero Spark jobs per round, so 32k–50k merges are
+    * minutes, not 32k sequential shuffles. This is how production
+    * tokenizer trainers split the work: distributed counting, local
+    * merge induction. The `maxWords` cap (standard practice) bounds
+    * driver memory; a Zipf tail cut changes pair counts only by the
+    * dropped words' weight. Semantics match [[learnMerges]] exactly
+    * (same tie-break: highest count, then lexicographic (left, right);
+    * same minFreq stop; same vocab_size_after audit column) — pinned by
+    * the equivalence test in BpeSpec. Complexity is
+    * O(merges × Σ|word symbols|) from the per-round recount; fine to
+    * ~50k merges × ~1M capped words offline. */
+  def learnMergesLocal(docs: DataFrame, textCol: String, merges: Int,
+      minFreq: Long = 2, maxWords: Int = 1 << 20): DataFrame = {
+    require(merges > 0, s"learnMergesLocal needs merges > 0, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab: Array[(Array[String], Long)] = docs
+      .select(explode(wordsOf(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(maxWords)
+      .as[(String, Long)].collect()
+      .map { case (w, f) => (w.split("").filter(_.nonEmpty) :+ Eow, f) }
+
+    val words = vocab.map(_._1.toBuffer)
+    val freqs = vocab.map(_._2)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    var step = 0
+    var exhausted = vocab.isEmpty
+    while (step < merges && !exhausted) {
+      // get_stats: adjacent-pair counts weighted by word frequency
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val w = words(i); val f = freqs(i)
+        var j = 0
+        while (j < w.length - 1) {
+          val k = (w(j), w(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), f) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (f < minFreq) exhausted = true
+        else {
+          // greedy left-to-right non-overlapping apply (mergeFold twin)
+          i = 0
+          while (i < words.length) {
+            val w = words(i)
+            if (w.length > 1) {
+              val nw = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < w.length) {
+                if (nw.nonEmpty && nw.last == l && w(j) == r)
+                  nw(nw.length - 1) = l + r
+                else nw += w(j)
+                j += 1
+              }
+              words(i) = nw
+            }
+            i += 1
+          }
+          val vocabAfter = words.iterator.flatten.toSet.size.toLong
+          step += 1
+          out += ((step, l, r, f, vocabAfter))
+        }
+      }
+    }
     out.toSeq.toDF("step", "left", "right", "pair_freq", "vocab_size_after")
   }
 

@@ -303,7 +303,10 @@ object CivicPipeline {
 
   /** Bills from per-file JSON docs. A bill with no/empty `actions` gets
     * null first/latest action dates (reference:
-    * scripts/bills/bills_state.py:100-105); a non-empty `subject` raises
+    * scripts/bills/bills_state.py:100-105), but a non-null MALFORMED
+    * action date raises (strict F12, bills_state.py:48-51) — scraped
+    * garbage must fail loudly, not become a silent null; a non-empty
+    * `subject` raises
     * like the reference's unhandled-case guard (:96-98) — the raise is
     * woven into the `identifier` projection (which `id`, the vote join
     * key, and every downstream consumer derive from), so no column
@@ -318,7 +321,8 @@ object CivicPipeline {
           .otherwise(col("identifier")))
       .withColumn("id", billId(col("identifier"), lit(jurisdictionId)))
       .withColumn("action_dates",
-        transform(col("actions"), a => parseFlexibleTimestamp(a.getField("date"))))
+        transform(col("actions"),
+          a => parseFlexibleTimestampStrict(a.getField("date"))))
       .withColumn("first_action_date", array_min(col("action_dates")))
       .withColumn("latest_action_date", array_max(col("action_dates")))
       .withColumn("chamber",

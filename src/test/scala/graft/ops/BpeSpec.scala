@@ -115,4 +115,44 @@ class BpeSpec extends SparkTestBase {
       Bpe.learnMerges(corpusDf(classic), "text", 0))
     assert(e.getMessage.contains("merges > 0"))
   }
+
+  test("learnMerges refuses tokenizer-scale merge counts, pointing at the local path") {
+    val e = intercept[IllegalArgumentException](
+      Bpe.learnMerges(corpusDf(classic), "text", Bpe.MaxDistributedMerges + 1))
+    assert(e.getMessage.contains("learnMergesLocal"))
+  }
+
+  private def gotMergesLocal(wordFreq: Map[String, Long], n: Int, minFreq: Long) =
+    Bpe.learnMergesLocal(corpusDf(wordFreq), "text", n, minFreq)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_freq"),
+        r.getAs[Long]("vocab_size_after")))
+
+  test("learnMergesLocal == learnMerges on the classic corpus (full table)") {
+    assert(gotMergesLocal(classic, 8, 2).toSeq == refBpe(classic, 8, 2))
+    assert(gotMergesLocal(classic, 8, 2).toSeq == gotMerges(classic, 8, 2).toSeq)
+  }
+
+  test("learnMergesLocal == reference on the messy corpus, and runs past the distributed bound") {
+    val freqs = Map("a" -> 7L, "ab" -> 4L, "abab" -> 3L, "banana" -> 5L,
+      "bandana" -> 2L, "nab" -> 6L, "x" -> 1L)
+    assert(gotMergesLocal(freqs, 10, 2).toSeq == refBpe(freqs, 10, 2))
+    // tokenizer-scale budget: exhausts the corpus long before the budget,
+    // proving the loop runs (and stops) with merges >> MaxDistributedMerges
+    val big = gotMergesLocal(freqs, Bpe.MaxDistributedMerges * 4, 1)
+    assert(big.toSeq == refBpe(freqs, Bpe.MaxDistributedMerges * 4, 1))
+  }
+
+  test("learnMergesLocal maxWords cap keeps the highest-frequency words") {
+    // cap to 2 words: "newest"(6) and "low"(5) survive; merges must match
+    // the reference run on exactly that truncated dict
+    val capped = Bpe.learnMergesLocal(corpusDf(classic), "text", 8,
+        minFreq = 2, maxWords = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_freq"),
+        r.getAs[Long]("vocab_size_after")))
+    assert(capped.toSeq == refBpe(Map("newest" -> 6L, "low" -> 5L), 8, 2))
+  }
 }
