@@ -301,6 +301,19 @@ object Similarity {
       vecCol: String, k: Int, dim: Int, m: Int, ksub: Int,
       kmeansIters: Int = 2, trainCap: Int = 100000): DataFrame = {
     val cb = pqCodebooks(corpus, idCol, vecCol, dim, m, ksub, kmeansIters, trainCap)
+    pqTopKWithCodebook(corpus, probes, idCol, vecCol, k, dim, m, cb)
+  }
+
+  /** Serving half of [[pqTopK]] with a PREBUILT codebook — the
+    * deployment split: `pqCodebooks` runs once (and its frame persists /
+    * writes to the warehouse), then every probe batch pays only ADC
+    * scoring. The bench prices each query self-contained (q89/q91/q95
+    * each build their own codebooks by design); a deployment amortizes
+    * the build across probe batches through this entry point — see
+    * README "Build once, serve many". */
+  def pqTopKWithCodebook(corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, m: Int,
+      cb: DataFrame): DataFrame = {
     val subDim = dim / m
     val codes = pqEncode(corpus, cb, idCol, vecCol, dim, m)
       .select(col("id").as("neighbor_id"), col("codes"))

@@ -139,12 +139,18 @@ object CoreQueries {
 
     // F1/F15/F16 — scalar string functions (SURVEY §2.7)
     "q11_scalar_funcs" -> ((s, dir) => {
+      // synthetic "Name (D-XX)" voter-name strings exercise the F4/F5
+      // extract/standardize pair against the oracle, not just unit tests
+      val synthName = concat(element_at(split(col("p_name"), " "), 1),
+        lit(" (D-"), upper(substring(trim(col("p_type")), 1, 2)), lit(")"))
       t(s, dir, "part").select(
         col("p_partkey"),
         graft.functions.digitsOnly(col("p_brand")).as("brand_num"),
         element_at(split(col("p_name"), " "), 1).as("name_head"),
         lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
-        upper(trim(col("p_type"))).as("type_upper"))
+        upper(trim(col("p_type"))).as("type_upper"),
+        graft.functions.stateFromName(synthName).as("name_state"),
+        graft.functions.standardizeName(synthName).as("name_std"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -307,7 +313,13 @@ object CoreQueries {
         |  regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num,
         |  split_part(p_name, ' ', 1) AS name_head,
         |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-        |  upper(trim(p_type)) AS type_upper
+        |  upper(trim(p_type)) AS type_upper,
+        |  regexp_extract(split_part(p_name, ' ', 1) || ' (D-' ||
+        |    upper(substring(trim(p_type), 1, 2)) || ')',
+        |    '(.+) \(.?-?([A-Z]{2})\)', 2) AS name_state,
+        |  trim(regexp_replace(split_part(p_name, ' ', 1) || ' (D-' ||
+        |    upper(substring(trim(p_type), 1, 2)) || ')',
+        |    '\(.*?\)', '', 'g')) AS name_std
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q14_fuzzy_match" ->
       """SELECT probe_key, cand_key, score FROM (

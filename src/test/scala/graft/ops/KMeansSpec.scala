@@ -136,6 +136,37 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("pqTopKWithCodebook: one codebook build serves many probe batches identically") {
+    val anchors = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(50.0, 50.0, 50.0, 50.0),
+      Seq(100.0, 100.0, 0.0, 0.0))
+    val rows = for {
+      (a, b) <- anchors.zipWithIndex
+      i <- 0 until 20
+    } yield (b * 100L + i,
+      a.zipWithIndex.map { case (x, d) => (x + ((i * 7 + d * 3) % 5) * 0.1).toFloat })
+    val vecs = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 4, iters = 3).localCheckpoint() // built ONCE
+    def rank(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("adist"))).sortBy(t => (t._1, t._2))
+    // two probe batches served from the same build; batch 1 must equal
+    // the self-contained pqTopK run (same iters → same codebook)
+    val batch1 = vecs.filter(col("vec_id").isin(0L, 105L, 210L))
+    val batch2 = vecs.filter(col("vec_id").isin(7L, 113L))
+    val served1 = rank(Similarity.pqTopKWithCodebook(
+      vecs, batch1, "vec_id", "embedding", k = 5, dim = 4, m = 2, cb))
+    val solo = rank(Similarity.pqTopK(
+      vecs, batch1, "vec_id", "embedding", k = 5, dim = 4, m = 2, ksub = 4,
+      kmeansIters = 3))
+    assert(served1.toSeq == solo.toSeq, "shared-build serving drifted from self-contained")
+    val served2 = rank(Similarity.pqTopKWithCodebook(
+      vecs, batch2, "vec_id", "embedding", k = 5, dim = 4, m = 2, cb))
+    assert(served2.length == 10)
+    served2.foreach { case (p, _, n, _) =>
+      assert(p / 100 == n / 100, s"probe $p got cross-blob neighbor $n") }
+  }
+
   test("ivfPqTopK: neighbors of a blob probe come from the probe's blob") {
     // 4-dim, 3 well-separated blobs; stride 50 seeds one centroid in
     // blob 0 (ids 0, 100, 200 → after Lloyd one per blob); residual PQ
