@@ -366,6 +366,63 @@ object Similarity {
         (-col("score")).as("dist2"))
   }
 
+  /** Mutual k-NN graph from any rankTopK-shaped frame (probe_id, rank,
+    * neighbor_id, score): keep the undirected edge (a, b), a < b, iff
+    * b is in a's top-k AND a is in b's top-k. Mutuality is the standard
+    * symmetrization that drops hub-induced one-way edges before
+    * clustering/community detection (the k-NN-graph step of semantic
+    * clustering pipelines).
+    *
+    * Composable by construction: feed it [[bruteForceTopK]] for the
+    * exact graph (small corpora / oracle checks) or [[ivfTopK]] /
+    * [[ivfPqTopK]] for the 100 TB path — the mutual filter itself is
+    * one hash exchange on the canonicalized (lo, hi) edge key over
+    * O(n × k) rows, never the corpus. Self-edges (a probe's rank-1 hit
+    * is itself) are dropped. Cosine is symmetric, so both directions
+    * carry the same rounded score; `first` keeps it. */
+  def mutualTopK(topk: DataFrame): DataFrame = {
+    val directed = topk
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(least(col("probe_id"), col("neighbor_id")).as("a_id"),
+        greatest(col("probe_id"), col("neighbor_id")).as("b_id"),
+        col("score"),
+        (col("probe_id") < col("neighbor_id")).as("fwd"))
+    directed.groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("score")).as("sim"),
+        countDistinct(col("fwd")).as("dirs"))
+      .filter(col("dirs") === 2)
+      .select(col("a_id"), col("b_id"), col("sim"))
+  }
+
+  /** Per-vector symmetric int8 quantization profile — the serving-side
+    * memory story (4× over float32, 16× over float64) a 100 TB embedding
+    * store actually ships: q_i = clamp(round(x_i / s), ±127) with
+    * s = max|x| / 127 per vector. Returns exact-integer audit columns
+    * (the DuckDB-oracle discipline: per-ELEMENT rounding to fixed-point
+    * BEFORE any sum, so float addition order can't move the hash):
+    * scale_nano, sum_q, sum_abs_q, and err_pico = Σ round((q_i·s − x_i)²
+    * · 1e12). Map-only — no shuffle, no driver state; a zero vector
+    * quantizes to all-zero with scale 0 rather than dividing by zero. */
+  def int8QuantizeProfile(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    val scale = maxabs / lit(127.0)
+    val qi: Column => Column = x =>
+      when(maxabs === 0, lit(0L))
+        .otherwise(greatest(lit(-127L), least(lit(127L),
+          round(x / scale).cast("long"))))
+    val errPico: Column => Column = x => {
+      val d = qi(x).cast("double") * scale - x
+      round(d * d * lit(1e12)).cast("long")
+    }
+    vecs.select(col(idCol).as("vec_id"),
+      round(scale * lit(1e9)).cast("long").as("scale_nano"),
+      aggregate(transform(v, x => qi(x)), lit(0L), _ + _).as("sum_q"),
+      aggregate(transform(v, x => abs(qi(x))), lit(0L), _ + _).as("sum_abs_q"),
+      aggregate(transform(v, x => errPico(x)), lit(0L), _ + _).as("err_pico"))
+  }
+
   /** Recall@k of an approximate ANN result against an exact one — the
     * standard index-quality gauge (one row per probe: hits / truth
     * size). Both inputs are rankTopK-shaped (probe_id, rank,

@@ -82,6 +82,27 @@ object VectorQueries {
         centroidStride = 50, kmeansIters = 2, pqIters = 2)
       Similarity.refineTopK(cand, vecs, probes, "vec_id", "embedding", k = 5)
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Per-vector int8 quantization profile — the 4× serving-memory path
+    // an embedding store ships; exact-integer audit columns (per-element
+    // fixed-point rounding BEFORE summation) make it oracle-exact
+    "q29_embedding_quantize" -> ((s, dir) => {
+      Similarity.int8QuantizeProfile(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
+    // Mutual k-NN graph (exact top-4, every vector a probe): the
+    // symmetrized similarity graph semantic-clustering pipelines build;
+    // mutuality drops hub-induced one-way edges. Exact kernel here for
+    // the oracle; at 100 TB the same mutualTopK composes over ivfTopK /
+    // ivfPqTopK output instead of brute force
+    "q73_mutual_knn" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.mutualTopK(
+          Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4))
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -101,6 +122,51 @@ object VectorQueries {
         |    CROSS JOIN embeddings c
         |    WHERE p.vec_id < 20))
         |WHERE rank <= 5
-        |ORDER BY probe_id, rank""".stripMargin
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    // Same per-element fixed-point-before-sum discipline as the Spark
+    // side: every float op (cast, /, round, clamp, ·scale, −, ²) is
+    // IEEE-identical per element, and only integers are ever summed
+    "q29_embedding_quantize" ->
+      """WITH el AS (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS x
+        |  FROM embeddings, UNNEST(embedding) AS t(x)),
+        |sc AS (
+        |  SELECT vec_id, max(abs(x)) / 127.0 AS scale FROM el GROUP BY 1),
+        |q AS (
+        |  SELECT el.vec_id, x, scale,
+        |    CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE GREATEST(CAST(-127 AS BIGINT), LEAST(CAST(127 AS BIGINT),
+        |                CAST(round(x / scale) AS BIGINT))) END AS qi
+        |  FROM el JOIN sc USING (vec_id)),
+        |e AS (
+        |  SELECT vec_id, scale, qi, (qi * scale - x) AS d FROM q)
+        |SELECT vec_id,
+        |  CAST(round(any_value(scale) * 1e9) AS BIGINT) AS scale_nano,
+        |  CAST(sum(qi) AS BIGINT) AS sum_q,
+        |  CAST(sum(abs(qi)) AS BIGINT) AS sum_abs_q,
+        |  CAST(sum(CAST(round(d * d * 1e12) AS BIGINT)) AS BIGINT) AS err_pico
+        |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // ranked = q19's exact cosine top-k shape with EVERY vector as probe;
+    // the mutual join keeps (a,b) iff each is in the other's top-4
+    "q73_mutual_knn" ->
+      """WITH ranked AS (
+        |  SELECT probe_id, neighbor_id, score FROM (
+        |    SELECT probe_id, neighbor_id, score,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM (
+        |      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(
+        |          CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |      FROM embeddings p
+        |      CROSS JOIN embeddings c))
+        |  WHERE rank <= 4 AND probe_id <> neighbor_id)
+        |SELECT l.probe_id AS a_id, l.neighbor_id AS b_id, l.score AS sim
+        |FROM ranked l
+        |JOIN ranked r ON l.probe_id = r.neighbor_id AND l.neighbor_id = r.probe_id
+        |WHERE l.probe_id < l.neighbor_id
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -294,6 +294,43 @@ class KMeansSpec extends SparkTestBase {
     assert(e3.getMessage.contains("integral id"))
   }
 
+  test("mutualTopK keeps only reciprocated edges, drops self-edges") {
+    // hand-built rankTopK-shaped frame: (1,2) reciprocated; 1→3 one-way;
+    // 4's only hit is itself (must vanish entirely)
+    val topk = Seq(
+      (1L, 1, 1L, 1.0), (1L, 2, 2L, 0.9), (1L, 3, 3L, 0.8),
+      (2L, 1, 2L, 1.0), (2L, 2, 1L, 0.9),
+      (3L, 1, 3L, 1.0), (3L, 2, 2L, 0.7), // 3→2 one-way (2 never picks 3)
+      (4L, 1, 4L, 1.0)
+    ).toDF("probe_id", "rank", "neighbor_id", "score")
+    val got = Similarity.mutualTopK(topk).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.9)), got.toSeq.toString)
+  }
+
+  test("int8QuantizeProfile: exact audit columns, zero-vector passthrough") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))  // zero vector: scale 0, no div-by-zero
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantizeProfile(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // expected values from the same IEEE double math the op specifies;
+    // HALF_UP (away from zero) like Spark/DuckDB round, NOT scala
+    // math.round (half toward +inf — differs on negative halves)
+    def rnd(x: Double): Long = new java.math.BigDecimal(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    val scale = 1.0 / 127.0
+    def q(x: Double) = math.max(-127L, math.min(127L, rnd(x / scale)))
+    val qs = Seq(1.0, -0.5, 0.0).map(q)
+    assert(qs.head == 127L && qs(2) == 0L && math.abs(qs(1) + 63.5) <= 0.5)
+    val err = Seq(1.0, -0.5, 0.0).zip(qs).map { case (x, qi) =>
+      val d = qi * scale - x; rnd(d * d * 1e12) }.sum
+    assert(got(1L) == ((rnd(scale * 1e9), qs.sum, qs.map(math.abs).sum, err)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("pqEncode raises loudly on a ragged (wrong-dimension) vector") {
     val good = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
     val cb = Similarity.pqCodebooks(good, "vec_id", "embedding",
