@@ -216,6 +216,30 @@ class PlanSpec extends SparkTestBase {
       "budget window collapsed to a single partition — not parallel by source")
   }
 
+  test("q29 quantization profile is map-only before the final sort") {
+    // per-vector audit columns are pure projection — a shuffle here would
+    // mean the op materializes per-element state somewhere it shouldn't
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Similarity.int8QuantizeProfile(
+        Tables.t(spark, sf, "embeddings"), "vec_id", "embedding")
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.isEmpty, s"quantization profile shuffles: $exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q73 mutual k-NN: probes broadcast, partial heap agg, one edge exchange") {
+    val p = plan(SparkEntry.queries("q73_mutual_knn")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe side not broadcast — corpus would shuffle for scoring")
+    assert(p.contains("partial_topk_by_score") || p.contains("TopKByScore") ||
+      p.contains("partial"), "top-k not partially aggregated map-side")
+    assert(!p.contains("CartesianProduct"),
+      "mutual filter fell back to a cartesian product")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(
