@@ -144,6 +144,36 @@ class BpeSpec extends SparkTestBase {
     assert(big.toSeq == refBpe(freqs, Bpe.MaxDistributedMerges * 4, 1))
   }
 
+  test("tokenizer e2e: learn (local) -> encode -> pack over real documents") {
+    // the full tokenizer-side pipeline a training-data run executes:
+    // induce merges from the corpus, encode every doc with them, pack
+    // encoded docs into fixed token-budget bins
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learnMergesLocal(docs, "text", merges = 40, minFreq = 2)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty, "corpus should sustain at least one merge")
+    val encoded = docs.select(col("doc_id"), col("source"),
+      Bpe.encodeBpe(col("text"), merges).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+    val packed = Corpus.packBins(encoded, "source", "doc_id",
+      col("n_tok").cast("long"), budget = 2048)
+    val bins = packed.groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tok")).as("bin_tok"), max(col("n_tok")).as("max_doc"))
+      .collect()
+    assert(bins.nonEmpty)
+    // packing contract: a bin exceeds the budget only via its boundary
+    // doc (bounded overflow), never by more than one doc's tokens
+    bins.foreach { b =>
+      assert(b.getAs[Long]("bin_tok") < 2048L + b.getAs[Long]("max_doc"),
+        s"bin overflows beyond the boundary-doc contract: $b")
+    }
+    // encoding is lossless on token counts: merges only shrink
+    val shrunk = encoded.agg(sum(col("n_tok"))).collect()(0).getLong(0)
+    val chars = docs.select(Bpe.encodeBpe(col("text"), Seq.empty).as("t"))
+      .agg(sum(size(col("t")))).collect()(0).getLong(0)
+    assert(shrunk < chars, s"merges should shrink total tokens: $shrunk vs $chars")
+  }
+
   test("learnMergesLocal maxWords cap keeps the highest-frequency words") {
     // cap to 2 words: "newest"(6) and "low"(5) survive; merges must match
     // the reference run on exactly that truncated dict

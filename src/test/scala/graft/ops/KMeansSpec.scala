@@ -331,6 +331,41 @@ class KMeansSpec extends SparkTestBase {
     assert(got(2L) == ((0L, 0L, 0L, 0L)))
   }
 
+  test("mutualTopK on real embeddings == reference mutual filter of the top-k list") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .localCheckpoint() // one scoring pass feeds both paths
+    val got = Similarity.mutualTopK(topk).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: collect the directed lists and filter reciprocated pairs
+    val directed = topk.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .filter { case (p, n) => p != n }.toSet
+    val want = directed.filter { case (p, n) => p < n && directed((n, p)) }
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty, "fixture should produce at least one mutual edge")
+  }
+
+  test("int8QuantizeProfile invariants hold on real embeddings") {
+    val dim = 64
+    val rows = Similarity.int8QuantizeProfile(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scaleNano, sumQ, sumAbsQ, errPico) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(scaleNano >= 0)
+      assert(math.abs(sumQ) <= sumAbsQ && sumAbsQ <= 127L * dim)
+      // per-element error ≤ (scale/2)²; +1e-9 covers scale_nano's own
+      // rounding, +2 pico-units/element the fixed-point rounding slack
+      val scale = scaleNano / 1e9 + 1e-9
+      val bound = dim * (scale * scale / 4 * 1e12 + 2)
+      assert(errPico >= 0 && errPico <= bound,
+        s"err_pico $errPico above bound $bound for vec ${r.getLong(0)}")
+    }
+  }
+
   test("pqEncode raises loudly on a ragged (wrong-dimension) vector") {
     val good = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
     val cb = Similarity.pqCodebooks(good, "vec_id", "embedding",
