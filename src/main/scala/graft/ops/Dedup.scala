@@ -402,6 +402,14 @@ object Dedup {
     * [[simHashPairs]]: ids + one long cross the candidate exchange. */
   def embeddingNearDupsSrp(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, bits: Int = 16, bands: Int = 4): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    verifyCosinePairs(bucketPairs(srpBanded(base, bits, bands)), base, threshold)
+  }
+
+  /** SRP band keys for a (id, v) frame — shared by the in-corpus and
+    * cross-corpus SRP paths (same hyperplanes: srpSignature is
+    * fixed-seed, so both sides of a cross pairing band identically). */
+  private def srpBanded(base: DataFrame, bits: Int, bands: Int): DataFrame = {
     require(bands >= 1 && bits % bands == 0,
       s"bits ($bits) must divide evenly into bands ($bands)")
     val rowsPerBand = bits / bands
@@ -409,14 +417,52 @@ object Dedup {
     // chunk collide — i.e. a silent full cross join
     require(rowsPerBand <= 63, s"bits/bands must be <= 63, got $rowsPerBand")
     val mask = (1L << rowsPerBand) - 1
-    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sigs = base.select(col("id"), srpSignature(col("v"), bits).as("sig"))
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * rowsPerBand)
-            .bitwiseAND(lit(mask)).as("chunk"))): _*)).as("bk"))
-    verifyCosinePairs(bucketPairs(banded), base, threshold)
+    base.select(col("id"), srpSignature(col("v"), bits).as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * rowsPerBand)
+              .bitwiseAND(lit(mask)).as("chunk"))): _*)).as("bk"))
+  }
+
+  /** Cross-corpus SRP near-dup pairs: probe vectors against an existing
+    * corpus — the embedding twin of [[minHashPairsBetween]]. Both sides
+    * band on the SAME fixed-seed hyperplanes, single-member buckets
+    * still pair with the OTHER side (minSize = 1), candidates carry ids
+    * only, and the exact cosine verifies. Returns
+    * (corpus_id, probe_id, cosine). */
+  def srpPairsBetween(corpus: DataFrame, probe: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.99,
+      bits: Int = 16, bands: Int = 4, maxBucket: Int = 256): DataFrame = {
+    val cBase = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val pBase = probe.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cBuckets = cappedBuckets(srpBanded(cBase, bits, bands),
+      col("id"), maxBucket, minSize = 1).withColumnRenamed("vs", "cvs")
+    val pBuckets = cappedBuckets(srpBanded(pBase, bits, bands),
+      col("id"), maxBucket, minSize = 1).withColumnRenamed("vs", "pvs")
+    val combos = flatten(transform(col("cvs"), x =>
+      transform(col("pvs"), y =>
+        struct(x.getField("id").as("a"), y.getField("id").as("b")))))
+    cBuckets.join(pBuckets, "bk")
+      .select(explode(combos).as("p"))
+      .select(col("p.a").as("corpus_id"), col("p.b").as("probe_id"))
+      .dropDuplicates("corpus_id", "probe_id")
+      .join(cBase.select(col("id").as("corpus_id"), col("v").as("a_v")), "corpus_id")
+      .join(pBase.select(col("id").as("probe_id"), col("v").as("b_v")), "probe_id")
+      .withColumn("cosine", cosineSimilarity(col("a_v"), col("b_v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Keep only the `probe` vectors with NO near-duplicate embedding in
+    * `corpus` — the incremental-ingest filter composed from
+    * [[srpPairsBetween]] (anti-join beyond the pair list), the embedding
+    * twin of [[dedupAgainstCorpus]]. */
+  def embeddingDedupAgainstCorpus(corpus: DataFrame, probe: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.99): DataFrame = {
+    val dupes = srpPairsBetween(corpus, probe, idCol, vecCol, threshold)
+      .select(col("probe_id").as(idCol)).distinct()
+    probe.join(dupes, Seq(idCol), "left_anti")
   }
 
   /** Shared verify tail of the embedding near-dup variants: rejoin the

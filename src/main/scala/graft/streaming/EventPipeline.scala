@@ -227,6 +227,43 @@ object EventPipeline {
     survivors.write.mode("append").parquet(corpusPath)
   }
 
+  /** foreachBatch body for streaming EMBEDDING ingest with near-dup
+    * rejection — the vector twin of [[dedupIngestSink]] for a corpus
+    * keyed by semantic similarity instead of text overlap: each
+    * micro-batch is (1) self-deduped with the index-free SRP-LSH kernel
+    * ([[graft.ops.Dedup.embeddingNearDupsSrp]] — no centroid seeding, so
+    * any batch size/id distribution works), then (2) filtered against
+    * the accumulated corpus with the cross-corpus SRP kernel
+    * ([[graft.ops.Dedup.srpPairsBetween]] — both sides band on the same
+    * fixed-seed hyperplanes), and the survivors are APPENDED. A
+    * near-copy of anything already ingested, including a vector admitted
+    * two batches ago, is rejected; replaying a batch after failure
+    * re-drops its duplicates (empty append), keeping the sink
+    * effectively idempotent for replayed content.
+    *
+    * At cluster scale the corpus side's band chunks would be
+    * precomputed and stored (the signature scan dominates; the chunk
+    * frame is the natural SRP index table) — re-signing per batch is
+    * the honest local form, same trade as [[dedupIngestSink]]. */
+  def embeddingDedupIngestSink(corpusPath: String, idCol: String,
+      vecCol: String, threshold: Double = 0.99)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(corpusPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val inBatchPairs = graft.ops.Dedup.embeddingNearDupsSrp(
+      batch, idCol, vecCol, threshold)
+    val selfDeduped = graft.ops.Dedup.applyDedup(
+      batch, idCol, inBatchPairs.cache())
+    inBatchPairs.unpersist()
+    val survivors =
+      if (fs.exists(hPath))
+        graft.ops.Dedup.embeddingDedupAgainstCorpus(
+          spark.read.parquet(corpusPath), selfDeduped, idCol, vecCol, threshold)
+      else selfDeduped
+    survivors.write.mode("append").parquet(corpusPath)
+  }
+
   /** foreachBatch body for a streaming perplexity quality gate — the
     * CCNet-style filter ([[graft.ops.Corpus.bigramLmScore]]) applied at
     * ingest time: each micro-batch is scored against the reference

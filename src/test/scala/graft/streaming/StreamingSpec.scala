@@ -138,6 +138,59 @@ class StreamingSpec extends SparkTestBase {
     assert(!ingested.contains(4L), "cross-batch near-dup must be rejected")
   }
 
+  test("streaming embedding ingest rejects semantic near-dups of earlier batches") {
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("embingest").toString + "/corpus"
+    // distinct directions collide on no SRP band; scaled copies (cosine
+    // 1) collide on every band — scale invariance is the kernel's point
+    def dirVec(seed: Int): Seq[Float] =
+      (0 until 16).map(d => (((seed * 31 + d * 17) % 13) - 6).toFloat / 3f)
+    val q = {
+      val stream = MemoryStream[(Long, Seq[Float])]
+      val query = stream.toDF().toDF("vec_id", "embedding")
+        .writeStream.outputMode("append")
+        .foreachBatch(EventPipeline.embeddingDedupIngestSink(
+          dir, "vec_id", "embedding", threshold = 0.999) _)
+        .start()
+      // batch 0: two distinct vectors + an in-batch scaled twin of the first
+      stream.addData(Seq(
+        (1L, dirVec(1)),
+        (2L, dirVec(2)),
+        (3L, dirVec(1).map(_ * 1.5f)))) // cosine-1 twin of 1 within the batch
+      query.processAllAvailable()
+      // batch 1: scaled twin of a batch-0 survivor + one genuinely new vector
+      stream.addData(Seq(
+        (4L, dirVec(2).map(_ * 0.5f)), // cosine-1 twin of ingested vector 2
+        (5L, dirVec(7))))
+      query.processAllAvailable()
+      query
+    }
+    q.stop()
+    val ingested = spark.read.parquet(dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ingested.contains(1L) && ingested.contains(2L) && ingested.contains(5L),
+      s"survivors missing: $ingested")
+    assert(!ingested.contains(3L), "in-batch semantic near-dup must be rejected")
+    assert(!ingested.contains(4L), "cross-batch semantic near-dup must be rejected")
+  }
+
+  test("srpPairsBetween finds cross-side scaled twins only (ids-only exchange)") {
+    val corpus = Seq((10L, Seq(1.0f, 2.0f, -1.0f, 0.5f)),
+      (11L, Seq(-2.0f, 0.5f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val probe = Seq(
+      (20L, Seq(1.5f, 3.0f, -1.5f, 0.75f)), // 10 × 1.5 → cosine 1
+      (21L, Seq(0.5f, -1.0f, -2.0f, 3.0f))  // unrelated
+    ).toDF("vec_id", "embedding")
+    val pairs = graft.ops.Dedup.srpPairsBetween(
+      corpus, probe, "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((10L, 20L, 1.0)), pairs.toSeq.toString)
+    val kept = graft.ops.Dedup.embeddingDedupAgainstCorpus(
+      corpus, probe, "vec_id", "embedding", threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(21L))
+  }
+
   test("streaming quality gate accepts reference-like docs, rejects junk; replay converges") {
     implicit val sql = spark.sqlContext
     val root = Files.createTempDirectory("qualgate").toString
