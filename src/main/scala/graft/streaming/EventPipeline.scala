@@ -264,6 +264,31 @@ object EventPipeline {
     survivors.write.mode("append").parquet(corpusPath)
   }
 
+  /** foreachBatch body for streaming ANN serving — the online half of
+    * the build-once-serve-many split (README deployment example): each
+    * micro-batch of probe vectors is answered from a PREBUILT PQ
+    * codebook artifact via
+    * [[graft.ops.Similarity.pqTopKWithCodebook]] — no Lloyd rounds on
+    * the serving path, ever — and the (probe_id, rank)-keyed hits merge
+    * into `hitsPath`, so a replayed batch overwrites its own rows and
+    * the results table converges (the [[mergeBatchSink]] discipline).
+    *
+    * The corpus is re-encoded against the codebook per batch here — the
+    * honest local form; a deployment stores the codes frame
+    * ([[graft.ops.Similarity.pqEncode]] output) as a second artifact
+    * next to the codebook and the serving path becomes pure ADC lookup
+    * against it. Both artifacts are versioned together: codes are only
+    * meaningful under the codebook that produced them. */
+  def annServeSink(corpusPath: String, codebookPath: String,
+      hitsPath: String, idCol: String, vecCol: String,
+      k: Int, dim: Int, m: Int)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val hits = graft.ops.Similarity.pqTopKWithCodebook(
+      spark.read.parquet(corpusPath), batch, idCol, vecCol, k, dim, m,
+      spark.read.parquet(codebookPath))
+    mergeBatchSink(hitsPath, Seq("probe_id", "rank"))(hits, batchId)
+  }
+
   /** foreachBatch body for a streaming perplexity quality gate — the
     * CCNet-style filter ([[graft.ops.Corpus.bigramLmScore]]) applied at
     * ingest time: each micro-batch is scored against the reference

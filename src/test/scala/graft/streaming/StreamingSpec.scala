@@ -191,6 +191,46 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Set(21L))
   }
 
+  test("streaming ANN serving answers probe batches from a prebuilt PQ artifact") {
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("annserve").toString
+    val (corpusP, cbP, hitsP) = (root + "/corpus", root + "/codebook", root + "/hits")
+    // 3 well-separated 4-dim blobs (the KMeansSpec geometry): ADC ranking
+    // stays in-blob, and every in-corpus probe's rank-1 hit is itself
+    val anchors = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(50.0, 50.0, 50.0, 50.0),
+      Seq(100.0, 100.0, 0.0, 0.0))
+    val rows = for {
+      (a, b) <- anchors.zipWithIndex
+      i <- 0 until 20
+    } yield (b * 100L + i,
+      a.zipWithIndex.map { case (x, d) => (x + ((i * 7 + d * 3) % 5) * 0.1).toFloat })
+    val vecs = rows.toDF("vec_id", "embedding")
+    vecs.write.parquet(corpusP)                       // offline: corpus
+    graft.ops.Similarity.pqCodebooks(vecs, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 4, iters = 3).write.parquet(cbP) // offline: artifact
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventPipeline.annServeSink(
+        corpusP, cbP, hitsP, "vec_id", "embedding", k = 3, dim = 4, m = 2) _)
+      .start()
+    stream.addData(rows.filter(r => Set(0L, 105L).contains(r._1)))
+    q.processAllAvailable()
+    stream.addData(rows.filter(r => r._1 == 210L)) // second batch merges in
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.read.parquet(hitsP)
+      .select("probe_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(hits.size == 9, s"3 probes × k=3 expected: ${hits.size}")
+    // ADC distances tie within a blob (vectors share codes), so rank-1
+    // need not be the probe itself — blob membership is the PQ contract
+    Seq(0L, 105L, 210L).foreach { p =>
+      (1 to 3).foreach(r => assert(hits((p, r)) / 100 == p / 100,
+        s"probe $p rank $r left its blob"))
+    }
+  }
+
   test("streaming quality gate accepts reference-like docs, rejects junk; replay converges") {
     implicit val sql = spark.sqlContext
     val root = Files.createTempDirectory("qualgate").toString
