@@ -387,8 +387,11 @@ object Similarity {
         greatest(col("probe_id"), col("neighbor_id")).as("b_id"),
         col("score"),
         (col("probe_id") < col("neighbor_id")).as("fwd"))
+    // min, not first: both directions carry the same rounded score for a
+    // symmetric metric, but min keeps the result deterministic even if a
+    // caller feeds an asymmetric score (e.g. ADC distance) in
     directed.groupBy(col("a_id"), col("b_id"))
-      .agg(first(col("score")).as("sim"),
+      .agg(min(col("score")).as("sim"),
         countDistinct(col("fwd")).as("dirs"))
       .filter(col("dirs") === 2)
       .select(col("a_id"), col("b_id"), col("sim"))
