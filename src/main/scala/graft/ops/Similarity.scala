@@ -366,6 +366,84 @@ object Similarity {
         (-col("score")).as("dist2"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the top-k most cosine-similar corpus vectors carrying a DIFFERENT
+    * label — the "looks like me, isn't me" examples a retrieval /
+    * embedding trainer pairs against each anchor. Same plan shape as
+    * [[bruteForceTopK]]: the anchor set rides a broadcast, the corpus
+    * scans once, the different-label predicate folds into the join, and
+    * the bounded-heap [[graft.functions.TopKByScore]] keeps the exchange
+    * at O(anchors × k).
+    *
+    * This exact kernel is the oracle shape; at 100 TB the same semantics
+    * compose as retrieve-then-filter: over-fetch top-(k·m) from
+    * [[ivfTopK]]/[[ivfPqTopK]], drop same-label hits, keep k (re-probing
+    * the rare anchor whose over-fetch was exhausted). Deterministic:
+    * ties broken by neighbor id on the score rounded to 6 decimals. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val p = anchors.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      col(labelCol).as("p_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("c_label"))
+    val scored = c.join(broadcast(p), col("c_label") =!= col("p_label"))
+      .withColumn("score", round(cosineSimilarity(col("pv"), col("cv")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** Label-prototype audit (mislabel detection): build each label's
+    * prototype (the element-wise mean embedding), score every vector
+    * against every prototype by cosine, and report the best-matching
+    * label next to the recorded one — rows where they disagree are the
+    * confident-learning mislabel candidates a curation pipeline routes
+    * to review.
+    *
+    * Oracle-exactness discipline (the q29/q88 rule — only integers are
+    * ever summed): vector elements and prototype elements are quantized
+    * to integer MICROS per element, so the prototype sum, the dot
+    * product, and both norms are exact 64-bit integer arithmetic —
+    * addition order can't move the hash — and the single
+    * double-precision division happens once per (vector, label).
+    *
+    * Plan shape: one explode + partial-aggregated groupBy builds the
+    * (labels × dim) prototype table — the only shuffle, carrying
+    * (label, dim, sum) rows; prototypes then broadcast and scoring is a
+    * map-only zip_with/aggregate pass over the corpus (whole-stage
+    * codegen, one row per (vector, label) in flight, argmax collapsed
+    * map-side by the min-struct partial aggregate). */
+  def prototypeAudit(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val el = vecs.select(col(labelCol).as("p_label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("xm", round(col("x") * 1e6).cast("long"))
+    val protoArr = el.groupBy(col("p_label"), col("dim"))
+      .agg(round(sum(col("xm")).cast("double") / count(lit(1))).cast("long").as("pm"))
+      .groupBy(col("p_label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("pm")))).as("ds"))
+      .select(col("p_label"),
+        transform(col("ds"), d => d.getField("pm")).as("pvm"))
+    val vm = vecs.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("vm"))
+    val dotL = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+    val scored = vm.crossJoin(broadcast(protoArr))
+      .withColumn("dot", dotL(col("vm"), col("pvm")))
+      .withColumn("vn", dotL(col("vm"), col("vm")))
+      .withColumn("pn", dotL(col("pvm"), col("pvm")))
+      .withColumn("score",
+        when(col("vn") === 0 || col("pn") === 0, lit(0.0))
+          .otherwise(round(col("dot").cast("double") /
+            sqrt(col("vn").cast("double") * col("pn").cast("double")), 6)))
+    scored.groupBy(col("vec_id"))
+      .agg(first(col("label")).as("label"),
+        min(struct((-col("score")).as("ns"), col("p_label"))).as("b"))
+      .select(col("vec_id"), col("label"),
+        col("b.p_label").as("pred_label"),
+        (-col("b.ns")).as("best_sim"),
+        (col("label") =!= col("b.p_label")).as("mislabeled"))
+  }
+
   /** Mutual k-NN graph from any rankTopK-shaped frame (probe_id, rank,
     * neighbor_id, score): keep the undirected edge (a, b), a < b, iff
     * b is in a's top-k AND a is in b's top-k. Mutuality is the standard

@@ -103,6 +103,26 @@ object VectorQueries {
       Similarity.mutualTopK(
           Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Hard-negative mining: top-5 most-similar DIFFERENT-label vectors
+    // per anchor — the contrastive-training pair generator. Exact kernel
+    // for the oracle; scale path = ANN over-fetch + label filter
+    "q101_hard_negatives" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.hardNegatives(vecs, vecs.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // Label-prototype mislabel audit: each vector scored against every
+    // label's mean embedding; disagreement rows are curation candidates.
+    // Integer-micro quantization end-to-end makes a float-mean pipeline
+    // oracle-exact
+    "q102_prototype_audit" -> ((s, dir) => {
+      Similarity.prototypeAudit(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -167,6 +187,63 @@ object VectorQueries {
         |FROM ranked l
         |JOIN ranked r ON l.probe_id = r.neighbor_id AND l.neighbor_id = r.probe_id
         |WHERE l.probe_id < l.neighbor_id
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // q19's exact-cosine shape with the different-label predicate folded
+    // into the join
+    "q101_hard_negatives" ->
+      """SELECT probe_id, rank, neighbor_id, score FROM (
+        |  SELECT probe_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |      round(list_cosine_similarity(
+        |        CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |    FROM embeddings p
+        |    JOIN embeddings c ON p.label <> c.label
+        |    WHERE p.vec_id < 20))
+        |WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    // Same integer-micro discipline as the Spark side: elements and
+    // prototype means quantized to BIGINT micros per element, dot/norms
+    // as exact integer sums, one double division + round(6) per
+    // (vector, label), argmax tie-broken by smaller label
+    "q102_prototype_audit" ->
+      """WITH el AS (
+        |  SELECT vec_id, label, dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        |  FROM (
+        |    SELECT vec_id, label,
+        |      generate_subscripts(embedding, 1) AS dim,
+        |      unnest(embedding) AS x
+        |    FROM embeddings)),
+        |proto AS (
+        |  SELECT label AS p_label, dim,
+        |    CAST(round(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT) AS pm
+        |  FROM el GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT el.vec_id, any_value(el.label) AS label, p.p_label,
+        |    CAST(sum(el.xm * p.pm) AS BIGINT) AS dot,
+        |    CAST(sum(el.xm * el.xm) AS BIGINT) AS vn,
+        |    CAST(sum(p.pm * p.pm) AS BIGINT) AS pn
+        |  FROM el JOIN proto p USING (dim)
+        |  GROUP BY el.vec_id, p.p_label),
+        |sim AS (
+        |  SELECT vec_id, label, p_label,
+        |    CASE WHEN vn = 0 OR pn = 0 THEN 0.0
+        |         ELSE round(CAST(dot AS DOUBLE) /
+        |                sqrt(CAST(vn AS DOUBLE) * CAST(pn AS DOUBLE)), 6)
+        |    END AS score
+        |  FROM scored),
+        |best AS (
+        |  SELECT vec_id, label, p_label AS pred_label, score AS best_sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, p_label) AS rn
+        |  FROM sim)
+        |SELECT vec_id, label, pred_label, best_sim,
+        |  (label <> pred_label) AS mislabeled
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -366,6 +366,61 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("hardNegatives never returns a same-label neighbor and matches the filtered brute force") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = vecs.filter(col("vec_id") < 10)
+    val got = Similarity.hardNegatives(vecs, anchors,
+      "vec_id", "embedding", "label", k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val labels = vecs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (p, _, n, _) =>
+      assert(labels(p) != labels(n), s"anchor $p got same-label neighbor $n")
+    }
+    // differential: full brute-force top-k over a corpus pre-filtered to
+    // the anchor's complement must agree (per anchor)
+    labels.filterKeys(_ < 10).foreach { case (a, lab) =>
+      val want = Similarity.bruteForceTopK(
+          vecs.filter(col("label") =!= lab), anchors.filter(col("vec_id") === a),
+          "vec_id", "embedding", k = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got.filter(_._1 == a).toSet == want, s"anchor $a diverged")
+    }
+  }
+
+  test("prototypeAudit flags the planted mislabel and clears the clean rows") {
+    // two tight blobs: label 0 near (1,0,0), label 1 near (0,1,0);
+    // vec 99 sits in blob 1 but carries label 0 → must be flagged
+    val rows =
+      (0 until 8).map(i => (i.toLong, 0, Seq(1.0f, 0.01f * i, 0.0f))) ++
+      (10 until 18).map(i => (i.toLong, 1, Seq(0.01f * (i - 10), 1.0f, 0.0f))) :+
+      ((99L, 0, Seq(0.0f, 1.0f, 0.02f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.prototypeAudit(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got.size == rows.size)
+    assert(got(99L)._1 == 1 && got(99L)._3, s"planted mislabel not flagged: ${got(99L)}")
+    (rows.map(_._1).toSet - 99L).foreach { id =>
+      assert(!got(id)._3, s"clean vec $id falsely flagged: ${got(id)}")
+      assert(got(id)._2 > 0.9, s"clean vec $id best_sim too low: ${got(id)}")
+    }
+  }
+
+  test("prototypeAudit best_sim bounded and self-consistent on real embeddings") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = vecs.count()
+    val got = Similarity.prototypeAudit(vecs, "vec_id", "embedding", "label").collect()
+    assert(got.length == n, "audit must return every input row exactly once")
+    got.foreach { r =>
+      val sim = r.getDouble(3)
+      assert(sim >= -1.000001 && sim <= 1.000001, s"cosine out of range: $sim")
+      assert(r.getBoolean(4) == (r.getInt(1) != r.getInt(2)),
+        "mislabeled flag inconsistent with label/pred columns")
+    }
+  }
+
   test("pqEncode raises loudly on a ragged (wrong-dimension) vector") {
     val good = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(9.0f, 9.0f))).toDF("vec_id", "embedding")
     val cb = Similarity.pqCodebooks(good, "vec_id", "embedding",
