@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.ops.Similarity
+import graft.ops.{Pca, Similarity}
 
 /** Similarity search over the embeddings table (north-star: brute-force
   * exact top-k as the baseline, IVF-bucketed approximate as the 100 TB
@@ -123,6 +123,31 @@ object VectorQueries {
       Similarity.prototypeAudit(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label")
         .orderBy(col("vec_id"))
+    }),
+
+    // PCA eigenspectrum of the embedding corpus: one integer-exact
+    // moment pass + driver Jacobi eigensolve — the drift gauge / rank
+    // profile. Golden-pinned (DuckDB can't eigendecompose); integer
+    // moment sums make the model partitioning-independent
+    "q103_pca_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val model = Pca.fit(t(s, dir, "embeddings"), "embedding", dim = 64)
+      Pca.spectrumRows(model).toDF("component", "eig_pico", "cumvar_micro")
+        .orderBy(col("component"))
+    }),
+
+    // Whitened top-8 PCA projection per vector (long format) — the
+    // reduced-space representation ANN/indexing consumes. Map-only after
+    // the fit; in-row fixed-order folds keep output partitioning-
+    // independent, micro-rounding makes it golden-pinnable
+    "q104_pca_whiten" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val model = Pca.fit(vecs, "embedding", dim = 64)
+      Pca.project(vecs, model, "embedding", "y", p = 8, whiten = true)
+        .select(col("vec_id"), posexplode(col("y")).as(Seq("comp", "yv")))
+        .select(col("vec_id"), col("comp").cast("int").as("comp"),
+          round(col("yv") * 1e6).cast("long").as("y_micro"))
+        .orderBy(col("vec_id"), col("comp"))
     })
   )
 
