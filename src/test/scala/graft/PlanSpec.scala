@@ -240,6 +240,51 @@ class PlanSpec extends SparkTestBase {
       "mutual filter fell back to a cartesian product")
   }
 
+  test("q101 hard negatives: anchors broadcast, no cartesian, partial heap agg") {
+    val p = plan(SparkEntry.queries("q101_hard_negatives")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "anchor side not broadcast — corpus would shuffle for scoring")
+    assert(!p.contains("CartesianProduct"),
+      "different-label predicate fell back to a cartesian product")
+    assert(p.contains("partial_topk_by_score") || p.contains("TopKByScore") ||
+      p.contains("partial"), "top-k not partially aggregated map-side")
+  }
+
+  test("q102 prototype audit: prototypes broadcast, argmax is a partial aggregate") {
+    val p = plan(SparkEntry.queries("q102_prototype_audit")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "prototype table not broadcast — corpus would shuffle for scoring")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      "argmax not partially aggregated map-side")
+  }
+
+  test("PCA moment pass: one exchange, partial-aggregated to cell scale") {
+    // the corpus-touching stage of Pca.fit must reduce map-side to
+    // (cell, partial-sum) rows before its single shuffle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs = Tables.t(spark, sf, "embeddings")
+      val vm = vecs.select(transform(col("embedding").cast("array<double>"),
+        x => round(x * 1e6).cast("long")).as("vm"))
+      val cells = vm.select(explode(flatten(transform(
+          sequence(lit(0), lit(63)),
+          i => transform(sequence(i, lit(63)), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("vm"), i + 1) * element_at(col("vm"), j + 1)).as("xx")))
+        ))).as("c"))
+        .select(col("c.i"), col("c.j"), col("c.xx"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("xx").cast("decimal(38,0)")).as("s"))
+      val plan = cells.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.length == 1, s"moment pass has ${exchanges.length} exchanges")
+      assert(plan.toString.contains("partial_sum") || plan.toString.contains("partial"),
+        "Gram sums not partially aggregated before the exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(
