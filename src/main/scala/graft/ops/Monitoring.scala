@@ -62,4 +62,49 @@ object Monitoring {
           .otherwise("ok"))
       .select(col("key"), col("hour"), col("n"), col("status"))
   }
+
+  /** Per-dimension distribution drift between two embedding snapshots
+    * (reference vs current) — the monitor a corpus pipeline runs after
+    * every embedding-model rollout or ingest wave: a mean shift in a few
+    * dimensions is the first sign the upstream encoder changed or a new
+    * source skews the space, caught from the data itself before any
+    * downstream index quietly degrades.
+    *
+    * Oracle-exact by the integer discipline ([[rateSpikes]]'s rule
+    * applied per dimension): elements quantize to integer micros, the
+    * per-dim first/second moments accumulate as DECIMAL(38,0) — exact at
+    * any corpus size — and the reported mean/z columns are the same IEEE
+    * double expressions over those integers on any engine.
+    *
+    * Output per dim: ref/cur mean (micro), |shift| (micro), and a
+    * two-sample z score (milli; null when both variances are zero).
+    * Scale shape: each side is one partial-aggregated explode→groupBy
+    * reduced to d rows before its exchange; the join is d × d tiny. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, vecCol: String): DataFrame = {
+    def moments(df: DataFrame, side: String): DataFrame =
+      df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .withColumn("xm", round(col("x") * 1e6).cast("long"))
+        .groupBy(col("dim"))
+        .agg(sum(col("xm").cast("decimal(38,0)")).as(s"s_$side"),
+          sum((col("xm") * col("xm")).cast("decimal(38,0)")).as(s"s2_$side"),
+          count(lit(1)).as(s"n_$side"))
+    def mean(side: String): Column =
+      col(s"s_$side").cast("double") / col(s"n_$side") / 1e6
+    def variance(side: String): Column =
+      col(s"s2_$side").cast("double") / col(s"n_$side") / 1e12 -
+        mean(side) * mean(side)
+    val denom = sqrt(variance("ref") / col("n_ref") + variance("cur") / col("n_cur"))
+    moments(ref, "ref").join(moments(cur, "cur"), Seq("dim"))
+      .select(col("dim"),
+        round(col("s_ref").cast("double") / col("n_ref")).cast("long")
+          .as("ref_mean_micro"),
+        round(col("s_cur").cast("double") / col("n_cur")).cast("long")
+          .as("cur_mean_micro"),
+        when(denom === 0, lit(null).cast("long"))
+          .otherwise(round(abs(mean("ref") - mean("cur")) / denom * 1000).cast("long"))
+          .as("z_milli"))
+      .withColumn("shift_micro", abs(col("ref_mean_micro") - col("cur_mean_micro")))
+      .select(col("dim"), col("ref_mean_micro"), col("cur_mean_micro"),
+        col("shift_micro"), col("z_milli"))
+  }
 }

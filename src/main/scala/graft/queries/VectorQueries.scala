@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.ops.{Pca, Similarity}
+import graft.ops.{Monitoring, Pca, Similarity}
 
 /** Similarity search over the embeddings table (north-star: brute-force
   * exact top-k as the baseline, IVF-bucketed approximate as the 100 TB
@@ -148,6 +148,37 @@ object VectorQueries {
         .select(col("vec_id"), col("comp").cast("int").as("comp"),
           round(col("yv") * 1e6).cast("long").as("y_micro"))
         .orderBy(col("vec_id"), col("comp"))
+    }),
+
+    // Rank-16 reduction quality gauge: recall@5 of exact L2 top-k in the
+    // 16-dim PCA space vs exact L2 in the full 64-dim space — the
+    // dimension-reduction sibling of q92's index-recall gauge. Golden
+    // (eigensolve isn't oracle-portable); unwhitened projection so the
+    // reduced space preserves L2 geometry up to truncation
+    "q105_pca_ann_recall" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val model = Pca.fit(vecs, "embedding", dim = 64)
+      val red = Pca.project(vecs, model, "embedding", "y", p = 16)
+        .select(col("vec_id"), col("y"))
+      val probes = col("vec_id") < 20
+      val truth = Similarity.bruteForceTopKL2(vecs, vecs.filter(probes),
+        "vec_id", "embedding", k = 5)
+      val approx = Similarity.bruteForceTopKL2(red, red.filter(probes),
+        "vec_id", "y", k = 5)
+      Similarity.recallAtK(truth, approx, k = 5)
+        .orderBy(col("probe_id"))
+    }),
+
+    // Embedding drift monitor between two corpus snapshots (even ids =
+    // reference wave, odd = current wave — the bench's stand-in for
+    // yesterday/today): per-dim mean shift + two-sample z from exact
+    // integer moments, oracle-exact
+    "q106_embedding_drift" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Monitoring.embeddingDrift(
+          vecs.filter(col("vec_id") % 2 === 0),
+          vecs.filter(col("vec_id") % 2 === 1), "embedding")
+        .orderBy(col("dim"))
     })
   )
 
@@ -269,6 +300,45 @@ object VectorQueries {
         |  FROM sim)
         |SELECT vec_id, label, pred_label, best_sim,
         |  (label <> pred_label) AS mislabeled
-        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Same exact-integer-moments discipline as the Spark side; dim is
+    // 0-based on both sides, the mean/z doubles are the identical IEEE
+    // expressions over the integer sums
+    "q106_embedding_drift" ->
+      """WITH el AS (
+        |  SELECT vec_id, dim,
+        |    CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS xm
+        |  FROM (
+        |    SELECT vec_id,
+        |      generate_subscripts(embedding, 1) - 1 AS dim,
+        |      unnest(embedding) AS x
+        |    FROM embeddings)),
+        |r AS (
+        |  SELECT dim, CAST(sum(xm) AS BIGINT) AS s,
+        |    CAST(sum(xm * xm) AS BIGINT) AS s2, count(*) AS n
+        |  FROM el WHERE vec_id % 2 = 0 GROUP BY dim),
+        |c AS (
+        |  SELECT dim, CAST(sum(xm) AS BIGINT) AS s,
+        |    CAST(sum(xm * xm) AS BIGINT) AS s2, count(*) AS n
+        |  FROM el WHERE vec_id % 2 = 1 GROUP BY dim),
+        |j AS (
+        |  SELECT r.dim,
+        |    CAST(r.s AS DOUBLE) / r.n / 1e6 AS mr,
+        |    CAST(c.s AS DOUBLE) / c.n / 1e6 AS mc,
+        |    CAST(r.s2 AS DOUBLE) / r.n / 1e12 -
+        |      (CAST(r.s AS DOUBLE) / r.n / 1e6) * (CAST(r.s AS DOUBLE) / r.n / 1e6) AS vr,
+        |    CAST(c.s2 AS DOUBLE) / c.n / 1e12 -
+        |      (CAST(c.s AS DOUBLE) / c.n / 1e6) * (CAST(c.s AS DOUBLE) / c.n / 1e6) AS vc,
+        |    CAST(round(CAST(r.s AS DOUBLE) / r.n) AS BIGINT) AS ref_mean_micro,
+        |    CAST(round(CAST(c.s AS DOUBLE) / c.n) AS BIGINT) AS cur_mean_micro,
+        |    r.n AS nr, c.n AS nc
+        |  FROM r JOIN c USING (dim))
+        |SELECT dim, ref_mean_micro, cur_mean_micro,
+        |  abs(ref_mean_micro - cur_mean_micro) AS shift_micro,
+        |  CASE WHEN sqrt(vr / nr + vc / nc) = 0 THEN NULL
+        |       ELSE CAST(round(abs(mr - mc) / sqrt(vr / nr + vc / nc) * 1000) AS BIGINT)
+        |  END AS z_milli
+        |FROM j ORDER BY dim""".stripMargin
   )
 }

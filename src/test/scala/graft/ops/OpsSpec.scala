@@ -321,6 +321,28 @@ class OpsSpec extends SparkTestBase {
     assert(byHour(30 + 24) == "spike", got.mkString(","))
   }
 
+  test("embeddingDrift flags the planted per-dim shift and stays flat elsewhere") {
+    // dim 0 identical across waves; dim 1 shifted by +0.5 in the current
+    // wave; dim 2 identical constants (zero variance → z null, shift 0)
+    def wave(shift: Double) = (0 until 100).map { i =>
+      (i.toLong, Seq((0.001 * (i % 50)).toFloat,
+        (0.001 * (i % 50) + shift).toFloat, 0.25f))
+    }
+    val ref = wave(0.0).toDF("vec_id", "embedding")
+    val cur = wave(0.5).toDF("vec_id", "embedding")
+    val got = Monitoring.embeddingDrift(ref, cur, "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(0)._1 == 0L, s"dim 0 drifted: ${got(0)}")
+    assert(got(1)._1 == 500000L, s"dim 1 shift wrong: ${got(1)}")
+    assert(got(1)._2.exists(_ > 10000L), s"dim 1 z too small: ${got(1)}")
+    assert(got(2)._1 == 0L && got(2)._2.isEmpty,
+      s"constant dim must report zero shift and null z: ${got(2)}")
+    // self-drift is identically zero
+    val self = Monitoring.embeddingDrift(ref, ref, "embedding").collect()
+    assert(self.forall(r => r.getLong(3) == 0L), "self-comparison must not drift")
+  }
+
   test("brute-force topk: self is rank-1 with score 1") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

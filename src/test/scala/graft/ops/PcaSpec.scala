@@ -97,6 +97,24 @@ class PcaSpec extends SparkTestBase {
     assert(e2.getMessage.contains("empty"))
   }
 
+  test("full-rank unwhitened projection preserves L2 ranking (recall@k = 1)") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Pca.fit(vecs, "embedding", dim = 64)
+    val red = Pca.project(vecs, model, "embedding", "y", p = 64)
+      .select(col("vec_id"), col("y"))
+    val probes = col("vec_id") < 5
+    val truth = Similarity.bruteForceTopKL2(vecs, vecs.filter(probes),
+      "vec_id", "embedding", k = 3)
+    val approx = Similarity.bruteForceTopKL2(red, red.filter(probes),
+      "vec_id", "y", k = 3)
+    val rec = Similarity.recallAtK(truth, approx, k = 3).collect()
+    assert(rec.length == 5)
+    rec.foreach { r =>
+      val recall = r.getDouble(r.fieldIndex("recall"))
+      assert(recall == 1.0, s"probe ${r.get(0)} recall $recall — rotation broke L2 ranking")
+    }
+  }
+
   test("fit is partitioning-independent (exact integer moments)") {
     val m1 = Pca.fit(aniso.repartition(1), "embedding", dim = 3)
     val m32 = Pca.fit(aniso.repartition(32), "embedding", dim = 3)
