@@ -119,6 +119,39 @@ object Pca {
     }.toSeq
   }
 
+  /** The build-once half of the deployment split: a fitted model as a
+    * tiny frame (one mean row idx = -1 + one row per component) that
+    * writes to the warehouse next to the corpus it was fitted on — the
+    * same artifact discipline as the PQ codebook
+    * ([[Similarity.pqTopKWithCodebook]]). Serving paths restore with
+    * [[modelFromFrame]] and pay only the map-only [[project]]. */
+  def modelToFrame(spark: org.apache.spark.sql.SparkSession,
+      model: PcaModel): DataFrame = {
+    import spark.implicits._
+    val rows = (-1, 0.0, model.mean.toSeq, model.dim, model.n) +:
+      model.eigenvalues.zip(model.components).zipWithIndex.map {
+        case ((l, v), j) => (j, l, v.toSeq, model.dim, model.n)
+      }.toSeq
+    rows.toDF("idx", "eigenvalue", "values", "dim", "n")
+  }
+
+  /** Restore a model persisted via [[modelToFrame]]; collects only the
+    * dimension-scale artifact rows. */
+  def modelFromFrame(df: DataFrame): PcaModel = {
+    val rows = df.select(col("idx"), col("eigenvalue"), col("values"),
+      col("dim"), col("n")).collect()
+    require(rows.nonEmpty, "empty PCA model frame")
+    val dim = rows.head.getInt(3)
+    val n = rows.head.getLong(4)
+    val mean = rows.find(_.getInt(0) == -1)
+      .getOrElse(throw new IllegalArgumentException("model frame has no mean row"))
+      .getSeq[Double](2).toArray
+    val comps = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+    require(comps.nonEmpty, "model frame has no component rows")
+    PcaModel(dim, n, mean, comps.map(_.getDouble(1)),
+      comps.map(_.getSeq[Double](2).toArray))
+  }
+
   /** Cyclic Jacobi eigensolve for a symmetric matrix: deterministic
     * sweep order, converges quadratically; d=64 solves in microseconds.
     * Returns (eigenvalues desc, matching unit eigenvectors sign-fixed so

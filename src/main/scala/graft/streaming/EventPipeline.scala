@@ -289,6 +289,30 @@ object EventPipeline {
     mergeBatchSink(hitsPath, Seq("probe_id", "rank"))(hits, batchId)
   }
 
+  /** foreachBatch body for a streaming embedding-drift monitor — the
+    * online form of [[graft.ops.Monitoring.embeddingDrift]]: each
+    * micro-batch of embeddings is compared per-dimension against the
+    * REFERENCE snapshot at `refPath` (the curated corpus the encoder
+    * was validated on) and the (batch_id, dim) drift rows merge into
+    * `driftPath` — an alerting query tails that table for z spikes.
+    * The first batch whose mean shifts after an encoder rollout shows
+    * up here before any downstream index degrades.
+    *
+    * Replay-idempotent: drift is a pure function of (reference, batch),
+    * and the merge is keyed on (batch_id, dim) — a replayed batch
+    * overwrites its own rows ([[mergeBatchSink]] discipline). The
+    * reference is re-read per batch (stream-static shape): refresh the
+    * snapshot between micro-batches and the monitor follows without a
+    * restart. */
+  def embeddingDriftSink(refPath: String, driftPath: String,
+      vecCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val drift = graft.ops.Monitoring.embeddingDrift(
+        spark.read.parquet(refPath), batch, vecCol)
+      .withColumn("batch_id", lit(batchId))
+    mergeBatchSink(driftPath, Seq("batch_id", "dim"))(drift, batchId)
+  }
+
   /** foreachBatch body for a streaming perplexity quality gate — the
     * CCNet-style filter ([[graft.ops.Corpus.bigramLmScore]]) applied at
     * ingest time: each micro-batch is scored against the reference

@@ -86,6 +86,20 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("model frame round-trip restores the model exactly; projection agrees") {
+    val model = Pca.fit(aniso, "embedding", dim = 3)
+    val back = Pca.modelFromFrame(Pca.modelToFrame(spark, model))
+    assert(back.dim == model.dim && back.n == model.n)
+    assert(back.mean.toSeq == model.mean.toSeq)
+    assert(back.eigenvalues.toSeq == model.eigenvalues.toSeq)
+    assert(back.components.map(_.toSeq).toSeq == model.components.map(_.toSeq).toSeq)
+    val a = Pca.project(aniso, model, "embedding", "y", p = 2, whiten = true)
+      .select("vec_id", "y").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Pca.project(aniso, back, "embedding", "y", p = 2, whiten = true)
+      .select("vec_id", "y").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a == b, "restored model projects differently")
+  }
+
   test("fit raises on ragged vectors and on an empty corpus") {
     val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")

@@ -231,6 +231,33 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming drift monitor flags the shifted batch against the stored reference") {
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("driftmon").toString
+    val (refP, driftP) = (root + "/ref", root + "/drift")
+    def wave(shift: Float, n: Int) = (0 until n).map(i =>
+      (i.toLong, Seq(0.001f * (i % 50), 0.001f * (i % 50) + shift)))
+    wave(0f, 200).toDF("vec_id", "embedding").write.parquet(refP)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventPipeline.embeddingDriftSink(refP, driftP, "embedding") _)
+      .start()
+    stream.addData(wave(0f, 100))    // batch 0: same distribution
+    q.processAllAvailable()
+    stream.addData(wave(0.5f, 100))  // batch 1: dim 1 shifted by +0.5
+    q.processAllAvailable()
+    q.stop()
+    val drift = spark.read.parquet(driftP)
+      .select("batch_id", "dim", "shift_micro").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(drift.size == 4, s"2 batches × 2 dims expected: $drift")
+    assert(drift((0L, 0)) == 0L && drift((0L, 1)) == 0L,
+      s"in-distribution batch must not drift: $drift")
+    assert(drift((1L, 0)) == 0L, s"unshifted dim flagged: $drift")
+    assert(drift((1L, 1)) == 500000L, s"planted shift not reported: $drift")
+  }
+
   test("streaming quality gate accepts reference-like docs, rejects junk; replay converges") {
     implicit val sql = spark.sqlContext
     val root = Files.createTempDirectory("qualgate").toString
