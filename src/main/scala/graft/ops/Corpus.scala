@@ -462,6 +462,52 @@ object Corpus {
           .as("jaccard"))
   }
 
+  /** Per-document cross-corpus duplicate-n-gram fraction — the
+    * Gopher/RefinedWeb quality signal "how much of this doc is text
+    * that also appears elsewhere": for each doc, the fraction of its
+    * n-gram OCCURRENCES whose gram value occurs in at least `minDocs`
+    * DISTINCT documents. Orthogonal to within-doc repetition (q63
+    * counts a doc's self-repeats; a gram repeated only inside one doc
+    * has doc-frequency 1 and does not count here) and to pairwise
+    * near-dup detection (this is a per-doc scalar, not a pair list) —
+    * it's the boilerplate-density column a quality-band filter consumes.
+    *
+    * Scale shape: grams ride the fused rolling-hash kernel
+    * ([[graft.functions.wordNgramHashes]] — no gram strings ever
+    * materialize), the (doc, gram) occurrence rollup and the
+    * doc-frequency rollup are both partial-aggregated hash exchanges,
+    * the DF frame joins back by gram hash (never broadcast, never
+    * collected), and the final doc rollup is one bounded exchange.
+    * Every doc comes back (gram-less short docs report 0/0/0.0).
+    *
+    * Oracle-portable because counting distinct gram hashes ==
+    * counting distinct grams (the q98 argument: xxhash collisions at
+    * corpus scale are negligible and the driver gate would catch one). */
+  def dupGramStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2,
+      s"dupGramStats needs n > 0 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.wordNgramHashes(col(textCol), n)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val docFreq = perDoc.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+    val agg = perDoc.join(docFreq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("df") >= minDocs, col("c")).otherwise(0L)).as("n_dup"))
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(floor(col("n_dup").cast("double")
+            / col("n_grams").cast("double") * lit(1000000.0) + lit(0.5))
+            / 1000000.0)
+          .as("dup_frac"))
+  }
+
   /** MinHash estimate of [[sourceOverlap]]'s Jaccard matrix for
     * corpora where the exact distinct-gram frame is too hot: each
     * source gets a `perms`-component signature sig[i] = min over the

@@ -277,6 +277,14 @@ object CorpusQueries {
     "q98_source_overlap" -> ((s, dir) => {
       Corpus.sourceOverlap(t(s, dir, "documents"), "source", "text", n = 3)
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Per-doc cross-corpus duplicate-trigram fraction (the Gopher
+    // boilerplate-density signal): occurrences whose gram appears in
+    // ≥2 distinct docs, over the doc's total gram occurrences
+    "q107_dup_gram_frac" -> ((s, dir) => {
+      Corpus.dupGramStats(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -530,6 +538,32 @@ object CorpusQueries {
         |        b.source AS source_b, b.n AS n_b
         |      FROM sz a JOIN sz b ON a.source < b.source) p
         |LEFT JOIN it USING (source_a, source_b)
-        |ORDER BY source_a, source_b""".stripMargin
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // String trigrams mirror the Spark side's hashed grams (the q98
+    // argument: distinct-hash counts == distinct-gram counts); same
+    // floor(+0.5) micro rounding as the jaccard columns
+    "q107_dup_gram_frac" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |occ AS (
+        |  SELECT doc_id, array_to_string(l[s:s+2], ' ') AS gram
+        |  FROM d, unnest(generate_series(1, len(l) - 2)) AS u(s)),
+        |pd AS (SELECT doc_id, gram, count(*) AS c FROM occ GROUP BY 1, 2),
+        |dfq AS (SELECT gram, count(*) AS df FROM pd GROUP BY 1),
+        |agg AS (
+        |  SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM pd JOIN dfq USING (gram) GROUP BY 1)
+        |SELECT doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_dup, 0) AS n_dup,
+        |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+        |       ELSE floor(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |              * 1000000.0 + 0.5) / 1000000.0
+        |  END AS dup_frac
+        |FROM documents LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -354,6 +354,26 @@ class SemanticsSpec extends SparkTestBase {
       ("B", "C", 0L, 3L, 1L, 0.0)), got.toSeq.toString)
   }
 
+  test("dupGramStats: cross-doc grams count, self-repeats and short docs don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),        // bigrams ab bc cd de; shares ab bc with doc 2
+      (2L, "a b c x y"),        // ab bc xy (x y unique pair tail: xy)
+      (3L, "p q p q p q"),      // self-repeated pq/qp only — df=1, NOT duplicate
+      (4L, "z"),                // too short for a bigram → 0/0/0.0
+      (5L, "")                  // empty → 0/0/0.0
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.dupGramStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 0.5),       // ab bc duplicated (also in doc 2), cd de not
+      (2L, 4L, 2L, 0.5),       // ab bc duplicated, cx xy not
+      (3L, 5L, 0L, 0.0),       // within-doc repeats have doc-frequency 1
+      (4L, 0L, 0L, 0.0),
+      (5L, 0L, 0L, 0.0)), got.toSeq.toString)
+  }
+
   test("sourceOverlap: duplicate docs don't change the set-semantics matrix") {
     import spark.implicits._
     val base = Seq((1L, "A", "a b c"), (2L, "B", "b c d"))
