@@ -391,6 +391,68 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Triplet mining for metric-learning exports: per anchor, the
+    * hardest positive (most-similar SAME-label vector other than the
+    * anchor) and the hardest negative (most-similar DIFFERENT-label
+    * vector — [[hardNegatives]]' top-1), plus the margin between them.
+    * A near-zero or negative margin marks the anchors a contrastive
+    * trainer learns most from (semi-hard mining keeps margins in a
+    * band; this emits the raw material).
+    *
+    * One corpus scan serves both sides: the same-label split rides a
+    * conditional inside TWO map-side max-struct partial aggregates, so
+    * the exchange carries two (score, id) structs per anchor — not a
+    * candidate list. Anchors with no same-label peer report a null
+    * positive (and null margin) rather than disappearing. */
+  def tripletMine(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    val p = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("pv"),
+      col(labelCol).as("p_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("c_label"))
+    val scored = c.join(broadcast(p), col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosineSimilarity(col("pv"), col("cv")), 6))
+      .withColumn("same", col("c_label") === col("p_label"))
+    scored.groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("same"),
+          struct(col("score"), (-col("neighbor_id")).as("nid")))).as("p"),
+        max(when(!col("same"),
+          struct(col("score"), (-col("neighbor_id")).as("nid")))).as("ng"))
+      .select(col("anchor_id"),
+        (-col("p.nid")).as("pos_id"), col("p.score").as("pos_sim"),
+        (-col("ng.nid")).as("neg_id"), col("ng.score").as("neg_sim"),
+        round(col("p.score") - col("ng.score"), 6).as("margin"))
+  }
+
+  /** Leave-one-out k-NN label agreement — the label-noise gauge next to
+    * [[prototypeAudit]]: for each vector, how many of its k nearest
+    * (cosine, self excluded) carry its own label. A low agree fraction
+    * on a high-confidence label is the classic "this row is mislabeled
+    * or lives on a class boundary" curation signal.
+    *
+    * Exact kernel for the oracle (every vector is a probe — the q73
+    * cost family); the 100 TB path feeds the same label join +
+    * agreement rollup with [[ivfTopK]]/[[ivfPqTopK]] output. The label
+    * joins key O(n × k) ranked rows by id — never a corpus broadcast. */
+  def knnLabelAgreement(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val p = vecs.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val c = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosineSimilarity(col("pv"), col("cv")), 6))
+    val ranked = rankTopK(scored, k)
+    val nLab = vecs.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"))
+    val own = vecs.select(col(idCol).as("probe_id"), col(labelCol).as("label"))
+    ranked.join(nLab, Seq("neighbor_id")).join(own, Seq("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(first(col("label")).as("label"),
+        sum(when(col("n_label") === col("label"), 1L).otherwise(0L)).as("n_agree"),
+        count(lit(1)).as("kk"))
+      .select(col("probe_id").as("vec_id"), col("label"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("kk"), 6).as("agree_frac"))
+  }
+
   /** Label-prototype audit (mislabel detection): build each label's
     * prototype (the element-wise mean embedding), score every vector
     * against every prototype by cosine, and report the best-matching

@@ -169,6 +169,25 @@ object VectorQueries {
         .orderBy(col("probe_id"))
     }),
 
+    // Triplet mining (metric-learning export): hardest same-label
+    // positive + hardest different-label negative per anchor, with the
+    // margin between them. One corpus scan, two max-struct partial aggs
+    "q108_triplet_mine" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.tripletMine(vecs, vecs.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label")
+        .orderBy(col("anchor_id"))
+    }),
+
+    // Leave-one-out 5-NN label agreement per vector — the label-noise
+    // gauge (exact kernel, q73 cost family; scale path swaps in IVF/PQ
+    // ranked output)
+    "q109_knn_label_agreement" -> ((s, dir) => {
+      Similarity.knnLabelAgreement(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding drift monitor between two corpus snapshots (even ids =
     // reference wave, odd = current wave — the bench's stand-in for
     // yesterday/today): per-dim mean shift + two-sample z from exact
@@ -301,6 +320,65 @@ object VectorQueries {
         |SELECT vec_id, label, pred_label, best_sim,
         |  (label <> pred_label) AS mislabeled
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // argmax via row_number on (score DESC, neighbor_id) per side; an
+    // anchor with no same-label peer keeps a NULL positive via the
+    // left joins
+    "q108_triplet_mine" ->
+      """WITH scored AS (
+        |  SELECT p.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(
+        |      CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score,
+        |    (p.label = c.label) AS same
+        |  FROM embeddings p
+        |  JOIN embeddings c ON p.vec_id <> c.vec_id
+        |  WHERE p.vec_id < 50),
+        |pos AS (
+        |  SELECT anchor_id, neighbor_id, score FROM (
+        |    SELECT anchor_id, neighbor_id, score,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY score DESC, neighbor_id) AS rn
+        |    FROM scored WHERE same) WHERE rn = 1),
+        |neg AS (
+        |  SELECT anchor_id, neighbor_id, score FROM (
+        |    SELECT anchor_id, neighbor_id, score,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY score DESC, neighbor_id) AS rn
+        |    FROM scored WHERE NOT same) WHERE rn = 1)
+        |SELECT a.anchor_id,
+        |  pos.neighbor_id AS pos_id, pos.score AS pos_sim,
+        |  neg.neighbor_id AS neg_id, neg.score AS neg_sim,
+        |  round(pos.score - neg.score, 6) AS margin
+        |FROM (SELECT DISTINCT anchor_id FROM scored) a
+        |LEFT JOIN pos USING (anchor_id)
+        |LEFT JOIN neg USING (anchor_id)
+        |ORDER BY anchor_id""".stripMargin,
+
+    // same ranked shape as q19 with self excluded; agreement is an
+    // exact integer count over the k ranked rows
+    "q109_knn_label_agreement" ->
+      """WITH ranked AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT probe_id, neighbor_id, score,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY score DESC, neighbor_id) AS rank
+        |    FROM (
+        |      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(
+        |          CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS score
+        |      FROM embeddings p
+        |      JOIN embeddings c ON p.vec_id <> c.vec_id))
+        |  WHERE rank <= 5)
+        |SELECT r.probe_id AS vec_id, any_value(o.label) AS label,
+        |  CAST(sum(CASE WHEN n.label = o.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  round(CAST(sum(CASE WHEN n.label = o.label THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS agree_frac
+        |FROM ranked r
+        |JOIN embeddings n ON r.neighbor_id = n.vec_id
+        |JOIN embeddings o ON r.probe_id = o.vec_id
+        |GROUP BY r.probe_id
+        |ORDER BY vec_id""".stripMargin,
 
     // Same exact-integer-moments discipline as the Spark side; dim is
     // 0-based on both sides, the mean/z doubles are the identical IEEE

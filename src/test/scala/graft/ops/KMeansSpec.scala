@@ -389,6 +389,45 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("tripletMine picks the hand-checkable positive/negative; lone-label anchor keeps null pos") {
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),     // anchor
+      (2L, 0, Seq(0.9f, 0.1f)),     // same-label, closest → positive
+      (3L, 0, Seq(0.0f, 1.0f)),     // same-label, far
+      (4L, 1, Seq(0.95f, 0.05f)),   // diff-label, closest → negative
+      (5L, 1, Seq(-1.0f, 0.0f)),    // diff-label, far
+      (9L, 7, Seq(0.5f, 0.5f))      // the only label-7 vector: no positive
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.tripletMine(vecs, vecs.filter(col("vec_id").isin(1L, 9L)),
+      "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a1 = got(1L)
+    assert(a1.getLong(1) == 2L && a1.getLong(3) == 4L,
+      s"anchor 1 picked pos=${a1.get(1)} neg=${a1.get(3)}")
+    assert(a1.getDouble(5) == math.rint((a1.getDouble(2) - a1.getDouble(4)) * 1e6) / 1e6)
+    val a9 = got(9L)
+    assert(a9.isNullAt(1) && a9.isNullAt(2) && a9.isNullAt(5),
+      "lone-label anchor must report null positive and margin")
+    assert(!a9.isNullAt(3), "lone-label anchor still has a hardest negative")
+  }
+
+  test("knnLabelAgreement: tight blobs agree fully, a planted intruder agrees zero") {
+    // two tight blobs of 6; vec 99 sits inside blob B but carries label 0
+    val rows =
+      (0 until 6).map(i => (i.toLong, 0, Seq(1.0f, 0.001f * i))) ++
+      (10 until 16).map(i => (i.toLong, 1, Seq(0.001f * (i - 10), 1.0f))) :+
+      ((99L, 0, Seq(0.002f, 1.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnLabelAgreement(df, "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == rows.size, "every vector must report a row")
+    assert(got(99L) == ((0L, 0.0)), s"intruder should agree with none: ${got(99L)}")
+    (0L until 6L).foreach(id =>
+      assert(got(id) == ((5L, 1.0)), s"blob-A vec $id: ${got(id)}"))
+    (10L until 16L).foreach(id =>
+      assert(got(id)._1 >= 4L, s"blob-B vec $id lost its blob: ${got(id)}"))
+  }
+
   test("prototypeAudit flags the planted mislabel and clears the clean rows") {
     // two tight blobs: label 0 near (1,0,0), label 1 near (0,1,0);
     // vec 99 sits in blob 1 but carries label 0 → must be flagged
