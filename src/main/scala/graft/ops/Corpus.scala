@@ -462,6 +462,39 @@ object Corpus {
           .as("jaccard"))
   }
 
+  /** Per-source dataset card — the summary table a curator ships next
+    * to a training corpus (the Datasheets-for-Datasets habit): doc and
+    * token volumes, exact-duplicate density (distinct text hashes vs
+    * docs), language share, mean quality, and the token-length range,
+    * one row per source. Every column is exact-integer or
+    * integer-rounded (the q22 quality score is already micro-floored,
+    * so its sum is exact), which is what makes a float-weighted summary
+    * hash-portable across engines.
+    *
+    * Scale shape: one corpus scan computing per-doc scalars map-only,
+    * then a single partial-aggregated groupBy(source); the distinct
+    * text-hash count is Spark's standard two-phase expansion — no
+    * driver state, no broadcast. */
+  def corpusCard(docs: DataFrame, sourceCol: String, textCol: String,
+      langCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        col(langCol).as("lang"),
+        graft.functions.tokenCount(col(textCol)).as("n_tok"),
+        length(col(textCol)).as("nc"),
+        md5(col(textCol)).as("h"),
+        round(graft.functions.qualityScore(col(textCol)) * 1e6)
+          .cast("long").as("q_micro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("nc")).cast("long").as("n_chars"),
+        countDistinct(col("h")).as("n_unique_texts"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        round(sum(col("q_micro")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_quality_micro"),
+        min(col("n_tok")).cast("long").as("min_tokens"),
+        max(col("n_tok")).cast("long").as("max_tokens"))
+
   /** Per-document cross-corpus duplicate-n-gram fraction — the
     * Gopher/RefinedWeb quality signal "how much of this doc is text
     * that also appears elsewhere": for each doc, the fraction of its

@@ -285,6 +285,14 @@ object CorpusQueries {
     "q107_dup_gram_frac" -> ((s, dir) => {
       Corpus.dupGramStats(t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-source dataset card: volumes, exact-dup density, language
+    // share, mean quality, token-length range — the curator's shipped
+    // summary, one partial-agg rollup
+    "q110_corpus_card" -> ((s, dir) => {
+      Corpus.corpusCard(t(s, dir, "documents"), "source", "text", "lang")
+        .orderBy(col("source"))
     })
   )
 
@@ -564,6 +572,29 @@ object CorpusQueries {
         |              * 1000000.0 + 0.5) / 1000000.0
         |  END AS dup_frac
         |FROM documents LEFT JOIN agg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Per-doc scalars reuse the exact q12/q22 arithmetic (token split,
+    // micro-floored quality), so every aggregate is integer-exact
+    "q110_corpus_card" ->
+      s"""WITH per AS (
+         |  SELECT source, lang,
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tok,
+         |    length(text) AS nc,
+         |    md5(text) AS h,
+         |    CAST(round((${TextQueries.qualityScoreSql}) * 1000000.0) AS BIGINT) AS q_micro
+         |  FROM documents)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  count(DISTINCT h) AS n_unique_texts,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(round(CAST(sum(q_micro) AS DOUBLE) / count(*)) AS BIGINT)
+         |    AS mean_quality_micro,
+         |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
+         |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+         |FROM per GROUP BY source ORDER BY source""".stripMargin
   )
 }

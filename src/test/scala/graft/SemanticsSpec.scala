@@ -354,6 +354,24 @@ class SemanticsSpec extends SparkTestBase {
       ("B", "C", 0L, 3L, 1L, 0.0)), got.toSeq.toString)
   }
 
+  test("corpusCard: hand-computed volumes, dup density, language share") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "en", "hello world again"),
+      (2L, "srcA", "en", "hello world again"),   // exact dup of doc 1
+      (3L, "srcA", "de", "hallo welt"),
+      (4L, "srcB", "en", "one")
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = graft.ops.Corpus.corpusCard(docs, "source", "text", "lang")
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5), r.getLong(7), r.getLong(8)))).toMap
+    // srcA: 3 docs, 3+3+2=8 tokens, 2 unique texts, 2 en, min 2 max 3
+    assert(got("srcA") == ((3L, 8L, 2L, 2L, 2L, 3L)), got("srcA").toString)
+    // srcB: 1 doc, 1 token, 1 unique, 1 en, min=max=1
+    assert(got("srcB") == ((1L, 1L, 1L, 1L, 1L, 1L)), got("srcB").toString)
+  }
+
   test("dupGramStats: cross-doc grams count, self-repeats and short docs don't") {
     import spark.implicits._
     val docs = Seq(
