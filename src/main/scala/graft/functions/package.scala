@@ -337,6 +337,14 @@ package object functions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     expr2col(TopKByScore(col2expr(score), col2expr(id), k).toAggregateExpression())
 
+  /** Exact integer moment aggregate over a quantized `array<bigint>`
+    * vector column: one buffer accumulates per-dim sums + the
+    * upper-triangle Gram products (long fast path, BigInteger spill
+    * before overflow — exact and partitioning-independent at any n).
+    * Output: struct<n, sums: array<decimal(38,0)>>. */
+  def vectorMoments(v: Column, dim: Int): Column =
+    expr2col(VectorMomentsAgg(col2expr(v), dim).toAggregateExpression())
+
   /** Bounded "k smallest (id, payload) pairs" aggregate for LSH bucket
     * kernels (O(k) buffer, partial-aggregation friendly):
     * struct<items: array<struct<id,v>> ascending, n: total rows seen>. */

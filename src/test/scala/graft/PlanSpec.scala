@@ -258,30 +258,27 @@ class PlanSpec extends SparkTestBase {
       "argmax not partially aggregated map-side")
   }
 
-  test("PCA moment pass: one exchange, partial-aggregated to cell scale") {
-    // the corpus-touching stage of Pca.fit must reduce map-side to
-    // (cell, partial-sum) rows before its single shuffle
+  test("PCA moment pass: one exchange, one partial moments buffer per task") {
+    // the corpus-touching stage of Pca.fit must reduce map-side to ONE
+    // imperative moments buffer before its single shuffle — no per-cell
+    // row materialization
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val vecs = Tables.t(spark, sf, "embeddings")
-      val vm = vecs.select(transform(col("embedding").cast("array<double>"),
-        x => round(x * 1e6).cast("long")).as("vm"))
-      val cells = vm.select(explode(flatten(transform(
-          sequence(lit(0), lit(63)),
-          i => transform(sequence(i, lit(63)), j =>
-            struct(i.as("i"), j.as("j"),
-              (element_at(col("vm"), i + 1) * element_at(col("vm"), j + 1)).as("xx")))
-        ))).as("c"))
-        .select(col("c.i"), col("c.j"), col("c.xx"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("xx").cast("decimal(38,0)")).as("s"))
-      val plan = cells.queryExecution.executedPlan
+      val mom = vecs
+        .select(transform(col("embedding").cast("array<double>"),
+          x => round(x * 1e6).cast("long")).as("vm"))
+        .agg(graft.functions.vectorMoments(col("vm"), 64).as("m"))
+      val plan = mom.queryExecution.executedPlan
       val exchanges = plan.collect {
         case e: org.apache.spark.sql.execution.exchange.Exchange => e
       }
       assert(exchanges.length == 1, s"moment pass has ${exchanges.length} exchanges")
-      assert(plan.toString.contains("partial_sum") || plan.toString.contains("partial"),
-        "Gram sums not partially aggregated before the exchange")
+      val s = plan.toString
+      assert(s.contains("vector_moments"), "moments aggregate missing from the plan")
+      assert(s.contains("partial_vector_moments") || s.contains("partial"),
+        "moments not partially aggregated before the exchange")
+      assert(!s.contains("Generate"), "moment pass still explodes per-cell rows")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

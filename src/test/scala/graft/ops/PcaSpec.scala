@@ -86,6 +86,33 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("vectorMoments: exact through long-overflow spill paths, partitioning-independent") {
+    // mixed magnitudes force every accumulator path: ~2.5e9 products are
+    // ~6.2e18 (one row fits a long, two must spill), 5e9 products
+    // overflow a long outright (the direct-BigInteger row path)
+    val rows = (0 until 60).map { i =>
+      val base = if (i % 3 == 2) 5000000000L else 2500000000L
+      Tuple1(Seq(base + i, -base + 7 * i))
+    }
+    val df = rows.toDF("vm")
+    def run(parts: Int) = df.repartition(parts)
+      .agg(graft.functions.vectorMoments(col("vm"), 2).as("m"))
+      .select(col("m.n"), col("m.sums")).head()
+    val a = run(1)
+    val b = run(32)
+    assert(a.getLong(0) == 60L && b.getLong(0) == 60L)
+    assert(a.getSeq[java.math.BigDecimal](1) == b.getSeq[java.math.BigDecimal](1),
+      "moments depend on partitioning")
+    val xs = rows.map(_._1)
+    val want = Seq(
+      xs.map(v => BigInt(v(0))).sum, xs.map(v => BigInt(v(1))).sum,
+      xs.map(v => BigInt(v(0)) * BigInt(v(0))).sum,
+      xs.map(v => BigInt(v(0)) * BigInt(v(1))).sum,
+      xs.map(v => BigInt(v(1)) * BigInt(v(1))).sum)
+    val got = a.getSeq[java.math.BigDecimal](1).map(bd => BigInt(bd.toBigInteger))
+    assert(got == want, s"got $got want $want")
+  }
+
   test("model frame round-trip restores the model exactly; projection agrees") {
     val model = Pca.fit(aniso, "embedding", dim = 3)
     val back = Pca.modelFromFrame(Pca.modelToFrame(spark, model))
