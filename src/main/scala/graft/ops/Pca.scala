@@ -107,6 +107,21 @@ object Pca {
       aggregate(zip_with(centered, row, _ * _), lit(0.0), _ + _)))
   }
 
+  /** Mahalanobis distance of every vector to the corpus mean — the
+    * embedding-space outlier score a curation pipeline thresholds to
+    * catch off-manifold junk (corrupt encodes, wrong-modality rows,
+    * adversarial inputs): the L2 norm of the FULL-rank whitened
+    * projection is exactly the Mahalanobis distance under the fitted
+    * covariance. Map-only given a model (the fit is the only corpus
+    * pass); in-row fixed-order folds keep it partitioning-independent,
+    * round(6) makes it golden-pinnable. */
+  def mahalanobis(df: DataFrame, model: PcaModel, vecCol: String,
+      outCol: String): DataFrame =
+    project(df, model, vecCol, "__w", model.dim, whiten = true)
+      .withColumn(outCol, round(sqrt(aggregate(
+        transform(col("__w"), v => v * v), lit(0.0), _ + _)), 6))
+      .drop("__w")
+
   /** Spectrum profile rows for a fitted model: (component, eig_pico,
     * cumvar_micro) — integer-rounded so the golden pins exactly. */
   def spectrumRows(model: PcaModel): Seq[(Int, Long, Long)] = {

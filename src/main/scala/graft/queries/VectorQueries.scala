@@ -188,6 +188,19 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Embedding-space outlier sweep: top-50 vectors by Mahalanobis
+    // distance to the corpus mean (full-rank whitened norm) — the
+    // off-manifold junk detector. Golden (eigensolve); total ORDER BY
+    // with id tie-break
+    "q111_embedding_outliers" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val model = Pca.fit(vecs, "embedding", dim = 64)
+      Pca.mahalanobis(vecs, model, "embedding", "mdist")
+        .select(col("vec_id"), col("mdist"))
+        .orderBy(col("mdist").desc, col("vec_id"))
+        .limit(50)
+    }),
+
     // Embedding drift monitor between two corpus snapshots (even ids =
     // reference wave, odd = current wave — the bench's stand-in for
     // yesterday/today): per-dim mean shift + two-sample z from exact

@@ -289,6 +289,25 @@ object EventPipeline {
     mergeBatchSink(hitsPath, Seq("probe_id", "rank"))(hits, batchId)
   }
 
+  /** foreachBatch body for streaming PCA projection/whitening — the
+    * online half of the PCA build/serve split
+    * ([[graft.ops.Pca.modelToFrame]] is the offline artifact): each
+    * micro-batch of embeddings projects against the STORED model (no
+    * fit on the serving path, ever) and the id-keyed reduced vectors
+    * merge into `outPath`, so a replayed batch overwrites its own rows
+    * ([[mergeBatchSink]] discipline). The model is re-read per batch —
+    * stream-static shape: re-fit offline after a drift alert
+    * ([[embeddingDriftSink]]) and serving follows without a restart. */
+  def pcaProjectSink(modelPath: String, outPath: String, idCol: String,
+      vecCol: String, outCol: String, p: Int, whiten: Boolean)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val model = graft.ops.Pca.modelFromFrame(spark.read.parquet(modelPath))
+    val proj = graft.ops.Pca.project(batch, model, vecCol, outCol, p, whiten)
+      .select(col(idCol), col(outCol))
+    mergeBatchSink(outPath, Seq(idCol))(proj, batchId)
+  }
+
   /** foreachBatch body for a streaming embedding-drift monitor — the
     * online form of [[graft.ops.Monitoring.embeddingDrift]]: each
     * micro-batch of embeddings is compared per-dimension against the

@@ -127,6 +127,24 @@ class PcaSpec extends SparkTestBase {
     assert(a == b, "restored model projects differently")
   }
 
+  test("mahalanobis ranks the planted off-manifold vector first") {
+    // inliers live on the (x, y) pattern of the aniso fixture; vec 999
+    // sticks out along the near-dead z axis, which whitening amplifies
+    val outlier = Seq((999L, Seq(1.0f, -0.5f, 5.0f))).toDF("vec_id", "embedding")
+    val df = aniso.union(outlier)
+    val model = Pca.fit(df, "embedding", dim = 3)
+    val got = Pca.mahalanobis(df, model, "embedding", "mdist")
+      .orderBy(col("mdist").desc, col("vec_id")).collect()
+    assert(got.head.getLong(0) == 999L,
+      s"planted outlier not ranked first: ${got.take(3).map(_.toSeq).toSeq}")
+    val scores = got.map(r => r.getLong(0) -> r.getAs[Double]("mdist")).toMap
+    assert(scores(999L) > 3 * scores.filterKeys(_ != 999L).values.max / 2,
+      s"outlier score not separated: ${scores(999L)} vs inlier max")
+    // inlier Mahalanobis distances concentrate near sqrt(dim)
+    val inliers = scores.filterKeys(_ != 999L).values
+    assert(inliers.max < 3 * math.sqrt(3) && inliers.min >= 0.0)
+  }
+
   test("fit raises on ragged vectors and on an empty corpus") {
     val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")

@@ -231,6 +231,35 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming PCA projection serves from the stored model and replays idempotently") {
+    implicit val sql = spark.sqlContext
+    val root = Files.createTempDirectory("pcaserve").toString
+    val (modelP, outP) = (root + "/model", root + "/reduced")
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, Seq(1.0f + 0.01f * (i % 10), -0.5f + 0.01f * (i % 7), 0.0f)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val model = graft.ops.Pca.fit(corpusDf, "embedding", dim = 3)
+    graft.ops.Pca.modelToFrame(spark, model).write.parquet(modelP)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventPipeline.pcaProjectSink(
+        modelP, outP, "vec_id", "embedding", "y", p = 2, whiten = true) _)
+      .start()
+    stream.addData(corpus.take(3))
+    q.processAllAvailable()
+    stream.addData(corpus.take(2)) // replay of ids 0, 1 must overwrite, not duplicate
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(outP).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(served.size == 3, s"replayed ids must overwrite: ${served.keySet}")
+    val offline = graft.ops.Pca.project(corpusDf.filter(col("vec_id") < 3),
+        model, "embedding", "y", p = 2, whiten = true)
+      .select("vec_id", "y").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(served == offline, "served projection diverges from the offline path")
+  }
+
   test("streaming drift monitor flags the shifted batch against the stored reference") {
     implicit val sql = spark.sqlContext
     val root = Files.createTempDirectory("driftmon").toString
