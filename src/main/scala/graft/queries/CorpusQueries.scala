@@ -293,6 +293,28 @@ object CorpusQueries {
     "q110_corpus_card" -> ((s, dir) => {
       Corpus.corpusCard(t(s, dir, "documents"), "source", "text", "lang")
         .orderBy(col("source"))
+    }),
+
+    // Tokenizer fertility per source: BPE tokens per whitespace word
+    // under a 32-merge vocab learned from the same corpus — the
+    // tokenizer-eval gauge (a fertility spike on one source means the
+    // vocab serves it poorly). Golden (BPE induction isn't
+    // oracle-expressible); train via the tokenizer-scale local path,
+    // encode map-side
+    "q112_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.learnMergesLocal(docs, "text", merges = 32)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("source"),
+          tokenCount(col("text")).as("nw"),
+          size(graft.ops.Bpe.encodeBpe(col("text"), merges)).as("nb"))
+        .groupBy(col("source"))
+        .agg(sum(col("nw")).cast("long").as("n_words"),
+          sum(col("nb")).cast("long").as("n_bpe_tokens"),
+          round(sum(col("nb")).cast("double") / sum(col("nw")) * 1e6)
+            .cast("long").as("fertility_micro"))
+        .orderBy(col("source"))
     })
   )
 

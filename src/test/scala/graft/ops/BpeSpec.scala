@@ -174,6 +174,27 @@ class BpeSpec extends SparkTestBase {
     assert(shrunk < chars, s"merges should shrink total tokens: $shrunk vs $chars")
   }
 
+  test("fertility invariants: >= 1 token/word, non-increasing as the vocab grows") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def fertility(nMerges: Int): (Long, Long) = {
+      val merges =
+        if (nMerges == 0) Seq.empty
+        else Bpe.learnMergesLocal(docs, "text", merges = nMerges, minFreq = 2)
+          .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val r = docs.select(
+          graft.functions.tokenCount(col("text")).cast("long").as("nw"),
+          size(Bpe.encodeBpe(col("text"), merges)).cast("long").as("nb"))
+        .agg(sum(col("nw")), sum(col("nb"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (w0, b0) = fertility(0)
+    val (w16, b16) = fertility(16)
+    val (w32, b32) = fertility(32)
+    assert(w0 == w16 && w16 == w32, "word count must not depend on the vocab")
+    assert(b32 <= b16 && b16 <= b0, s"more merges must not grow tokens: $b0/$b16/$b32")
+    assert(b32 >= w32, "every word is at least one token")
+  }
+
   test("learnMergesLocal maxWords cap keeps the highest-frequency words") {
     // cap to 2 words: "newest"(6) and "low"(5) survive; merges must match
     // the reference run on exactly that truncated dict
