@@ -100,6 +100,23 @@ object EventQueries {
         .orderBy(col("user_id"), col("valid_from"), col("event_type"))
     }),
 
+    // Ordered conversion funnel (ops/Analytics.funnel): view → click →
+    // purchase, strict-after semantics, one user-keyed shuffle and a
+    // codegen'd per-user fold — no per-stage self-join
+    "q113_funnel" -> ((s, dir) => {
+      graft.ops.Analytics.funnel(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage_idx"))
+    }),
+
+    // Weekly cohort retention (ops/Analytics.cohortRetention): cohort =
+    // Monday-truncated week of first event; offset-0 cells are cohort
+    // sizes
+    "q114_retention" -> ((s, dir) => {
+      graft.ops.Analytics.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     // Rate-anomaly monitoring: per-event-type hourly counts flagged
     // spike/ok/warmup by trailing z-score — mean/variance from EXACT
     // integer window sums, never avg()/stddev() (float summation order
@@ -178,6 +195,40 @@ object EventQueries {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM runs ORDER BY user_id, valid_from, event_type""".stripMargin,
+    // the greedy fold's reach time for stage k IS min(ts of stage-k
+    // events strictly after reach k-1) — the iterative min-join CTEs
+    // below are the same recurrence
+    "q113_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS r FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS r FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.r GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS r FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.r GROUP BY 1)
+        |SELECT * FROM (VALUES
+        |  (1, 'view', (SELECT count(*) FROM t1)),
+        |  (2, 'click', (SELECT count(*) FROM t2)),
+        |  (3, 'purchase', (SELECT count(*) FROM t3)))
+        |  AS v(stage_idx, stage, n_users)
+        |ORDER BY stage_idx""".stripMargin,
+    "q114_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |first AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM ev GROUP BY 1),
+        |weekly AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM ev)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM weekly JOIN first USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact integer window sums (Σn, Σn², count) → identical IEEE
     // doubles in both engines; DuckDB sum() yields HUGEINT, pinned back
     // to BIGINT before the double math
