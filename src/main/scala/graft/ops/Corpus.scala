@@ -408,6 +408,83 @@ object Corpus {
           / lit(1000000.0)).as("avg_nll"))
   }
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): score each raw-corpus doc by the average
+    * per-feature log-likelihood ratio log(p̂_target / p̂_raw) under two
+    * add-1-smoothed word-bigram bag models — one fit on a curated TARGET
+    * slice, one on the raw corpus itself. High scores mark docs whose
+    * n-gram profile looks like the target domain; resampling the corpus
+    * proportionally to exp(weight) is the paper's selection rule
+    * (combine with [[weightedSample]]).
+    *
+    * Exact mode (`hashBuckets = None`): features are the literal bigram
+    * strings — the q88 tokenization, so the model vocabulary V is the
+    * observed gram union and the whole score is DuckDB-oracle-exact
+    * (per-gram micro-nat rounding BEFORE the per-doc sum, the q88
+    * discipline that makes a float score hash-stable under any
+    * partitioning). Hashed mode (`hashBuckets = Some(b)`): features are
+    * the fused rolling-hash kernel's 64-bit gram hashes folded into b
+    * buckets — the paper's fixed-dimension scale path; the model frame
+    * is then at most b rows regardless of corpus vocabulary.
+    *
+    * Scale shape: the corpus is scanned twice (once to fit p̂_raw, once
+    * to score — a deployment persists the model frame and scores
+    * incrementally); the target slice is curated-small by contract. The
+    * scoring join is feature-keyed (vocabulary- or bucket-sized model),
+    * totals ride a one-row broadcast cross join, and docs with fewer
+    * than two tokens are dropped (no bigram evidence — same contract as
+    * [[bigramLmScore]]). */
+  def dsirWeights(docs: DataFrame, targetDocs: DataFrame, idCol: String,
+      textCol: String, hashBuckets: Option[Int] = None): DataFrame = {
+    hashBuckets.foreach(b => require(b > 1, s"dsirWeights needs > 1 hash bucket, got $b"))
+    def toks(df: DataFrame) = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col("*"), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    // one row per bigram feature; `keep` carries the doc id on the scoring side
+    def grams(df: DataFrame, keep: Column*): DataFrame = hashBuckets match {
+      case Some(b) => df
+        .select(keep :+ explode(
+          graft.functions.wordNgramHashes(col(textCol), 2)).as("__h"): _*)
+        .select(keep :+ pmod(col("__h"), lit(b.toLong)).cast("string").as("g"): _*)
+      case None => toks(df)
+        .filter(size(col("__toks")) >= 2)
+        .select(keep :+ col("__toks") :+
+          explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"): _*)
+        .select(keep :+ concat_ws(" ",
+          element_at(col("__toks"), col("__i")),
+          element_at(col("__toks"), col("__i") + 1)).as("g"): _*)
+    }
+    val ct = grams(targetDocs).groupBy("g").agg(count(lit(1)).as("ct"))
+    val cr = grams(docs).groupBy("g").agg(count(lit(1)).as("cr"))
+    val model = ct.join(cr, Seq("g"), "full")
+      .select(col("g"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    // an empty target (or raw) slice would smooth every ratio into the
+    // same constant and the "weights" would be pure noise — raise, woven
+    // into the broadcast totals row (zero extra jobs)
+    val guarded = totals.withColumn("nt",
+      when(col("nt") > 0 && col("nr") > 0, col("nt")).otherwise(raise_error(
+        lit("dsirWeights: target or raw slice has no bigram features — " +
+          "an empty model cannot rank; check the slice filters"))))
+    // per-gram signed micro-nat log-ratio, rounded BEFORE the doc sum
+    val m = floor((
+      log(col("ct") + 1) - log((col("nt") + col("v")).cast("double")) -
+        log(col("cr") + 1) + log((col("nr") + col("v")).cast("double")))
+      * lit(1000000.0) + lit(0.5)).cast("long")
+    // every doc gram exists in the model by construction (cr is fit on
+    // these same docs) — inner join, no coalesce path
+    grams(docs, col(idCol))
+      .join(model, Seq("g"))
+      .crossJoin(guarded)
+      .withColumn("__m", m)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        (floor(sum(col("__m")).cast("double") / count(lit(1)) + lit(0.5))
+          / lit(1000000.0)).as("avg_logw"))
+  }
+
   /** Exact cross-source overlap matrix: for every source pair (a < b),
     * the count of shared distinct word n-grams and the exact Jaccard
     * similarity of the two sources' gram sets — the data-mixing

@@ -262,6 +262,17 @@ object CorpusQueries {
     // math (float summation order can't move it) — which is what makes
     // a perplexity query oracle-exact instead of rows-only. The count
     // tables are corpus-derived and deliberately NOT broadcast
+    // DSIR importance weights (ops/Corpus.dsirWeights, exact-feature
+    // mode): rank every doc by how English-target-like its bigram
+    // profile is vs the raw corpus — the importance-resampling
+    // selection score. Hashed-bucket scale mode is unit-tested
+    "q115_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q88_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Corpus.bigramLmScore(docs, docs.filter(col("lang") === "en"),
@@ -522,6 +533,35 @@ object CorpusQueries {
         |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM joined WHERE status IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // the same micro-nat-before-sum discipline as q88; the model is the
+    // full outer join of target and raw bigram counts, V its row count
+    "q115_dsir_weights" ->
+      """WITH doctok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |big AS (SELECT doc_id, l[i] || ' ' || l[i + 1] AS g
+        |        FROM doctok, unnest(generate_series(1, len(l) - 1)) AS t(i)),
+        |tbig AS (SELECT l[i] || ' ' || l[i + 1] AS g
+        |         FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |               FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |           unnest(generate_series(1, len(l) - 1)) AS t(i)),
+        |ct AS (SELECT g, count(*) AS ct FROM tbig GROUP BY 1),
+        |cr AS (SELECT g, count(*) AS cr FROM big GROUP BY 1),
+        |model AS (SELECT coalesce(ct.g, cr.g) AS g,
+        |            coalesce(ct.ct, 0) AS ct, coalesce(cr.cr, 0) AS cr
+        |          FROM ct FULL JOIN cr ON ct.g = cr.g),
+        |totals AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+        |             CAST(sum(cr) AS BIGINT) AS nr, count(*) AS v
+        |           FROM model),
+        |m AS (SELECT doc_id,
+        |        CAST(floor((ln(CAST(mm.ct + 1 AS DOUBLE))
+        |            - ln(CAST(nt + v AS DOUBLE))
+        |            - ln(CAST(mm.cr + 1 AS DOUBLE))
+        |            + ln(CAST(nr + v AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |      FROM big JOIN model mm USING (g) CROSS JOIN totals)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  floor(CAST(sum(m) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_logw
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q88_bigram_lm" ->
       """WITH reftok AS (
         |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l

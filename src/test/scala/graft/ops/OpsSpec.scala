@@ -354,6 +354,42 @@ class OpsSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("neighbor_id") == 1L && out(0).getAs[Double]("score") == 1.0)
     assert(out(1).getAs[Long]("neighbor_id") == 2L)
   }
+
+  test("dsirWeights: target == raw corpus scores identically zero (both modes)") {
+    // ct == cr and nt == nr per feature, so every micro-nat log-ratio
+    // term cancels EXACTLY — a partitioning-independent invariant
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "a dog ran far away"))
+      .toDF("doc_id", "text")
+    for (buckets <- Seq(None, Some(64))) {
+      val out = Corpus.dsirWeights(docs, docs, "doc_id", "text", buckets)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(out == Map(1L -> 0.0, 2L -> 0.0), s"buckets=$buckets: $out")
+    }
+  }
+
+  test("dsirWeights: target-like docs outrank off-target docs (both modes)") {
+    val target = (1L to 20L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "zx qv wk jj pq mn bb cc"),
+      (102L, "lorem ipsum dolor sit amet")).toDF("doc_id", "text")
+    for (buckets <- Seq(None, Some(1 << 16))) {
+      val w = Corpus.dsirWeights(raw, target, "doc_id", "text", buckets)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(w(100L) > w(101L) && w(100L) > w(102L), s"buckets=$buckets: $w")
+    }
+  }
+
+  test("dsirWeights raises on an empty target slice instead of ranking noise") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Corpus.dsirWeights(docs, docs.filter(col("doc_id") < 0), "doc_id", "text")
+        .collect())
+    assert(e.getMessage != null && e.getMessage.contains("no bigram features"),
+      s"wrong error: ${e.getMessage}")
+  }
 }
 
 case class Role(`type`: String, district: String, jurisdiction: String,
