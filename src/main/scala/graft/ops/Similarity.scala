@@ -537,6 +537,69 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("sim"))
   }
 
+  /** k-center greedy coreset (farthest-point traversal, Gonzalez 1985 —
+    * the diversity-selection baseline of coreset active learning, Sener
+    * & Savarese 2018): seed with the min-id vector, then repeatedly take
+    * the vector FARTHEST from the selected set (max min-distance,
+    * min-id tie-break). The selected k vectors cover the corpus within
+    * the best 2-approximation radius any poly algorithm guarantees —
+    * the canonical "diverse subset" for eval-set picking, dedup-aware
+    * sampling, and annotation budgeting.
+    *
+    * Scale shape: min-distances are maintained INCREMENTALLY — each
+    * round broadcasts exactly one new center into a codegen'd
+    * `least(dmin, dist²)` map pass, so the total work is k linear scans
+    * (never all-pairs, no k×corpus join). Per round: one argmax job
+    * (bounded `limit(1)` sort) + one localCheckpoint to keep the fold
+    * from re-deriving — the BPE merge-loop cost regime, hence the same
+    * loud budget bound (k ≤ 256; beyond that, select per-IVF-cluster
+    * and union). Distances are pinned to integer micro-units before the
+    * argmax, so the traversal is partitioning-independent; a max
+    * distance of 0 means everything left duplicates a center and the
+    * traversal stops early. Returns (rank, vec_id, dist_micros) in
+    * selection order — dist_micros is the squared-L2 coverage radius at
+    * that step (0 for the seed), whose decay curve is the stopping
+    * diagnostic. */
+  def kCenterGreedy(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 256,
+      s"kCenterGreedy supports 1 <= k <= 256 (one argmax job per round), got $k")
+    Guards.requireIntegralId(vecs, idCol, "kCenterGreedy seeding")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def distMicros(v: Column, center: Seq[Double]): Column =
+      floor(graft.functions.l2DistanceSquared(v, typedLit(center))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    val base = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val seed = base.orderBy(col("id")).limit(1)
+      .as[(Long, Seq[Double])].collect()
+    require(seed.nonEmpty, "kCenterGreedy: empty input")
+    var selection = List((1, seed(0)._1, 0L))
+    var cur = base
+      .withColumn("dmin", distMicros(col("v"), seed(0)._2))
+      .localCheckpoint()
+    var r = 2
+    var done = false
+    while (r <= k && !done) {
+      val next = cur.orderBy(col("dmin").desc, col("id"))
+        .limit(1).as[(Long, Seq[Double], Long)].collect()
+      if (next.isEmpty || next(0)._3 == 0L) done = true
+      else {
+        selection ::= ((r, next(0)._1, next(0)._3))
+        val updated = cur.withColumn("dmin",
+          least(col("dmin"), distMicros(col("v"), next(0)._2)))
+          .localCheckpoint()
+        cur.unpersist()
+        cur = updated
+        r += 1
+      }
+    }
+    cur.unpersist()
+    spark.createDataFrame(selection.reverse)
+      .toDF("rank", "vec_id", "dist_micros")
+  }
+
   /** Per-vector symmetric int8 quantization profile — the serving-side
     * memory story (4× over float32, 16× over float64) a 100 TB embedding
     * store actually ships: q_i = clamp(round(x_i / s), ±127) with

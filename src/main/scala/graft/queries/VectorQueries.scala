@@ -13,6 +13,15 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // k-center greedy coreset: 8 maximally-spread vectors + the
+    // coverage-radius decay curve (golden — the greedy traversal isn't
+    // SQL-expressible; micro-pinned distances make it run-stable)
+    "q116_kcenter_coreset" -> ((s, dir) => {
+      Similarity.kCenterGreedy(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)
+        .orderBy(col("rank"))
+    }),
+
     // Exact brute-force cosine top-5 for 20 probe vectors
     "q19_ann_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")

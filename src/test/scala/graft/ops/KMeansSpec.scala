@@ -470,4 +470,46 @@ class KMeansSpec extends SparkTestBase {
     assert(e.getMessage != null && e.getMessage.contains("PQ expects"),
       s"wrong error: ${e.getMessage}")
   }
+
+  test("kCenterGreedy: farthest-point order, min-id seed, radius decay") {
+    // seed = id 1 (min id, origin); farthest is id 3 at (10,0) d²=100;
+    // then id 4 at (5,5): min(d² to 1, d² to 3) = min(50, 50) = 50;
+    // id 2 at (0.1, 0) is never picked at k=3
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(0.1f, 0.0f)),
+      (3L, Seq(10.0f, 0.0f)),
+      (4L, Seq(5.0f, 5.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out === Seq((1, 1L, 0L), (2, 3L, 100000000L), (3, 4L, 50000000L)),
+      out.mkString(", "))
+  }
+
+  test("kCenterGreedy: equidistant tie picks the lower id") {
+    val vecs = Seq(
+      (1L, Seq(0.0f)), (5L, Seq(-3.0f)), (4L, Seq(3.0f)))
+      .toDF("vec_id", "embedding")
+    val ids = Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ids === Seq(1L, 4L), ids.mkString(", "))
+  }
+
+  test("kCenterGreedy stops early when only center-duplicates remain") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(out === Seq(1L, 3L), s"duplicates of centers must not be selected: $out")
+  }
+
+  test("kCenterGreedy rejects k outside the one-job-per-round budget") {
+    val vecs = Seq((1L, Seq(0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 257))
+    intercept[IllegalArgumentException](
+      Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 0))
+  }
 }
