@@ -408,6 +408,33 @@ object Corpus {
           / lit(1000000.0)).as("avg_nll"))
   }
 
+  /** Sequential quality-filter funnel (the Gopher/C4-style rule
+    * cascade): each stage is a predicate ANDed onto the previous ones,
+    * and the output is the per-stage survivor count — the curator's
+    * first question ("which rule is eating my corpus?") answered in ONE
+    * map-only pass. Plan shape: the cumulative predicates are plain
+    * boolean columns, the counts come off a single partial aggregate
+    * (map-side combine, one exchange of one row), and the unpivot is a
+    * driver-free `stack` — nothing here scales with anything but the
+    * scan itself. Returns (stage_idx 1-based, stage, n_pass). */
+  def filterFunnel(docs: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty && stages.map(_._1).distinct.size == stages.size,
+      s"filterFunnel stages must be non-empty and uniquely named, got ${stages.map(_._1)}")
+    require(stages.forall(_._1.matches("[A-Za-z0-9_ .-]+")),
+      s"filterFunnel stage names must be plain identifiers, got ${stages.map(_._1)}")
+    val cumulative = stages.scanLeft(lit(true)) {
+      case (acc, (_, p)) => acc && p
+    }.tail
+    val sums = cumulative.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"n$i")
+    }
+    val one = docs.agg(sums.head, sums.tail: _*)
+    val stack = stages.zipWithIndex
+      .map { case ((name, _), i) => s"${i + 1}, '$name', n$i" }.mkString(", ")
+    one.select(expr(
+      s"stack(${stages.size}, $stack) AS (stage_idx, stage, n_pass)"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection via
     * Importance Resampling"): score each raw-corpus doc by the average
     * per-feature log-likelihood ratio log(p̂_target / p̂_raw) under two

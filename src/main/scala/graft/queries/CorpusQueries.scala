@@ -262,6 +262,27 @@ object CorpusQueries {
     // math (float summation order can't move it) — which is what makes
     // a perplexity query oracle-exact instead of rows-only. The count
     // tables are corpus-derived and deliberately NOT broadcast
+    // Quality-filter funnel (ops/Corpus.filterFunnel): the Gopher/C4
+    // rule cascade with per-stage survivor counts — one map-only pass,
+    // one single-row exchange
+    "q117_filter_funnel" -> ((s, dir) => {
+      val nw = when(length(trim(col("text"))) === 0, lit(0))
+        .otherwise(size(split(trim(col("text")), "\\s+")))
+      val meanWordLen = when(nw > 0,
+        length(regexp_replace(trim(col("text")), "\\s+", "")).cast("double")
+          / nw.cast("double")).otherwise(lit(0.0))
+      val distinctRatio = when(nw > 0,
+        size(array_distinct(split(lower(trim(col("text"))), "\\s+"))).cast("double")
+          / nw.cast("double")).otherwise(lit(0.0))
+      graft.ops.Corpus.filterFunnel(t(s, dir, "documents"), Seq(
+        "nonempty" -> (length(trim(col("text"))) > 0),
+        "chars_80_5000" -> length(col("text")).between(80, 5000),
+        "words_ge_20" -> (nw >= 20),
+        "word_len_3.8_5.2" -> meanWordLen.between(3.8, 5.2),
+        "distinct_ratio_ge_0.4" -> (distinctRatio >= 0.4)))
+        .orderBy(col("stage_idx"))
+    }),
+
     // DSIR importance weights (ops/Corpus.dsirWeights, exact-feature
     // mode): rank every doc by how English-target-like its bigram
     // profile is vs the raw corpus — the importance-resampling
@@ -533,6 +554,42 @@ object CorpusQueries {
         |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM joined WHERE status IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // cumulative predicate chains written out explicitly; ratio guards
+    // are CASE-protected on both sides so a zero word count can never
+    // hit engine-specific division semantics
+    "q117_filter_funnel" ->
+      """WITH d AS (
+        |  SELECT length(trim(text)) AS nt, length(text) AS nc,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
+        |    length(regexp_replace(trim(text), '\s+', '', 'g')) AS nwc,
+        |    len(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS ndw
+        |  FROM documents),
+        |f AS (
+        |  SELECT nt > 0 AS c1,
+        |    nt > 0 AND nc BETWEEN 80 AND 5000 AS c2,
+        |    nt > 0 AND nc BETWEEN 80 AND 5000 AND nw >= 20 AS c3,
+        |    nt > 0 AND nc BETWEEN 80 AND 5000 AND nw >= 20
+        |      AND (CASE WHEN nw > 0 THEN nwc * 1.0 / nw ELSE 0.0 END)
+        |        BETWEEN 3.8 AND 5.2 AS c4,
+        |    nt > 0 AND nc BETWEEN 80 AND 5000 AND nw >= 20
+        |      AND (CASE WHEN nw > 0 THEN nwc * 1.0 / nw ELSE 0.0 END)
+        |        BETWEEN 3.8 AND 5.2
+        |      AND (CASE WHEN nw > 0 THEN ndw * 1.0 / nw ELSE 0.0 END) >= 0.4 AS c5
+        |  FROM d)
+        |SELECT * FROM (VALUES
+        |  (1, 'nonempty',
+        |    (SELECT CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) FROM f)),
+        |  (2, 'chars_80_5000',
+        |    (SELECT CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) FROM f)),
+        |  (3, 'words_ge_20',
+        |    (SELECT CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) FROM f)),
+        |  (4, 'word_len_3.8_5.2',
+        |    (SELECT CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) FROM f)),
+        |  (5, 'distinct_ratio_ge_0.4',
+        |    (SELECT CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) FROM f)))
+        |  AS v(stage_idx, stage, n_pass)
+        |ORDER BY stage_idx""".stripMargin,
     // the same micro-nat-before-sum discipline as q88; the model is the
     // full outer join of target and raw bigram counts, V its row count
     "q115_dsir_weights" ->

@@ -355,6 +355,28 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("filterFunnel: cumulative AND semantics, stages monotone non-increasing") {
+    val docs = Seq(
+      (1L, "pass pass"),   // passes both stages
+      (2L, "short"),       // fails stage 2 (len < 8)
+      (3L, ""))            // fails stage 1
+      .toDF("doc_id", "text")
+    val out = Corpus.filterFunnel(docs, Seq(
+      "nonempty" -> (length(trim(col("text"))) > 0),
+      "len_ge_8" -> (length(col("text")) >= 8)))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out === Seq((1, "nonempty", 2L), (2, "len_ge_8", 1L)), out.mkString(", "))
+  }
+
+  test("filterFunnel rejects duplicate stage names") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Corpus.filterFunnel(docs, Seq("a" -> lit(true), "a" -> lit(false))))
+    intercept[IllegalArgumentException](
+      Corpus.filterFunnel(docs, Nil))
+  }
+
   test("dsirWeights: target == raw corpus scores identically zero (both modes)") {
     // ct == cr and nt == nr per feature, so every micro-nat log-ratio
     // term cancels EXACTLY — a partitioning-independent invariant
