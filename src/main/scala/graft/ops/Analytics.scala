@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-analytics operators over event logs: ordered conversion
@@ -69,6 +70,40 @@ object Analytics {
       .map { case (s, i) => s"${i + 1}, '$s', n$i" }.mkString(", ")
     one.select(expr(
       s"stack(${stages.size}, $stack) AS (stage_idx, stage, n_users)"))
+  }
+
+  /** Last-touch conversion attribution: each conversion event is
+    * credited to the user's most recent touch event (row-order
+    * predecessor under (ts, tieCol)) of an attributable type, provided
+    * it happened within `windowSeconds`; conversions with no in-window
+    * touch credit `"none"`. Returns (touch_type, n_conversions).
+    *
+    * One shuffle + one sort per user (the q33 sessionize cost shape):
+    * the last touch rides a running `last(..., ignoreNulls)` window
+    * over ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING — no
+    * touch×conversion self-join, no per-conversion probe. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, touchTypes: Seq[String],
+      conversionType: String, windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touch types must be non-empty and exclude the conversion type, " +
+        s"got $touchTypes / $conversionType")
+    require(windowSeconds > 0, s"attribution window must be positive, got $windowSeconds")
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes.map(x => x: Any): _*),
+      struct(col(tsCol).as("ts"), col(typeCol).as("typ")))
+    events
+      .withColumn("__lt", last(touch, ignoreNulls = true).over(byUser))
+      .filter(col(typeCol) === conversionType)
+      .select(
+        when(col("__lt").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("__lt.ts")) >
+            windowSeconds * 1000000L, lit("none"))
+          .otherwise(col("__lt.typ")).as("touch_type"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"))
   }
 
   /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of a

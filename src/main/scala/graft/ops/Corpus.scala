@@ -408,6 +408,54 @@ object Corpus {
           / lit(1000000.0)).as("avg_nll"))
   }
 
+  /** PMI collocation extraction: the corpus's most-associated word
+    * pairs by pointwise mutual information, PMI(w1,w2) =
+    * ln(p(w1,w2) / (p(w1)·p(w2))) over bigram occurrences — the
+    * classic multi-word-expression detector (and a tokenizer-vocab
+    * candidate list: high-PMI pairs are what BPE merges first). A
+    * minimum bigram support keeps the rare-pair PMI explosion out
+    * (PMI is maximal for hapax pairs — unfiltered it ranks typos).
+    *
+    * Exactness: the PMI is assembled in one fixed-order expression of
+    * integer-count logs and rounded to micro-nats, and the top-k is
+    * taken under the total order (pmi desc, w1, w2) — hash-stable in
+    * any engine, so the whole ranking is DuckDB-oracle-checked.
+    * Scale shape: token explode → two vocabulary-keyed partial-agg
+    * groupBys; the margins join back on w1/w2 (vocabulary-sized, never
+    * broadcast-forced — AQE decides); totals ride a one-row cross
+    * join; the top-k is a bounded TakeOrdered. */
+  def collocations(docs: DataFrame, textCol: String, minSupport: Long,
+      topK: Int): DataFrame = {
+    require(minSupport >= 1, s"collocations needs minSupport >= 1, got $minSupport")
+    require(topK >= 1, s"collocations needs topK >= 1, got $topK")
+    val toks = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val bi = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"))
+      .select(element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minSupport)
+    val totals = uni.agg(sum(col("c1")).as("n1")).crossJoin(
+      toks.select((size(col("__toks")) - 1).as("nb"))
+        .filter(col("nb") > 0).agg(sum(col("nb")).as("nbig")))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c2"),
+        (floor((log(col("c2")) - log(col("nbig")) - log(col("c1a"))
+          + log(col("n1")) - log(col("c1b")) + log(col("n1")))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Sequential quality-filter funnel (the Gopher/C4-style rule
     * cascade): each stage is a predicate ANDed onto the previous ones,
     * and the output is the per-stage survivor count — the curator's

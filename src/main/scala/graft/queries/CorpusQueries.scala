@@ -262,6 +262,14 @@ object CorpusQueries {
     // math (float summation order can't move it) — which is what makes
     // a perplexity query oracle-exact instead of rows-only. The count
     // tables are corpus-derived and deliberately NOT broadcast
+    // PMI collocations (ops/Corpus.collocations): top-40 most-associated
+    // word pairs, min support 5 — micro-nat PMI under a total order, so
+    // the whole ranking is oracle-exact
+    "q118_collocations" -> ((s, dir) => {
+      graft.ops.Corpus.collocations(t(s, dir, "documents"), "text",
+        minSupport = 5L, topK = 40)
+    }),
+
     // Quality-filter funnel (ops/Corpus.filterFunnel): the Gopher/C4
     // rule cascade with per-stage survivor counts — one map-only pass,
     // one single-row exchange
@@ -554,6 +562,29 @@ object CorpusQueries {
         |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM joined WHERE status IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    // PMI assembled in the same fixed term order as the Spark
+    // expression; the (pmi DESC, w1, w2) total order makes LIMIT exact
+    "q118_collocations" ->
+      """WITH d AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT w, count(*) AS c1
+        |        FROM (SELECT unnest(l) AS w FROM d) GROUP BY 1),
+        |bi AS (SELECT l[i] AS w1, l[i + 1] AS w2, count(*) AS c2
+        |       FROM d, unnest(generate_series(1, len(l) - 1)) AS t(i)
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tot AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS n1,
+        |               (SELECT CAST(sum(len(l) - 1) AS BIGINT) FROM d
+        |                WHERE len(l) > 1) AS nbig)
+        |SELECT w1, w2, c2,
+        |  floor((ln(CAST(c2 AS DOUBLE)) - ln(CAST(nbig AS DOUBLE))
+        |      - ln(CAST(ua.c1 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE))
+        |      - ln(CAST(ub.c1 AS DOUBLE)) + ln(CAST(n1 AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        |FROM bi JOIN uni ua ON bi.w1 = ua.w
+        |  JOIN uni ub ON bi.w2 = ub.w
+        |  CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin,
     // cumulative predicate chains written out explicitly; ratio guards
     // are CASE-protected on both sides so a zero word count can never
     // hit engine-specific division semantics

@@ -117,6 +117,17 @@ object EventQueries {
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
 
+    // Last-touch attribution (ops/Analytics.lastTouchAttribution):
+    // purchases credited to the most recent view/click within 7 days —
+    // running ignoreNulls-last window, no touch×conversion self-join
+    "q119_attribution" -> ((s, dir) => {
+      graft.ops.Analytics.lastTouchAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        touchTypes = Seq("view", "click"), conversionType = "purchase",
+        windowSeconds = 7L * 24 * 3600)
+        .orderBy(col("touch_type"))
+    }),
+
     // Rate-anomaly monitoring: per-event-type hourly counts flagged
     // spike/ok/warmup by trailing z-score — mean/variance from EXACT
     // integer window sums, never avg()/stddev() (float summation order
@@ -229,6 +240,25 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the IGNORE NULLS running-last window mirrors the Spark plan
+    // one-to-one, including the (ts, event_id) tie order
+    "q119_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, ts,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |        THEN struct_pack(ts := ts, typ := event_type) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM ev)
+        |SELECT CASE WHEN lt IS NULL
+        |         OR epoch_us(ts) - epoch_us(lt.ts) > 604800000000
+        |       THEN 'none' ELSE lt.typ END AS touch_type,
+        |  count(*) AS n_conversions
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // exact integer window sums (Σn, Σn², count) → identical IEEE
     // doubles in both engines; DuckDB sum() yields HUGEINT, pinned back
     // to BIGINT before the double math

@@ -65,6 +65,38 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("lastTouchAttribution: last in-window touch wins; stale → none") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view then click then purchase → credited to click
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, 12L, ts("2024-01-01 10:10:00"), "purchase"),
+      // u2: touch outside the 7-day window → none
+      (2L, 20L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 21L, ts("2024-01-09 00:00:01"), "purchase"),
+      // u3: no touch at all → none
+      (3L, 30L, ts("2024-01-02 00:00:00"), "purchase"),
+      // u4: touch AFTER the purchase must not count
+      (4L, 40L, ts("2024-01-03 00:00:00"), "purchase"),
+      (4L, 41L, ts("2024-01-03 01:00:00"), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.lastTouchAttribution(ev, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click"), "purchase", 7L * 24 * 3600)
+      .orderBy("touch_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Seq(("click", 1L), ("none", 3L)), out.mkString(", "))
+  }
+
+  test("lastTouchAttribution rejects a conversion type listed as a touch") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, ts("2024-01-01 00:00:00"), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    intercept[IllegalArgumentException](
+      Analytics.lastTouchAttribution(ev, "user_id", "ts", "event_id",
+        "event_type", Seq("purchase"), "purchase", 60L))
+  }
+
   test("cohortRetention: Monday cohorts, offset 0 is cohort size") {
     import spark.implicits._
     val ev = Seq(

@@ -355,6 +355,30 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("collocations: strongly-associated pair outranks frequent-but-independent") {
+    // "san francisco" always co-occurs; "the" pairs with everything
+    val docs = (1L to 10L).map(i => (i, s"the cat the dog item$i san francisco"))
+      .toDF("doc_id", "text")
+    val out = Corpus.collocations(docs, "text", minSupport = 5L, topK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head._1 == "san" && out.head._2 == "francisco", out.mkString(", "))
+    assert(out.head._3 == 10L)
+    // hand-check the micro-nat PMI: p(san,francisco)=10/60 bigrams,
+    // p(san)=p(francisco)=10/70 tokens — in the op's exact term order
+    val expect = math.floor((math.log(10) - math.log(60) - math.log(10)
+      + math.log(70) - math.log(10) + math.log(70)) * 1e6 + 0.5) / 1e6
+    assert(out.head._4 === expect, s"${out.head._4} vs $expect")
+  }
+
+  test("collocations: min support filters hapax pairs") {
+    val docs = Seq((1L, "aa bb aa bb aa bb aa bb aa bb rare pair"))
+      .toDF("doc_id", "text")
+    val out = Corpus.collocations(docs, "text", minSupport = 2L, topK = 10)
+      .collect()
+    assert(out.forall(_.getLong(2) >= 2L), "pairs below support leaked")
+    assert(!out.exists(r => r.getString(0) == "rare"), "hapax pair leaked")
+  }
+
   test("filterFunnel: cumulative AND semantics, stages monotone non-increasing") {
     val docs = Seq(
       (1L, "pass pass"),   // passes both stages
