@@ -282,6 +282,40 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q113 funnel: one user exchange, fold-not-join, single-row final agg") {
+    val df = SparkEntry.queries("q113_funnel")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one user-keyed shuffle + one single-row final-agg exchange — a
+    // per-stage self-join formulation would add one per stage
+    assert(exchanges.length <= 2, s"funnel has ${exchanges.length} shuffles")
+    val s = plan.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      "funnel planned stage self-joins instead of the per-user fold")
+  }
+
+  test("q117 filter funnel is map-only: one single-row exchange, no join") {
+    val df = SparkEntry.queries("q117_filter_funnel")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length <= 1, s"filter funnel has ${exchanges.length} shuffles")
+    val s = plan.toString
+    assert(s.contains("partial"), "survivor counts not partially aggregated")
+    assert(!s.contains("Join"), "filter funnel should not join anything")
+  }
+
+  test("q119 attribution: one window pass, no touch-conversion self-join") {
+    val df = SparkEntry.queries("q119_attribution")(spark, sf)
+    val s = plan(df)
+    assert(s.contains("Window"), "running-last window missing")
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastNestedLoopJoin"),
+      "attribution planned a self-join instead of the running-last window")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(
