@@ -72,6 +72,101 @@ object Analytics {
       s"stack(${stages.size}, $stack) AS (stage_idx, stage, n_users)"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: counts and probabilities of (event_type → next
+    * event_type) under the (ts, tieCol) total order — the behavioral
+    * fingerprint behind journey mining and next-event prediction
+    * baselines. Probabilities are micro-rounded off exact integer
+    * counts, so the whole matrix is oracle-exact. One shuffle + one
+    * sort per user (lead window), then a dimension-cardinality
+    * groupBy; the row-margin join is type-keyed and tiny. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(byUser))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("cur"), col("__next").as("next"))
+      .agg(count(lit(1)).as("n"))
+    val margins = pairs.groupBy(col("cur")).agg(sum(col("n")).as("n_cur"))
+    pairs.join(margins, Seq("cur"))
+      .select(col("cur"), col("next"), col("n"),
+        (floor(col("n").cast("double") / col("n_cur").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("p"))
+  }
+
+  /** Distributed exact ntile(k): assigns the SAME bucket SQL's
+    * `ntile(k) OVER (ORDER BY metric, user)` would — without ever
+    * sorting the full frame in one partition. Construction: tie-rank
+    * within each metric value (metric-KEYED window — scale-safe),
+    * global offsets from a running sum over the distinct-metric
+    * HISTOGRAM (the only unpartitioned sort, and it touches one row
+    * per distinct value, not per user), exact rank = offset +
+    * tie-rank, then SQL's ntile closed form (first n%k buckets get
+    * ⌈n/k⌉ rows) in integer `div` arithmetic. The q115/q88 spirit,
+    * applied to ranking: the ORACLE runs native window ntile, this
+    * runs the distributed equivalent, and the driver's hash compare is
+    * the proof they agree. */
+  private def ntileExact(df: DataFrame, metric: Column, userCol: Column,
+      k: Int, out: String): DataFrame = {
+    val withM = df.withColumn("__m", metric)
+    val counts = withM.groupBy(col("__m")).agg(count(lit(1)).as("__c"))
+    val offs = counts.withColumn("__off",
+      coalesce(sum(col("__c")).over(Window.orderBy(col("__m"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__c")
+    val n = withM.agg(count(lit(1)).as("__n"))
+    withM
+      .withColumn("__tie", row_number().over(
+        Window.partitionBy(col("__m")).orderBy(userCol)).cast("long"))
+      .join(offs, Seq("__m"))
+      .crossJoin(n)
+      .withColumn("__rank", col("__off") + col("__tie"))
+      .withColumn(out, expr(
+        s"""CAST(CASE
+           |  WHEN __rank <= (__n % $k) * (__n DIV $k + 1)
+           |  THEN (__rank - 1) DIV (__n DIV $k + 1) + 1
+           |  ELSE (__n % $k) + (__rank - (__n % $k) * (__n DIV $k + 1) - 1)
+           |         DIV (__n DIV $k) + 1
+           |END AS INT)""".stripMargin))
+      .drop("__m", "__tie", "__off", "__n", "__rank")
+  }
+
+  /** RFM segmentation: per-user recency (days since last conversion,
+    * against the corpus-wide max event time as the snapshot date),
+    * frequency (conversion count), and monetary (exact integer cents),
+    * each scored into quintiles under the TOTAL order (metric,
+    * user_id) — quintile 5 is best in every dimension (most recent /
+    * most frequent / highest spend). Only users with ≥1 conversion
+    * appear. Quintiles come from [[ntileExact]] — identical semantics
+    * to window ntile (the oracle runs the native window form), but the
+    * only unpartitioned sorts are over the three per-metric histograms,
+    * never the user frame itself. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, conversionType: String,
+      valueCol: String): DataFrame = {
+    val snapshot = events.agg(max(col(tsCol)).as("__snap"))
+    val perUser = events
+      .filter(col(typeCol) === conversionType)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(max(col(tsCol)).as("__last"),
+        count(lit(1)).as("f"),
+        sum(floor(col(valueCol) * 100 + lit(0.5)).cast("long")).as("m_cents"))
+      .crossJoin(snapshot)
+      .select(col("user_id"),
+        datediff(col("__snap").cast("date"), col("__last").cast("date"))
+          .as("r_days"),
+        col("f"), col("m_cents"))
+    val scored = ntileExact(
+      ntileExact(
+        ntileExact(perUser, -col("r_days"), col("user_id"), 5, "r_q"),
+        col("f"), col("user_id"), 5, "f_q"),
+      col("m_cents"), col("user_id"), 5, "m_q")
+    scored.select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+      col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** Last-touch conversion attribution: each conversion event is
     * credited to the user's most recent touch event (row-order
     * predecessor under (ts, tieCol)) of an attributable type, provided

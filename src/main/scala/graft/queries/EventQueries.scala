@@ -128,6 +128,23 @@ object EventQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // First-order Markov transition matrix (ops/Analytics
+    // .eventTransitions): micro-rounded probabilities off exact counts
+    "q120_event_transitions" -> ((s, dir) => {
+      graft.ops.Analytics.eventTransitions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("cur"), col("next"))
+    }),
+
+    // RFM segmentation (ops/Analytics.rfmSegments): quintiles via the
+    // distributed exact-ntile — the oracle's native window ntile proves
+    // the closed form
+    "q121_rfm" -> ((s, dir) => {
+      graft.ops.Analytics.rfmSegments(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase", "value")
+        .orderBy(col("user_id"))
+    }),
+
     // Rate-anomaly monitoring: per-event-type hourly counts flagged
     // spike/ok/warmup by trailing z-score — mean/variance from EXACT
     // integer window sums, never avg()/stddev() (float summation order
@@ -240,6 +257,46 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q120_event_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next
+        |  FROM ev),
+        |cnt AS (SELECT cur, next, count(*) AS n FROM pairs
+        |        WHERE next IS NOT NULL GROUP BY 1, 2),
+        |marg AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM cnt GROUP BY 1)
+        |SELECT cur, next, n,
+        |  floor(CAST(n AS DOUBLE) / CAST(n_cur AS DOUBLE) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS p
+        |FROM cnt JOIN marg USING (cur)
+        |ORDER BY cur, next""".stripMargin,
+    // the oracle runs NATIVE window ntile under the same (metric,
+    // user_id) total orders the distributed closed form uses — the hash
+    // compare is the equivalence proof
+    "q121_rfm" ->
+      """WITH snap AS (
+        |  SELECT max(CAST(ts AS TIMESTAMP)) AS s FROM events),
+        |p AS (
+        |  SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(s AS DATE)) AS INT)
+        |      AS r_days,
+        |    f, m_cents
+        |  FROM p CROSS JOIN snap)
+        |SELECT user_id, r_days, f, m_cents,
+        |  CAST(ntile(5) OVER (ORDER BY r_days DESC, user_id) AS INT) AS r_q,
+        |  CAST(ntile(5) OVER (ORDER BY f, user_id) AS INT) AS f_q,
+        |  CAST(ntile(5) OVER (ORDER BY m_cents, user_id) AS INT) AS m_q
+        |FROM u ORDER BY user_id""".stripMargin,
     // the IGNORE NULLS running-last window mirrors the Spark plan
     // one-to-one, including the (ts, event_id) tie order
     "q119_attribution" ->

@@ -97,6 +97,48 @@ class AnalyticsSpec extends SparkTestBase {
         "event_type", Seq("purchase"), "purchase", 60L))
   }
 
+  test("eventTransitions: exact counts and micro-rounded row-normalized p") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "a"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "c"),
+      (2L, 5L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 6L, ts("2024-01-01 10:01:00"), "b")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    // transitions: a→b ×2, a→c ×1, b→a ×1 (u2's trailing b has no next)
+    // → P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1/1
+    val out = Analytics.eventTransitions(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("cur", "next").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out === Seq(
+      ("a", "b", 2L, 0.666667), ("a", "c", 1L, 0.333333), ("b", "a", 1L, 1.0)),
+      out.mkString(", "))
+  }
+
+  test("rfmSegments: distributed exact ntile matches Spark's window ntile") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 37 purchases across 23 users with heavy metric ties — the case
+    // where ntile must split equal metrics across buckets by user order
+    val ev = (1L to 37L).map { i =>
+      val u = i % 23 + 1
+      (u, i, ts(f"2024-01-${i % 28 + 1}%02d 12:00:00"), "purchase", (i % 5) * 10.0 + 0.25)
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = Analytics.rfmSegments(ev, "user_id", "ts", "event_type",
+      "purchase", "value")
+    val expect = got.select("user_id", "r_days", "f", "m_cents")
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("r_days").desc, col("user_id"))))
+      .withColumn("f_q", ntile(5).over(Window.orderBy(col("f"), col("user_id"))))
+      .withColumn("m_q", ntile(5).over(Window.orderBy(col("m_cents"), col("user_id"))))
+    val g = got.orderBy("user_id").collect().map(_.toSeq)
+    val e = expect.orderBy("user_id").collect().map(_.toSeq)
+    assert(g.toSeq == e.toSeq,
+      s"closed-form ntile diverged from window ntile:\n${g.zip(e).filter(p => p._1 != p._2).mkString("\n")}")
+  }
+
   test("cohortRetention: Monday cohorts, offset 0 is cohort size") {
     import spark.implicits._
     val ev = Seq(
