@@ -132,6 +132,72 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override def prettyName: String = "l2_norm"
 }
 
+/** One-pass PCA projection kernel: quantize + center ONCE per row, then
+  * a tight p×d mat-vec with zero per-component allocation. Replaces the
+  * HOF spelling `transform(rows, r => aggregate(zip_with(centered, r,
+  * _*_), 0.0, _+_))`, which re-evaluated the centize-and-center chain
+  * and allocated a zipped array for EVERY component (p× the work,
+  * 2p allocations per row — the q103 moment-explode lesson applied to
+  * the projection side).
+  *
+  * Bit-exactness contract (pinned goldens depend on it): the element
+  * quantization replicates Spark's `round(x*Q)` exactly
+  * (BigDecimal.valueOf HALF_UP — same code path the Round expression
+  * takes for doubles), and each dot product folds elements in ascending
+  * index order, matching the zip_with/aggregate evaluation order. */
+object PcaKernel {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def project(v: ArrayData, mean: Array[Double], rows: Array[Array[Double]],
+      q: Double, isFloat: Boolean): GenericArrayData = {
+    val d = mean.length
+    if (v.numElements() != d) throw new IllegalArgumentException(
+      s"PCA expects $d-dim vectors, got ${v.numElements()}")
+    val centered = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val qi = java.math.BigDecimal.valueOf(x * q)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      centered(i) = qi / q - mean(i)
+      i += 1
+    }
+    val p = rows.length
+    val out = new Array[Double](p)
+    var j = 0
+    while (j < p) {
+      val row = rows(j)
+      var acc = 0.0
+      var k = 0
+      while (k < d) {
+        acc += centered(k) * row(k)
+        k += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class PcaProject(child: Expression, mean: Array[Double],
+    rows: Array[Array[Double]], q: Double) extends UnaryExpression {
+  private lazy val isFloat: Boolean = VectorOps.isFloatArray(child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    PcaKernel.project(input.asInstanceOf[ArrayData], mean, rows, q, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meanRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val rowsRef = ctx.addReferenceObj("pcaRows", rows, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PcaKernel.project($c, $meanRef, $rowsRef, $q, $isFloat)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PcaProject =
+    copy(child = newChild)
+  override def prettyName: String = "pca_project"
+}
+
 /** Signed-random-projection (SRP) LSH signature: bit b is the sign of
   * the vector's dot product with a deterministic pseudo-random ±1
   * hyperplane (component (b, d) derived by splitmix64 — no hyperplane

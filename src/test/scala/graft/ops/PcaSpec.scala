@@ -181,4 +181,30 @@ class PcaSpec extends SparkTestBase {
     assert(m1.mean.toSeq == m32.mean.toSeq)
     assert(m1.components.map(_.toSeq).toSeq == m32.components.map(_.toSeq).toSeq)
   }
+
+  test("pcaProject kernel is bit-identical to the HOF spelling it replaced") {
+    // the pinned q103/q104/q105/q111 goldens ride on this equivalence:
+    // same HALF_UP element quantization, same ascending fold order
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Pca.fit(vecs, "embedding", dim = 64)
+    for (whiten <- Seq(false, true)) {
+      val p = 16
+      val rows: Seq[Seq[Double]] = (0 until p).map { j =>
+        val s = if (whiten) 1.0 / math.sqrt(math.max(model.eigenvalues(j), 1e-12)) else 1.0
+        model.components(j).map(_ * s).toSeq
+      }
+      val hof = vecs.withColumn("__proj", transform(typedlit(rows), row =>
+        aggregate(zip_with(zip_with(
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * 1e6).cast("long")),
+          typedlit(model.mean.toSeq), (x, mu) => x / 1e6 - mu),
+          row, _ * _), lit(0.0), _ + _)))
+        .select(col("vec_id"), col("__proj"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val kernel = Pca.project(vecs, model, "embedding", "__proj", p, whiten)
+        .select(col("vec_id"), col("__proj"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(kernel == hof, s"whiten=$whiten: kernel diverged from HOF")
+    }
+  }
 }
