@@ -21,6 +21,10 @@ case class RawEvent(user_id: Long, ts: java.sql.Timestamp)
 case class OpenSession(sessionSeq: Long, startTs: Long, lastTs: Long, n: Long)
 case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
   session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+case class TypedEvent(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+case class FunnelProgress(depth: Int, reachedTs: Long)
+case class FunnelAdvance(user_id: Long, stage_idx: Int, stage: String,
+  ts: java.sql.Timestamp)
 
 object EventPipeline {
 
@@ -94,6 +98,63 @@ object EventPipeline {
               state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000L)
             }
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming conversion funnel — the live twin of q113
+    * ([[graft.ops.Analytics.funnel]]): per-user funnel progress rides
+    * [[GroupState]], and each depth ADVANCE is emitted exactly once
+    * (Append mode), so `count by stage_idx` over the advance log IS the
+    * live funnel. Semantics match the batch twin on in-order delivery:
+    * strict-after advancement, out-of-sequence stage events skipped.
+    * (Cross-batch out-of-order arrivals fold in arrival order — the
+    * standard streaming tradeoff; the replay spec pins in-order
+    * equivalence with the batch operator.)
+    *
+    * State is BOUNDED three ways: only users with an in-progress funnel
+    * hold state (depth-0 users store nothing), completing the last
+    * stage removes state immediately, and in-progress funnels arm an
+    * event-time timeout `horizonSeconds` past their last advance —
+    * abandoned funnels evaporate when the watermark passes. */
+  def funnelStream(events: Dataset[TypedEvent], stages: Seq[String],
+      watermark: String, horizonSeconds: Long): Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"funnel stages must be non-empty and distinct, got $stages")
+    require(horizonSeconds > 0, s"funnel horizon must be positive, got $horizonSeconds")
+    import events.sparkSession.implicits._
+    val idx = stages.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TypedEvent], state: GroupState[FunnelProgress]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq
+              .filter(e => idx.contains(e.event_type))
+              .sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+            val out = Seq.newBuilder[FunnelAdvance]
+            sorted.foreach { e =>
+              val si = idx(e.event_type)
+              if (si == st.depth + 1 &&
+                (st.depth == 0 || e.ts.getTime > st.reachedTs)) {
+                st = FunnelProgress(si, e.ts.getTime)
+                out += FunnelAdvance(uid, si, stages(si - 1), e.ts)
+              }
+            }
+            if (st.depth >= stages.size) state.remove()
+            else if (st.depth > 0) {
+              state.update(st)
+              // clamp past the watermark — a timeout at-or-before it is
+              // rejected by the state store
+              state.setTimeoutTimestamp(math.max(
+                st.reachedTs + horizonSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
+            }
+            out.result().iterator
           }
       }
   }

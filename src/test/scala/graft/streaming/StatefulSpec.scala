@@ -58,4 +58,56 @@ class StatefulSpec extends SparkTestBase {
     assert(u1Final.head.session_start == ts("2024-01-01 13:00:00"))
     assert(u1Final.head.session_end == ts("2024-01-01 13:00:00"))
   }
+
+  test("streaming funnel: advances survive batches, match the batch twin in-order") {
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[TypedEvent]
+    val q = EventPipeline.funnelStream(stream.toDS(),
+      Seq("view", "click", "purchase"), watermark = "10 minutes",
+      horizonSeconds = 24 * 3600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+
+    // batch 1: u1 views; u2 clicks BEFORE viewing (skip); u3 view+click
+    // at the same timestamp (strict-after rejects the click)
+    stream.addData(
+      TypedEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+      TypedEvent(2L, ts("2024-01-01 09:00:00"), "click"),
+      TypedEvent(2L, ts("2024-01-01 09:30:00"), "view"),
+      TypedEvent(3L, ts("2024-01-01 08:00:00"), "view"),
+      TypedEvent(3L, ts("2024-01-01 08:00:00"), "click"))
+    q.processAllAvailable()
+    val b1 = spark.table("funnel_out").as[FunnelAdvance].collect()
+    assert(b1.count(_.stage_idx == 1) == 3, s"batch1: ${b1.toSeq}")
+    assert(b1.count(_.stage_idx == 2) == 0, "early/same-ts clicks must not advance")
+
+    // batch 2: u1 clicks then purchases — state carried across batches;
+    // the full funnel completes and emits both advances
+    stream.addData(
+      TypedEvent(1L, ts("2024-01-01 10:05:00"), "click"),
+      TypedEvent(1L, ts("2024-01-01 10:10:00"), "purchase"))
+    q.processAllAvailable()
+    val b2 = spark.table("funnel_out").as[FunnelAdvance].collect()
+    q.stop()
+    assert(b2.count(_.stage_idx == 2) == 1 && b2.count(_.stage_idx == 3) == 1)
+
+    // live funnel counts (count per stage over the advance log) match
+    // the batch operator on the same events delivered in order
+    import org.apache.spark.sql.functions.col
+    val static = spark.createDataFrame(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 09:30:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "view"),
+      (3L, ts("2024-01-01 08:00:00"), "click"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase")))
+      .toDF("user_id", "ts", "event_type")
+    val batch = graft.ops.Analytics.funnel(static, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val live = b2.groupBy(_.stage_idx).view.mapValues(_.length.toLong).toMap
+    assert((1 to 3).forall(i => batch(i) == live.getOrElse(i, 0L)),
+      s"live $live vs batch $batch")
+  }
 }
