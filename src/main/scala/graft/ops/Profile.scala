@@ -45,4 +45,49 @@ object Profile {
     wide.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n, n_null, n_distinct, min, max)")
   }
+
+  /** Referential-integrity violations: child rows whose FK tuple has no
+    * match in the parent (null FKs are NOT orphans — SQL FK semantics:
+    * a null reference is "no reference", caught by a separate
+    * [[nullViolations]] check if the column is also NOT NULL). Plan: a
+    * LEFT ANTI join on the key tuple — AQE broadcasts dimension-sized
+    * parents, shuffles fact-sized ones, exactly the join class the
+    * engine already optimizes. */
+  def orphans(child: DataFrame, parent: DataFrame,
+      on: Seq[(String, String)]): DataFrame = {
+    require(on.nonEmpty, "orphans needs at least one (childKey, parentKey) pair")
+    val cond = on.map { case (c, p) => child(c) === parent(p) }.reduce(_ && _)
+    val notNull = on.map { case (c, _) => child(c).isNotNull }.reduce(_ && _)
+    child.filter(notNull).join(parent, cond, "left_anti")
+  }
+
+  /** Key-uniqueness violations: one row per KEY VALUE that occurs more
+    * than once (with its count) — the PK/natural-key audit. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "duplicateKeys needs at least one key column")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > 1)
+  }
+
+  /** NOT NULL violations: rows where any of `cols` is null. */
+  def nullViolations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "nullViolations needs at least one column")
+    df.filter(cols.map(col(_).isNull).reduce(_ || _))
+  }
+
+  /** The dbt-style constraint suite rolled into one audit frame: each
+    * named check contributes (check_name, n_violations) — zero is the
+    * green row, so the audit is also the regression fixture ("this relation
+    * was clean at ingest N"). Each violation frame keeps its own
+    * optimal plan (anti-join / partial agg); the union is rows =
+    * checks. */
+  def integrityAudit(checks: Seq[(String, DataFrame)]): DataFrame = {
+    require(checks.nonEmpty && checks.map(_._1).distinct.size == checks.size,
+      s"integrityAudit needs uniquely-named checks, got ${checks.map(_._1)}")
+    checks.map { case (name, viol) =>
+      viol.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -158,6 +158,33 @@ object SqlQueries {
         .orderBy(col("col_name"))
     }),
 
+    // Referential/uniqueness/not-null constraint audit (ops/Profile
+    // .integrityAudit): the dbt-style warehouse conformance suite —
+    // each check keeps its own optimal anti-join/partial-agg plan
+    "q122_integrity_audit" -> ((s, dir) => {
+      val P = graft.ops.Profile
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val lineitem = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      val nation = t(s, dir, "nation")
+      P.integrityAudit(Seq(
+        "orders_customer_fk" ->
+          P.orphans(orders, customer, Seq("o_custkey" -> "c_custkey")),
+        "lineitem_orders_fk" ->
+          P.orphans(lineitem, orders, Seq("l_orderkey" -> "o_orderkey")),
+        "lineitem_part_fk" ->
+          P.orphans(lineitem, part, Seq("l_partkey" -> "p_partkey")),
+        "customer_nation_fk" ->
+          P.orphans(customer, nation, Seq("c_nationkey" -> "n_nationkey")),
+        "orders_pk_unique" -> P.duplicateKeys(orders, Seq("o_orderkey")),
+        "lineitem_pk_unique" ->
+          P.duplicateKeys(lineitem, Seq("l_orderkey", "l_linenumber")),
+        "customer_name_not_null" ->
+          P.nullViolations(customer, Seq("c_name"))))
+        .orderBy(col("check_name"))
+    }),
+
     "q72_zorder" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -245,6 +272,29 @@ object SqlQueries {
         |  nfc_normalize(p_name || ' cafe""" + "́" + """') AS nfc,
         |  length(nfc_normalize(p_name || ' cafe""" + "́" + """')) AS len_nfc
         |FROM part ORDER BY p_partkey""").stripMargin,
+    "q122_integrity_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('orders_customer_fk', (SELECT count(*) FROM orders o
+        |     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))),
+        |  ('lineitem_orders_fk', (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))),
+        |  ('lineitem_part_fk', (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))),
+        |  ('customer_nation_fk', (SELECT count(*) FROM customer c
+        |     WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))),
+        |  ('orders_pk_unique', (SELECT count(*) FROM
+        |     (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))),
+        |  ('lineitem_pk_unique', (SELECT count(*) FROM
+        |     (SELECT l_orderkey, l_linenumber FROM lineitem
+        |      GROUP BY 1, 2 HAVING count(*) > 1))),
+        |  ('customer_name_not_null',
+        |    (SELECT count(*) FROM customer WHERE c_name IS NULL)))
+        |  AS v(check_name, n_violations)
+        |ORDER BY check_name""".stripMargin,
     "q78_profile" ->
       """SELECT col_name, n, n_null, n_distinct, min, max FROM (
         |  SELECT 'p_partkey' AS col_name, count(*) AS n,

@@ -355,6 +355,26 @@ class OpsSpec extends SparkTestBase {
     assert(out(1).getAs[Long]("neighbor_id") == 2L)
   }
 
+  test("integrityAudit: orphans, dup keys, nulls — planted violations counted") {
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("pk", "pv")
+    val child = Seq(
+      (10L, 1L), (11L, 2L), (12L, 99L), // 99 is an orphan
+      (13L, 1L)).toDF("ck", "fk")
+    val nullFk = Seq((20L, Option.empty[Long])).toDF("ck", "fk")
+    val dupped = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "v")
+    val out = Profile.integrityAudit(Seq(
+      "child_fk" -> Profile.orphans(child, parent, Seq("fk" -> "pk")),
+      "null_fk_not_orphan" -> Profile.orphans(nullFk, parent, Seq("fk" -> "pk")),
+      "dup_pk" -> Profile.duplicateKeys(dupped, Seq("k")),
+      "v_not_null" -> Profile.nullViolations(nullFk, Seq("fk"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "child_fk" -> 1L,          // only 99
+      "null_fk_not_orphan" -> 0L, // null FK is "no reference", not an orphan
+      "dup_pk" -> 1L,            // one duplicated key VALUE
+      "v_not_null" -> 1L), out.toString)
+  }
+
   test("collocations: strongly-associated pair outranks frequent-but-independent") {
     // "san francisco" always co-occurs; "the" pairs with everything
     val docs = (1L to 10L).map(i => (i, s"the cat the dog item$i san francisco"))
