@@ -30,13 +30,15 @@ object Analytics {
     * codegen; stage counts come off a single partial aggregate and a
     * driver-free `stack` unpivot.
     */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, stages: Seq[String]): DataFrame = {
+  /** The shared per-user fold behind [[funnel]] and [[funnelDurations]]:
+    * one row per user with the reached depth, the stage-1 reach time,
+    * and the deepest-stage reach time. */
+  private def funnelFold(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty && stages.distinct.size == stages.size,
       s"funnel stages must be non-empty and distinct, got $stages")
     require(stages.forall(_.matches("[A-Za-z0-9_ .-]+")),
       s"funnel stage names must be plain identifiers, got $stages")
-
     // event_type -> 1-based stage index; non-stage events dropped at the scan
     val idx = stages.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (st, i)) => when(col(typeCol) === st, lit(i + 1)).otherwise(acc)
@@ -46,23 +48,31 @@ object Analytics {
       .filter(col("stage_idx").isNotNull)
       .groupBy(col("u"))
       .agg(sort_array(collect_list(struct(col("ts"), col("stage_idx")))).as("evs"))
-
     // Fold in time order: advance iff the event is the next needed stage
     // and strictly after the previous reach time.
-    val depth = aggregate(
+    val folded = aggregate(
       col("evs"),
       struct(lit(0).as("depth"),
-        lit("1800-01-01 00:00:00").cast("timestamp").as("reached")),
+        lit("1800-01-01 00:00:00").cast("timestamp").as("reached"),
+        lit("1800-01-01 00:00:00").cast("timestamp").as("first")),
       (acc, e) =>
         when(e.getField("stage_idx") === acc.getField("depth") + 1 &&
           (acc.getField("depth") === 0 ||
             e.getField("ts") > acc.getField("reached")),
           struct((acc.getField("depth") + 1).as("depth"),
-            e.getField("ts").as("reached")))
-          .otherwise(acc),
-      acc => acc.getField("depth"))
+            e.getField("ts").as("reached"),
+            when(acc.getField("depth") === 0, e.getField("ts"))
+              .otherwise(acc.getField("first")).as("first")))
+          .otherwise(acc))
+    perUser.select(col("u"), folded.as("f"))
+      .select(col("u"), col("f.depth").as("depth"),
+        col("f.first").as("first_ts"), col("f.reached").as("reached_ts"))
+  }
 
-    val depths = perUser.select(depth.as("depth"))
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    val depths = funnelFold(events, userCol, tsCol, typeCol, stages)
+      .select(col("depth"))
     val sums = stages.indices.map(i =>
       sum(when(col("depth") >= i + 1, 1L).otherwise(0L)).as(s"n$i"))
     val one = depths.agg(sums.head, sums.tail: _*)
@@ -70,6 +80,41 @@ object Analytics {
       .map { case (s, i) => s"${i + 1}, '$s', n$i" }.mkString(", ")
     one.select(expr(
       s"stack(${stages.size}, $stack) AS (stage_idx, stage, n_users)"))
+  }
+
+  /** Time-to-convert histogram for COMPLETED funnels: per user that
+    * reached the last stage, the wall time from reaching stage 1 to
+    * reaching the last stage, bucketed by ascending integer second
+    * thresholds (exact micros compares — no float binning) with a
+    * terminal overflow bucket. All buckets are emitted, zeros included
+    * (same one-row conditional-sum + stack shape as the funnel
+    * itself). */
+  def funnelDurations(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String],
+      buckets: Seq[(String, Long)], restLabel: String): DataFrame = {
+    require(buckets.nonEmpty, "funnelDurations needs at least one bucket")
+    require(buckets.map(_._2) == buckets.map(_._2).sorted &&
+      buckets.map(_._2).distinct.size == buckets.size,
+      s"bucket thresholds must be strictly ascending, got ${buckets.map(_._2)}")
+    val labels = buckets.map(_._1) :+ restLabel
+    require(labels.distinct.size == labels.size &&
+      labels.forall(_.matches("[A-Za-z0-9_ .-]+")),
+      s"bucket labels must be unique plain identifiers, got $labels")
+    val completed = funnelFold(events, userCol, tsCol, typeCol, stages)
+      .filter(col("depth") === stages.size)
+      .select((unix_micros(col("reached_ts")) - unix_micros(col("first_ts")))
+        .as("dur"))
+    val conds = buckets.map(_._2 * 1000000L).zipWithIndex.map {
+      case (t, 0) => col("dur") <= t
+      case (t, i) => col("dur") > buckets(i - 1)._2 * 1000000L && col("dur") <= t
+    } :+ (col("dur") > buckets.last._2 * 1000000L)
+    val sums = conds.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"n$i") }
+    val one = completed.agg(sums.head, sums.tail: _*)
+    val stack = labels.zipWithIndex
+      .map { case (l, i) => s"${i + 1}, '$l', n$i" }.mkString(", ")
+    one.select(expr(
+      s"stack(${labels.size}, $stack) AS (bucket_idx, bucket, n_users)"))
   }
 
   /** First-order Markov transition matrix over each user's event

@@ -128,6 +128,17 @@ object EventQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // Funnel time-to-convert histogram (ops/Analytics.funnelDurations):
+    // completed view→click→purchase funnels bucketed by exact-micros
+    // wall time from first-view reach to purchase reach
+    "q123_funnel_latency" -> ((s, dir) => {
+      graft.ops.Analytics.funnelDurations(t(s, dir, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        buckets = Seq("le_1m" -> 60L, "le_1h" -> 3600L, "le_1d" -> 86400L),
+        restLabel = "gt_1d")
+        .orderBy(col("bucket_idx"))
+    }),
+
     // First-order Markov transition matrix (ops/Analytics
     // .eventTransitions): micro-rounded probabilities off exact counts
     "q120_event_transitions" -> ((s, dir) => {
@@ -257,6 +268,30 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same reach-time recurrence as q113; duration = purchase reach −
+    // first-view reach in exact epoch micros
+    "q123_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS r FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS r FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t1.r GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS r FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.r GROUP BY 1),
+        |d AS (SELECT epoch_us(t3.r) - epoch_us(t1.r) AS dur
+        |      FROM t3 JOIN t1 ON t3.user_id = t1.user_id)
+        |SELECT * FROM (VALUES
+        |  (1, 'le_1m', (SELECT count(*) FROM d WHERE dur <= 60000000)),
+        |  (2, 'le_1h', (SELECT count(*) FROM d
+        |     WHERE dur > 60000000 AND dur <= 3600000000)),
+        |  (3, 'le_1d', (SELECT count(*) FROM d
+        |     WHERE dur > 3600000000 AND dur <= 86400000000)),
+        |  (4, 'gt_1d', (SELECT count(*) FROM d WHERE dur > 86400000000)))
+        |  AS v(bucket_idx, bucket, n_users)
+        |ORDER BY bucket_idx""".stripMargin,
     "q120_event_transitions" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

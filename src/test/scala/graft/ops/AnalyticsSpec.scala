@@ -97,6 +97,38 @@ class AnalyticsSpec extends SparkTestBase {
         "event_type", Seq("purchase"), "purchase", 60L))
   }
 
+  test("funnelDurations: duration measured first-reach to last-reach, zero buckets kept") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 completes in 30s → le_1m
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:10"), "click"),
+      (1L, ts("2024-01-01 10:00:30"), "purchase"),
+      // u2 completes in 2h → le_1d
+      (2L, ts("2024-01-01 08:00:00"), "view"),
+      (2L, ts("2024-01-01 08:30:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "purchase"),
+      // u3 never completes — excluded
+      (3L, ts("2024-01-01 09:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnelDurations(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"),
+      Seq("le_1m" -> 60L, "le_1h" -> 3600L, "le_1d" -> 86400L), "gt_1d")
+      .orderBy("bucket_idx").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out === Seq(("le_1m", 1L), ("le_1h", 0L), ("le_1d", 1L), ("gt_1d", 0L)),
+      out.mkString(", "))
+  }
+
+  test("funnelDurations rejects unsorted bucket thresholds") {
+    import spark.implicits._
+    val ev = Seq((1L, ts("2024-01-01 00:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    intercept[IllegalArgumentException](
+      Analytics.funnelDurations(ev, "user_id", "ts", "event_type",
+        Seq("view"), Seq("a" -> 100L, "b" -> 50L), "rest"))
+  }
+
   test("eventTransitions: exact counts and micro-rounded row-normalized p") {
     import spark.implicits._
     val ev = Seq(
