@@ -117,6 +117,40 @@ object Analytics {
       s"stack(${labels.size}, $stack) AS (bucket_idx, bucket, n_users)"))
   }
 
+  /** Top session paths (journey mining): sessionize by inactivity gap
+    * (the q33 rule), render each session's first `maxLen` event types
+    * as a ">"-joined path string, and return the `topK` most frequent
+    * paths under the total order (count desc, path asc) — the "what do
+    * users actually do" report. One user-keyed window pass for session
+    * ids (shared shape with sessionize), one session-keyed aggregate
+    * whose per-session buffer is capped by maxLen after the in-group
+    * sort, and a bounded TakeOrdered for the top-k. */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, gapSeconds: Long, maxLen: Int,
+      topK: Int): DataFrame = {
+    require(gapSeconds > 0 && maxLen >= 1 && topK >= 1,
+      s"sessionPaths needs positive gap/maxLen/topK, got $gapSeconds/$maxLen/$topK")
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val sessions = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("__prev")) >
+          gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy(col(userCol), col("__sid"))
+      .agg(array_join(transform(
+        slice(sort_array(collect_list(struct(
+          col(tsCol), col(tieCol), col(typeCol).as("t")))), 1, maxLen),
+        e => e.getField("t")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topK)
+  }
+
   /** First-order Markov transition matrix over each user's event
     * sequence: counts and probabilities of (event_type → next
     * event_type) under the (ts, tieCol) total order — the behavioral

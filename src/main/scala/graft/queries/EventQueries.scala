@@ -128,6 +128,14 @@ object EventQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // Top session journey paths (ops/Analytics.sessionPaths): 30-min
+    // gap sessions, first 5 event types as the path, top 20 by count
+    "q124_session_paths" -> ((s, dir) => {
+      graft.ops.Analytics.sessionPaths(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        gapSeconds = 1800L, maxLen = 5, topK = 20)
+    }),
+
     // Funnel time-to-convert histogram (ops/Analytics.funnelDurations):
     // completed view→click→purchase funnels bucketed by exact-micros
     // wall time from first-view reach to purchase reach
@@ -268,6 +276,34 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same session derivation as q33; ORDER BY (n DESC, path) total
+    // order makes the LIMIT exact
+    "q124_session_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, event_type, ts,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |           ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, event_id, event_type, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS prev_ts
+        |      FROM ev))),
+        |paths AS (
+        |  SELECT user_id, sid,
+        |    array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>')
+        |      AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n FROM paths
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // same reach-time recurrence as q113; duration = purchase reach −
     // first-view reach in exact epoch micros
     "q123_funnel_latency" ->

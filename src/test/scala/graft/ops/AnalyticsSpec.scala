@@ -97,6 +97,32 @@ class AnalyticsSpec extends SparkTestBase {
         "event_type", Seq("purchase"), "purchase", 60L))
   }
 
+  test("sessionPaths: gap splits sessions, paths capped and counted") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 session 1: a>b ; session 2 (2h later): a>b
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:05:00"), "b"),
+      (1L, 3L, ts("2024-01-01 13:00:00"), "a"),
+      (1L, 4L, ts("2024-01-01 13:05:00"), "b"),
+      // u2 one session: a>b
+      (2L, 5L, ts("2024-01-01 09:00:00"), "a"),
+      (2L, 6L, ts("2024-01-01 09:10:00"), "b"),
+      // u3 one long session: 7 events, path capped at 5
+      (3L, 7L, ts("2024-01-01 09:00:00"), "c"),
+      (3L, 8L, ts("2024-01-01 09:01:00"), "c"),
+      (3L, 9L, ts("2024-01-01 09:02:00"), "c"),
+      (3L, 10L, ts("2024-01-01 09:03:00"), "c"),
+      (3L, 11L, ts("2024-01-01 09:04:00"), "c"),
+      (3L, 12L, ts("2024-01-01 09:05:00"), "c"),
+      (3L, 13L, ts("2024-01-01 09:06:00"), "c")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val out = Analytics.sessionPaths(ev, "user_id", "ts", "event_id",
+      "event_type", gapSeconds = 1800L, maxLen = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Seq(("a>b", 3L), ("c>c>c>c>c", 1L)), out.mkString(", "))
+  }
+
   test("funnelDurations: duration measured first-reach to last-reach, zero buckets kept") {
     import spark.implicits._
     val ev = Seq(
