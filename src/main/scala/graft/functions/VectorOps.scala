@@ -198,6 +198,96 @@ case class PcaProject(child: Expression, mean: Array[Double],
   override def prettyName: String = "pca_project"
 }
 
+/** Maximal-marginal-relevance greedy re-rank (Carbonell & Goldstein
+  * 1998): from a per-probe candidate list (id, relevance, vector),
+  * select k items maximizing λ·relevance − (1−λ)·max-cosine-to-already-
+  * selected — the standard serving-side diversity re-rank that keeps a
+  * result page from being k near-duplicates. The first pick is the most
+  * relevant candidate (score desc, id asc); every later pick maintains
+  * the max-similarity column INCREMENTALLY (one cosine per remaining
+  * candidate per pick — O(k·n), never the full n² matrix). Ties break
+  * to the lower id, so the selection is a pure function of the input
+  * list. */
+object MmrKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def rerank(cands: ArrayData, lam: Double, k: Int): GenericArrayData = {
+    val n = cands.numElements()
+    val ids = new Array[Long](n)
+    val scores = new Array[Double](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = cands.get(i, null).asInstanceOf[InternalRow]
+      ids(i) = row.getLong(0)
+      scores(i) = row.getDouble(1)
+      val v = row.getArray(2)
+      val d = v.numElements()
+      val arr = new Array[Double](d)
+      var j = 0
+      while (j < d) { arr(j) = v.getDouble(j); j += 1 }
+      vecs(i) = arr
+      i += 1
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = math.min(a.length, b.length)
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var j = 0
+      while (j < d) { dot += a(j) * b(j); aa += a(j) * a(j); bb += b(j) * b(j); j += 1 }
+      val den = math.sqrt(aa) * math.sqrt(bb)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    val take = math.min(k, n)
+    val out = new Array[Long](take)
+    val chosen = new Array[Boolean](n)
+    val maxSim = new Array[Double](n)
+    var t = 0
+    while (t < take) {
+      var best = -1
+      var bestVal = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!chosen(c)) {
+          // first pick: pure relevance; later picks: the MMR objective
+          val obj = if (t == 0) scores(c)
+            else lam * scores(c) - (1.0 - lam) * maxSim(c)
+          if (obj > bestVal || (obj == bestVal && (best < 0 || ids(c) < ids(best)))) {
+            best = c; bestVal = obj
+          }
+        }
+        c += 1
+      }
+      chosen(best) = true
+      out(t) = ids(best)
+      var r = 0
+      while (r < n) {
+        if (!chosen(r)) {
+          val s = cos(vecs(r), vecs(best))
+          if (s > maxSim(r)) maxSim(r) = s
+        }
+        r += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class MmrRerank(child: Expression, lam: Double, k: Int)
+    extends UnaryExpression {
+  require(lam >= 0.0 && lam <= 1.0, s"mmr_rerank: lambda must be in [0, 1], got $lam")
+  require(k >= 1, s"mmr_rerank: k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    MmrKernel.rerank(input.asInstanceOf[ArrayData], lam, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MmrKernel.rerank($c, $lam, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MmrRerank =
+    copy(child = newChild)
+  override def prettyName: String = "mmr_rerank"
+}
+
 /** Signed-random-projection (SRP) LSH signature: bit b is the sign of
   * the vector's dot product with a deterministic pseudo-random ±1
   * hyperplane (component (b, d) derived by splitmix64 — no hyperplane

@@ -317,6 +317,11 @@ package object functions {
   def srpSignature(v: Column, bits: Int): Column =
     expr2col(SrpSignature(col2expr(v), bits))
 
+  /** MMR greedy diversity re-rank (see [[MmrKernel.rerank]]): input is
+    * an array of (id long, score double, vec array<double>) structs. */
+  def mmrRerank(candidates: Column, lambda: Double, k: Int): Column =
+    expr2col(MmrRerank(col2expr(candidates), lambda, k))
+
   /** One-pass PCA projection (see [[PcaKernel.project]]): quantize +
     * center once, tight p×d mat-vec, bit-identical to the HOF spelling
     * it replaced. */

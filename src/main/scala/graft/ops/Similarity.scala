@@ -600,6 +600,31 @@ object Similarity {
       .toDF("rank", "vec_id", "dist_micros")
   }
 
+  /** MMR diversity re-rank over any rankTopK-shaped frame: joins the
+    * candidates back to their vectors (candidate-keyed join — the
+    * candidate frame is O(probes × k), tiny next to the corpus), groups
+    * per probe, and runs the greedy [[graft.functions.MmrKernel]]
+    * selection (λ·relevance − (1−λ)·max-sim-to-selected, first pick by
+    * pure relevance, id tie-breaks). The kernel's selection is a pure
+    * function of the candidate SET, so collect order can't move the
+    * output. Returns (probe_id, mmr_rank, neighbor_id). */
+  def mmrRerankTopK(topk: DataFrame, vecs: DataFrame, idCol: String,
+      vecCol: String, lambda: Double, k: Int): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerankTopK: lambda must be in [0, 1], got $lambda")
+    topk
+      .join(vecs.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__v")), Seq("neighbor_id"))
+      .groupBy(col("probe_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("score"),
+        col("__v"))).as("c"))
+      .select(col("probe_id"),
+        graft.functions.mmrRerank(col("c"), lambda, k).as("sel"))
+      .select(col("probe_id"), posexplode(col("sel")).as(Seq("r0", "neighbor_id")))
+      .select(col("probe_id"), (col("r0") + 1).cast("int").as("mmr_rank"),
+        col("neighbor_id"))
+  }
+
   /** Per-vector symmetric int8 quantization profile — the serving-side
     * memory story (4× over float32, 16× over float64) a 100 TB embedding
     * store actually ships: q_i = clamp(round(x_i / s), ±127) with

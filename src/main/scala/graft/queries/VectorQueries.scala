@@ -22,6 +22,18 @@ object VectorQueries {
         .orderBy(col("rank"))
     }),
 
+    // MMR diversity re-rank (golden — greedy float selection has no SQL
+    // twin): top-10 exact candidates re-ranked to 5 at λ=0.7; unit
+    // tests pin λ=1 ≡ relevance order and the diversity pick
+    "q125_mmr_rerank" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val topk = Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+      Similarity.mmrRerankTopK(topk, vecs, "vec_id", "embedding",
+        lambda = 0.7, k = 5)
+        .orderBy(col("probe_id"), col("mmr_rank"))
+    }),
+
     // Exact brute-force cosine top-5 for 20 probe vectors
     "q19_ann_topk" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")

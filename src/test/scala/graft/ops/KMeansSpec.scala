@@ -471,6 +471,39 @@ class KMeansSpec extends SparkTestBase {
       s"wrong error: ${e.getMessage}")
   }
 
+  test("mmrRerankTopK: lambda=1 reproduces pure relevance order") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.8f, 0.2f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", 4)
+    val mmr = Similarity.mmrRerankTopK(topk, vecs, "vec_id", "embedding",
+      lambda = 1.0, k = 4).orderBy("mmr_rank")
+      .collect().map(_.getLong(2)).toSeq
+    val rel = topk.orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(mmr === rel, s"λ=1 must be relevance order: $mmr vs $rel")
+  }
+
+  test("mmrRerankTopK: diversity pick beats a redundant near-duplicate") {
+    // probe ≈ (1,0). Candidates: 2 and 3 are near-duplicates of each
+    // other and highly relevant; 4 is orthogonal and less relevant.
+    // Pure relevance top-3 = (2, 3, 4); strong-diversity MMR (λ=0.3)
+    // must pick 4 SECOND, before the near-duplicate 3.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.01f)), (3L, Seq(0.98f, 0.02f)),
+      (4L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+      "vec_id", "embedding", 4).filter($"neighbor_id" =!= 1L)
+    val mmr = Similarity.mmrRerankTopK(topk, vecs, "vec_id", "embedding",
+      lambda = 0.3, k = 3).orderBy("mmr_rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(mmr.head == 2L, s"first pick must be most relevant: $mmr")
+    assert(mmr(1) == 4L, s"diversity must outrank the near-duplicate: $mmr")
+  }
+
   test("kCenterGreedy: farthest-point order, min-id seed, radius decay") {
     // seed = id 1 (min id, origin); farthest is id 3 at (10,0) d²=100;
     // then id 4 at (5,5): min(d² to 1, d² to 3) = min(50, 50) = 50;
