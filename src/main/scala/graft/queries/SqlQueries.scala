@@ -158,6 +158,61 @@ object SqlQueries {
         .orderBy(col("col_name"))
     }),
 
+    // Explicit GROUPING SETS + grouping() markers (the CUBE/ROLLUP
+    // generalization — engine-completeness for OLAP report shapes)
+    "q126_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer_gs")
+      t(s, dir, "nation").createOrReplaceTempView("v_nation_gs")
+      t(s, dir, "region").createOrReplaceTempView("v_region_gs")
+      s.sql("""
+        SELECT r_name, n_name,
+          CAST(grouping(r_name) AS INT) AS g_r,
+          CAST(grouping(n_name) AS INT) AS g_n,
+          count(*) AS n_cust
+        FROM v_customer_gs
+        JOIN v_nation_gs ON c_nationkey = n_nationkey
+        JOIN v_region_gs ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+    }),
+
+    // LATERAL correlated subquery with per-row ORDER BY + LIMIT — the
+    // SQL spelling of top-k-per-group (q03 is the DataFrame spelling)
+    "q127_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("v_customer_l")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders_l")
+      s.sql("""
+        SELECT c_custkey, o_orderkey, price_cents
+        FROM v_customer_l c,
+        LATERAL (
+          SELECT o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+          FROM v_orders_l o WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, price_cents DESC, o_orderkey""")
+    }),
+
+    // Analytic-window completeness: first/nth value over explicit
+    // full-partition frames, percent_rank, cume_dist — exact rational
+    // doubles, identical IEEE division in both engines
+    "q128_window_suite" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("v_lineitem_w")
+      s.sql("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          first_value(l_quantity) OVER w_full AS first_qty,
+          nth_value(l_quantity, 2) OVER w_full AS second_qty,
+          percent_rank() OVER w_ord AS pr,
+          cume_dist() OVER w_ord AS cd
+        FROM v_lineitem_w
+        WINDOW
+          w_full AS (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+          w_ord AS (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+    }),
+
     // Referential/uniqueness/not-null constraint audit (ops/Profile
     // .integrityAudit): the dbt-style warehouse conformance suite —
     // each check keeps its own optimal anti-join/partial-agg plan
@@ -272,6 +327,39 @@ object SqlQueries {
         |  nfc_normalize(p_name || ' cafe""" + "́" + """') AS nfc,
         |  length(nfc_normalize(p_name || ' cafe""" + "́" + """')) AS len_nfc
         |FROM part ORDER BY p_partkey""").stripMargin,
+    "q126_grouping_sets" ->
+      """SELECT r_name, n_name,
+        |  CAST(grouping(r_name) AS INT) AS g_r,
+        |  CAST(grouping(n_name) AS INT) AS g_n,
+        |  count(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q127_lateral_topk" ->
+      """SELECT c_custkey, o_orderkey, price_cents
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, price_cents DESC, o_orderkey""".stripMargin,
+    "q128_window_suite" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  first_value(l_quantity) OVER w_full AS first_qty,
+        |  nth_value(l_quantity, 2) OVER w_full AS second_qty,
+        |  percent_rank() OVER w_ord AS pr,
+        |  cume_dist() OVER w_ord AS cd
+        |FROM lineitem
+        |WINDOW
+        |  w_full AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |  w_ord AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q122_integrity_audit" ->
       """SELECT * FROM (VALUES
         |  ('orders_customer_fk', (SELECT count(*) FROM orders o
