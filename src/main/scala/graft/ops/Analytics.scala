@@ -117,6 +117,52 @@ object Analytics {
       s"stack(${labels.size}, $stack) AS (bucket_idx, bucket, n_users)"))
   }
 
+  /** Item-item co-occurrence similarity (implicit-feedback
+    * collaborative filtering, the classic ItemCF kernel): cosine over
+    * binary user-item interactions, sim(a,b) = co(a,b) / √(n_a·n_b),
+    * with a minimum co-occurrence support and a per-user item cap.
+    * The cap is the scale guard: a user with U items contributes U²
+    * pairs — power users blow up the pair exchange while adding the
+    * least preference signal, so every serious ItemCF caps them. The
+    * cap is DETERMINISTIC (items sorted ascending, first `maxItemsPerUser`
+    * kept) and item frequencies n_i are counted AFTER capping, so the
+    * cosine numerator and denominator describe the same interaction
+    * matrix. Similarity micro-rounds off exact integer counts; top-k
+    * under the (sim desc, item_a, item_b) total order — oracle-exact
+    * end to end. One user-keyed aggregate, one in-row pair
+    * comprehension (no user self-join), one pair-keyed count. */
+  def itemCooccurrence(interactions: DataFrame, userCol: String,
+      itemCol: String, minCo: Long, maxItemsPerUser: Int,
+      topK: Int): DataFrame = {
+    require(minCo >= 1 && maxItemsPerUser >= 2 && topK >= 1,
+      s"itemCooccurrence needs minCo>=1, cap>=2, topK>=1, " +
+        s"got $minCo/$maxItemsPerUser/$topK")
+    val capped = interactions
+      .select(col(userCol).as("u"), col(itemCol).cast("long").as("i"))
+      .filter(col("i").isNotNull)
+      .groupBy(col("u"))
+      .agg(slice(array_sort(collect_set(col("i"))), 1, maxItemsPerUser)
+        .as("items"))
+    val counts = capped.select(explode(col("items")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pairs = capped
+      .select(explode(flatten(transform(col("items"), (a, ix) =>
+        transform(slice(col("items"), ix + lit(2), size(col("items"))),
+          b => struct(a.as("item_a"), b.as("item_b")))))).as("p"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    pairs
+      .join(counts.select(col("i").as("item_a"), col("n").as("n_a")), Seq("item_a"))
+      .join(counts.select(col("i").as("item_b"), col("n").as("n_b")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co"), col("n_a"), col("n_b"),
+        (floor(col("co").cast("double")
+          / sqrt((col("n_a") * col("n_b")).cast("double"))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("sim"))
+      .orderBy(col("sim").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
   /** Top session paths (journey mining): sessionize by inactivity gap
     * (the q33 rule), render each session's first `maxLen` event types
     * as a ">"-joined path string, and return the `topK` most frequent

@@ -128,6 +128,16 @@ object EventQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // Item-item collaborative filtering (ops/Analytics.itemCooccurrence)
+    // over the event props item key: cosine on binary interactions,
+    // capped users, exact-count micro-rounded similarity
+    "q129_item_cf" -> ((s, dir) => {
+      graft.ops.Analytics.itemCooccurrence(
+        t(s, dir, "events").select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", minCo = 5L, maxItemsPerUser = 64, topK = 100)
+    }),
+
     // Top session journey paths (ops/Analytics.sessionPaths): 30-min
     // gap sessions, first 5 event types as the path, top 20 by count
     "q124_session_paths" -> ((s, dir) => {
@@ -276,6 +286,28 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // capped-then-counted discipline mirrored exactly: frequencies off
+    // the CAPPED per-user sets, pairs from the same sets
+    "q129_item_cf" ->
+      """WITH capped AS (
+        |  SELECT user_id,
+        |    (list(DISTINCT CAST(props->>'k' AS BIGINT) ORDER BY CAST(props->>'k' AS BIGINT)))[1:64]
+        |      AS items
+        |  FROM events WHERE props->>'k' IS NOT NULL GROUP BY 1),
+        |flat AS (SELECT user_id, unnest(items) AS i FROM capped),
+        |cnt AS (SELECT i, count(*) AS n FROM flat GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b, count(*) AS co
+        |  FROM flat a JOIN flat b
+        |    ON a.user_id = b.user_id AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b, co, ca.n AS n_a, cb.n AS n_b,
+        |  floor(CAST(co AS DOUBLE)
+        |      / sqrt(CAST(ca.n * cb.n AS DOUBLE)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS sim
+        |FROM pairs JOIN cnt ca ON pairs.item_a = ca.i
+        |  JOIN cnt cb ON pairs.item_b = cb.i
+        |ORDER BY sim DESC, item_a, item_b LIMIT 100""".stripMargin,
     // same session derivation as q33; ORDER BY (n DESC, path) total
     // order makes the LIMIT exact
     "q124_session_paths" ->

@@ -97,6 +97,28 @@ class AnalyticsSpec extends SparkTestBase {
         "event_type", Seq("purchase"), "purchase", 60L))
   }
 
+  test("itemCooccurrence: exact cosine, support filter, deterministic cap") {
+    import spark.implicits._
+    // items 1,2 co-occur for 3 users; item 3 only with user 1
+    val inter = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 2L) // duplicate interaction dedups
+    ).toDF("u", "i")
+    val out = Analytics.itemCooccurrence(inter, "u", "i",
+      minCo = 2L, maxItemsPerUser = 10, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    // only (1,2): co=3, n_1=3, n_2=3 → sim = 3/3 = 1.0; (1,3)/(2,3) have co=1 < 2
+    assert(out === Seq((1L, 2L, 3L, 1.0)), out.mkString(", "))
+
+    // cap=2 keeps the two smallest items per user: user 1's item 3 is
+    // dropped BEFORE counting, so n_3 would be 0 (and no pair survives)
+    val capped = Analytics.itemCooccurrence(inter, "u", "i",
+      minCo = 1L, maxItemsPerUser = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1L, 2L)), s"cap must drop item 3: ${capped.toSeq}")
+  }
+
   test("sessionPaths: gap splits sessions, paths capped and counted") {
     import spark.implicits._
     val ev = Seq(
