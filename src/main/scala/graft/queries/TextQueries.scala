@@ -32,6 +32,28 @@ object TextQueries {
     // (deterministic integer-ratio math, so it carries a full DuckDB
     // oracle — the marker lists and the (score, lang) tie-break are
     // mirrored exactly in the SQL below)
+    // Flesch reading-ease readability: vowel-group syllable heuristic,
+    // sentence count from terminal-punctuation runs, micro-rounded
+    // fixed-order float formula — oracle-exact
+    "q130_readability" -> ((s, dir) => {
+      val text = col("text")
+      val nWords = when(length(trim(text)) === 0, lit(0L))
+        .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+      val nSent = greatest(lit(1L),
+        regexp_count(text, lit("[.!?]+")).cast("long"))
+      val nSyl = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+      t(s, dir, "documents").select(
+        col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyl.as("n_syllables"),
+        when(nWords > 0,
+          floor((lit(206.835)
+            - lit(1.015) * (nWords.cast("double") / nSent.cast("double"))
+            - lit(84.6) * (nSyl.cast("double") / nWords.cast("double")))
+            * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .otherwise(lit(null).cast("double")).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q21_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
@@ -216,6 +238,24 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q130_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    floor((206.835
+        |        - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+        |      * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE NULL END AS flesch
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q21_lang_id" -> langIdSql,
     "q12_token_stats" ->
       """SELECT doc_id,
