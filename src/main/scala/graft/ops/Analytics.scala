@@ -117,6 +117,44 @@ object Analytics {
       s"stack(${labels.size}, $stack) AS (bucket_idx, bucket, n_users)"))
   }
 
+  /** Group-wise simple linear regression (closed-form OLS) from EXACT
+    * integer moment sums: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    * intercept = (Σy − slope·Σx) / n — per-group trend detection (is
+    * this metric drifting?) as one partial-aggregated pass. `x` and `y`
+    * MUST be integer-valued columns (epoch seconds, cents): the sums
+    * accumulate as DECIMAL(38,0), so the fit is exact at any row count
+    * and partitioning, and the only float math is the fixed-order final
+    * formula — micro-rounded, hence oracle-exact. Degenerate groups
+    * (n < 2 or zero x-variance) return null slope/intercept rather
+    * than ±Inf. Contract: |x| and |y| must each fit in ~31 bits so the
+    * per-row products stay inside long before the decimal sum (epoch
+    * SECONDS relative to a recent base and integer cents both do). */
+  def linearTrend(df: DataFrame, groupCol: String, x: Column,
+      y: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val agged = df
+      .select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("sx"),
+        sum(col("__y").cast(dec)).as("sy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("sxy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("sxx"))
+    val nD = col("n").cast("double")
+    val det = (nD * col("sxx").cast("double")) -
+      (col("sx").cast("double") * col("sx").cast("double"))
+    val slope = (nD * col("sxy").cast("double")
+      - col("sx").cast("double") * col("sy").cast("double")) / det
+    val micro: Column => Column = c =>
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    agged.select(col(groupCol), col("n"),
+      when(col("n") >= 2 && det =!= 0.0, micro(slope)).otherwise(lit(null))
+        .as("slope"),
+      when(col("n") >= 2 && det =!= 0.0,
+        micro((col("sy").cast("double") - slope * col("sx").cast("double")) / nD))
+        .otherwise(lit(null)).as("intercept"))
+  }
+
   /** Item-item co-occurrence similarity (implicit-feedback
     * collaborative filtering, the classic ItemCF kernel): cosine over
     * binary user-item interactions, sim(a,b) = co(a,b) / √(n_a·n_b),

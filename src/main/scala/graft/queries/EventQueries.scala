@@ -128,6 +128,16 @@ object EventQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // Per-type value trend (ops/Analytics.linearTrend): closed-form OLS
+    // of value cents against seconds-since-2024 — exact decimal moment
+    // sums, micro-rounded slope/intercept
+    "q131_trend" -> ((s, dir) => {
+      graft.ops.Analytics.linearTrend(t(s, dir, "events"), "event_type",
+        x = expr("(unix_micros(ts) - 1704067200000000L) DIV 1000000"),
+        y = floor(col("value") * 100 + lit(0.5)))
+        .orderBy(col("event_type"))
+    }),
+
     // Item-item collaborative filtering (ops/Analytics.itemCooccurrence)
     // over the event props item key: cosine on binary interactions,
     // capped users, exact-count micro-rounded similarity
@@ -286,6 +296,38 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // HUGEINT sums are DuckDB's exact twin of the decimal(38,0) sums;
+    // both cast to DOUBLE only inside the fixed-order closed form
+    "q131_trend" ->
+      """WITH pts AS (
+        |  SELECT event_type,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) // 1000000 AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM pts GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE NULL END AS slope,
+        |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN floor((CAST(sy AS DOUBLE)
+        |          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE NULL END AS intercept
+        |FROM m ORDER BY event_type""".stripMargin,
     // capped-then-counted discipline mirrored exactly: frequencies off
     // the CAPPED per-user sets, pairs from the same sets
     "q129_item_cf" ->

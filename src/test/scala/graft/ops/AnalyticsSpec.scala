@@ -97,6 +97,24 @@ class AnalyticsSpec extends SparkTestBase {
         "event_type", Seq("purchase"), "purchase", 60L))
   }
 
+  test("linearTrend: recovers a planted exact line; degenerate groups → null") {
+    import spark.implicits._
+    val pts = Seq(
+      // g1: y = 3x + 7 exactly
+      ("g1", 0L, 7L), ("g1", 1L, 10L), ("g1", 2L, 13L), ("g1", 3L, 16L),
+      // g2: single point → null fit
+      ("g2", 5L, 5L),
+      // g3: zero x-variance → null fit
+      ("g3", 2L, 1L), ("g3", 2L, 9L))
+      .toDF("g", "x", "y")
+    val out = Analytics.linearTrend(pts, "g", col("x"), col("y"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), Option(r.get(2)), Option(r.get(3))))
+    assert(out(0) === (("g1", Some(3.0), Some(7.0))), out.mkString(", "))
+    assert(out(1) === (("g2", None, None)))
+    assert(out(2) === (("g3", None, None)))
+  }
+
   test("itemCooccurrence: exact cosine, support filter, deterministic cap") {
     import spark.implicits._
     // items 1,2 co-occur for 3 users; item 3 only with user 1
