@@ -117,6 +117,49 @@ object Analytics {
       s"stack(${labels.size}, $stack) AS (bucket_idx, bucket, n_users)"))
   }
 
+  /** Two-proportion A/B conversion test: users are split into arms by
+    * the engine's deterministic md5 hash split ([[Corpus.hashSplit]] —
+    * assignment is a pure function of the user key, identical in any
+    * engine and stable as traffic grows), conversion = "has ≥1 event of
+    * `conversionType`", and the pooled two-proportion z statistic
+    * decides significance. All counts are exact integers; z is one
+    * fixed-order float expression micro-rounded at the end — the whole
+    * experiment readout is oracle-exact. A user counts as converted at
+    * `minConversions` or more conversion events (1 = the classic "did
+    * convert" flag). Returns one row: (n_a, conv_a, n_b, conv_b, z,
+    * significant = 1/0 at |z| > 1.96, null when inconclusive — int, not
+    * boolean, so a null readout has one cross-engine representation). */
+  def abConversionTest(events: DataFrame, userCol: String, typeCol: String,
+      conversionType: String, salt: String, armACut: String,
+      minConversions: Long = 1L): DataFrame = {
+    require(minConversions >= 1, s"minConversions must be >= 1, got $minConversions")
+    val perUser = events
+      .groupBy(col(userCol).as("u"))
+      .agg(when(sum(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+        >= minConversions, 1L).otherwise(0L).as("converted"))
+      .withColumn("arm", Corpus.hashSplit(col("u"), salt,
+        Seq(armACut -> "a"), "b"))
+    val wide = perUser.agg(
+      sum(when(col("arm") === "a", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "a", col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === "b", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "b", col("converted")).otherwise(0L)).as("conv_b"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / naD
+    val pb = col("conv_b").cast("double") / nbD
+    val pPool = (col("conv_a") + col("conv_b")).cast("double") /
+      ((col("n_a") + col("n_b")).cast("double"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / naD + lit(1.0) / nbD))
+    val z = (pa - pb) / se
+    wide.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        floor(z * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        .otherwise(lit(null)).as("z"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        when(abs(z) > lit(1.959964), 1).otherwise(0))
+        .otherwise(lit(null)).cast("int").as("significant"))
+  }
+
   /** Group-wise simple linear regression (closed-form OLS) from EXACT
     * integer moment sums: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
     * intercept = (Σy − slope·Σx) / n — per-group trend detection (is

@@ -128,6 +128,14 @@ object EventQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // A/B conversion readout (ops/Analytics.abConversionTest): md5-split
+    // arms, exact counts, pooled two-proportion z micro-rounded
+    "q132_ab_test" -> ((s, dir) => {
+      graft.ops.Analytics.abConversionTest(t(s, dir, "events"),
+        "user_id", "event_type", "purchase", salt = "ab:", armACut = "80",
+        minConversions = 14L)
+    }),
+
     // Per-type value trend (ops/Analytics.linearTrend): closed-form OLS
     // of value cents against seconds-since-2024 — exact decimal moment
     // sums, micro-rounded slope/intercept
@@ -296,6 +304,39 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the q57 md5-split mirror + the z formula in the Spark expression's
+    // exact float op order
+    "q132_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |         THEN 1 ELSE 0 END AS converted,
+        |    CASE WHEN substr(md5('ab:' || user_id), 1, 2) < '80'
+        |         THEN 'a' ELSE 'b' END AS arm
+        |  FROM events GROUP BY user_id),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'a' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu),
+        |sel AS (SELECT n_a, conv_a, n_b, conv_b,
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+        |  FROM w),
+        |fin AS (SELECT *,
+        |    sqrt(pp * (1.0 - pp)
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS se
+        |  FROM sel)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |    THEN floor((pa - pb) / se * 1000000.0 + 0.5) / 1000000.0
+        |    ELSE NULL END AS z,
+        |  CAST(CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+        |    THEN CASE WHEN abs((pa - pb) / se) > 1.959964 THEN 1 ELSE 0 END
+        |    ELSE NULL END AS INT) AS significant
+        |FROM fin""".stripMargin,
     // HUGEINT sums are DuckDB's exact twin of the decimal(38,0) sums;
     // both cast to DOUBLE only inside the fixed-order closed form
     "q131_trend" ->

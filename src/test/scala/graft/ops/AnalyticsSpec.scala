@@ -97,6 +97,31 @@ class AnalyticsSpec extends SparkTestBase {
         "event_type", Seq("purchase"), "purchase", 60L))
   }
 
+  test("abConversionTest: planted arm-correlated conversions flag significant") {
+    import spark.implicits._
+    val users = (1L to 200L)
+    val arms = users.toDF("u")
+      .withColumn("arm", Corpus.hashSplit(col("u"), "t:", Seq("80" -> "a"), "b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // arm-a users purchase, arm-b users only view → pa=1, pb=0
+    val ev = users.map { u =>
+      (u, if (arms(u) == "a") "purchase" else "view")
+    }.toDF("user_id", "event_type")
+    val out = Analytics.abConversionTest(ev, "user_id", "event_type",
+      "purchase", "t:", "80").collect().head
+    assert(out.getLong(0) + out.getLong(2) == 200L)
+    assert(out.getLong(1) == out.getLong(0) && out.getLong(3) == 0L)
+    assert(out.getInt(5) == 1, s"extreme split must be significant: $out")
+  }
+
+  test("abConversionTest: universal conversion is inconclusive (null z), not Inf") {
+    import spark.implicits._
+    val ev = (1L to 50L).map(u => (u, "purchase")).toDF("user_id", "event_type")
+    val out = Analytics.abConversionTest(ev, "user_id", "event_type",
+      "purchase", "t:", "80").collect().head
+    assert(out.isNullAt(4) && out.isNullAt(5), s"degenerate se must yield nulls: $out")
+  }
+
   test("linearTrend: recovers a planted exact line; degenerate groups → null") {
     import spark.implicits._
     val pts = Seq(
