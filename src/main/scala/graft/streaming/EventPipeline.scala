@@ -447,6 +447,38 @@ object EventPipeline {
     * hour's count converges to the same total no matter how often any
     * batch replays. Compaction of the slice table is
     * [[graft.warehouse.Warehouse.compact]] in a quiet window. */
+  /** Streaming heavy hitters: each micro-batch reduces to ONE bounded
+    * Misra-Gries summary (the [[graft.functions.heavyHitters]]
+    * TypedImperativeAggregate — m counters cross the exchange, never
+    * the token stream), stored keyed by (token, batch_id) through the
+    * checked merge sink so a replayed batch overwrites itself instead
+    * of double counting. The live report is the MERGE of all stored
+    * batch summaries per Agarwal et al.'s mergeable-summaries rule:
+    * sum counters per token, subtract the (m+1)-th largest sum, keep
+    * positives — the same rule the in-task merge uses, so the
+    * guarantee survives: any token with true stream frequency >
+    * N/(m+1) is in the report. The merge input is ≤ m × batches rows
+    * (summary-scale, not stream-scale); only the single cut value
+    * touches the driver. */
+  def heavyHittersSink(summaryPath: String, textCol: Column, m: Int,
+      report: DataFrame => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val slice = batch
+      .agg(graft.functions.heavyHitters(textCol, m).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.count").as("n"))
+      .withColumn("batch_id", lit(batchId))
+    mergeBatchSink(summaryPath, Seq("token", "batch_id"))(slice, batchId)
+    val merged = spark.read.parquet(summaryPath)
+      .groupBy(col("token")).agg(sum(col("n")).as("n"))
+    val top = merged.orderBy(col("n").desc, col("token")).limit(m + 1).collect()
+    val cut = if (top.length > m) top(m).getAs[Long]("n") else 0L
+    report(merged
+      .select(col("token"), (col("n") - cut).as("n"))
+      .filter(col("n") > 0)
+      .orderBy(col("n").desc, col("token")))
+  }
+
   def spikeMonitorSink(countsPath: String, keyCol: Column, tsCol: Column,
       alert: DataFrame => Unit, trailHours: Int = 24, minHistory: Int = 12,
       z: Double = 3.0)(batch: DataFrame, batchId: Long): Unit = {

@@ -427,4 +427,33 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
     assert(postReplay == preReplay, "replay changed the accumulated counts")
   }
+
+  test("streaming heavy hitters: mergeable summaries across batches, replay-safe") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hh-sink").toString + "/summaries"
+    var latest: Map[String, Long] = Map.empty
+    val report: org.apache.spark.sql.DataFrame => Unit = df =>
+      latest = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val stream = MemoryStream[String]
+    val q = stream.toDF().withColumnRenamed("value", "text")
+      .writeStream
+      .foreachBatch(EventPipeline.heavyHittersSink(dir, col("text"), m = 8, report) _)
+      .start()
+    // batch 0: "alpha" dominates; batch 1: "beta" surges
+    stream.addData((0 until 200).map(i => s"alpha common$i") ++ Seq("alpha alpha"))
+    q.processAllAvailable()
+    assert(latest.contains("alpha"), s"dominant token missing: $latest")
+    stream.addData((0 until 300).map(i => s"beta other$i"))
+    q.processAllAvailable()
+    q.stop()
+    assert(latest.contains("alpha") && latest.contains("beta"),
+      s"both heavy tokens must survive the cross-batch merge: $latest")
+    val merged = latest
+
+    // re-delivering batch 1 (same batch_id) must overwrite its summary,
+    // leaving the merged report unchanged
+    EventPipeline.heavyHittersSink(dir, col("text"), m = 8, report)(
+      (0 until 300).map(i => s"beta other$i").toDF("text"), 1L)
+    assert(latest == merged, s"replay changed the report: $latest vs $merged")
+  }
 }
