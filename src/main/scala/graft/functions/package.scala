@@ -317,6 +317,10 @@ package object functions {
   def srpSignature(v: Column, bits: Int): Column =
     expr2col(SrpSignature(col2expr(v), bits))
 
+  /** Hilbert-curve clustering key (see [[HilbertKernel.xy2d]]). */
+  def hilbertIndex(x: Column, y: Column, order: Int): Column =
+    expr2col(HilbertIndex(col2expr(x.cast("long")), col2expr(y.cast("long")), order))
+
   /** MMR greedy diversity re-rank (see [[MmrKernel.rerank]]): input is
     * an array of (id long, score double, vec array<double>) structs. */
   def mmrRerank(candidates: Column, lambda: Double, k: Int): Column =

@@ -77,4 +77,23 @@ object Layout {
       .sortWithinPartitions(col("__z"))
     if (keepZ) z else z.drop("__z")
   }
+
+  /** Hilbert-curve clustering key (graft.functions.HilbertKernel):
+    * strictly better locality than [[zValue]] — consecutive curve
+    * positions are always grid neighbors, so range-sharded files cover
+    * tighter bounding boxes (LayoutSpec measures it). Each input is
+    * masked into [0, 2^order). */
+  def hilbertValue(x: Column, y: Column, order: Int = 16): Column =
+    graft.functions.hilbertIndex(x, y, order)
+
+  /** [[zOrderShards]] with the Hilbert key. */
+  def hilbertShards(df: DataFrame, x: Column, y: Column, numFiles: Int,
+      order: Int = 16): DataFrame = {
+    require(numFiles > 0, s"numFiles must be positive: $numFiles")
+    require(!df.columns.contains("__h"), "hilbertShards reserves column __h")
+    df.withColumn("__h", hilbertValue(x, y, order))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
 }

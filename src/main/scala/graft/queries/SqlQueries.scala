@@ -240,6 +240,17 @@ object SqlQueries {
         .orderBy(col("check_name"))
     }),
 
+    // Hilbert clustering key (golden — the quadrant walk has no SQL
+    // twin; q72/q82 keep the oracle-checked Morton variants): same
+    // (x, y) derivation as q72, order-7 grid covers both axes
+    "q133_hilbert" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 97).as("x"), ((col("doc_id") * 7) % 89).as("y"))
+        .withColumn("h", graft.ops.Layout.hilbertValue(col("x"), col("y"), 7))
+        .orderBy(col("h"), col("doc_id"))
+    }),
+
     "q72_zorder" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),

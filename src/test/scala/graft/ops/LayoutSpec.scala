@@ -77,6 +77,49 @@ class LayoutSpec extends SparkTestBase {
     assert(zArea < idArea / 4, s"z=$zArea id=$idArea")
   }
 
+  test("hilbert: known order-1 curve, bijective order-4 walk, unit steps") {
+    import graft.functions.HilbertKernel.xy2d
+    // 2×2 curve: (0,0)→0, (0,1)→1, (1,1)→2, (1,0)→3
+    assert(xy2d(1, 0, 0) == 0L && xy2d(1, 0, 1) == 1L &&
+      xy2d(1, 1, 1) == 2L && xy2d(1, 1, 0) == 3L)
+    // order-4: a bijection over the 16×16 grid whose consecutive
+    // positions are always GRID NEIGHBORS — the property the Z curve
+    // lacks and the reason Hilbert shards have tighter bounding boxes
+    val cells = for (x <- 0 until 16; y <- 0 until 16)
+      yield xy2d(4, x, y) -> ((x, y))
+    val byD = cells.toMap
+    assert(byD.size == 256, "not a bijection")
+    assert(byD.keys.min == 0L && byD.keys.max == 255L)
+    val maxStep = (0L until 255L).map { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(maxStep == 1, s"hilbert step must be a unit move, got $maxStep")
+    // the Morton curve on the same grid jumps (its Z shape) — the
+    // contrast that justifies the extra kernel
+    val zByD = (for (x <- 0 until 16; y <- 0 until 16)
+      yield ((interleave(x) | (interleave(y) << 1)).toLong, (x, y))).toMap
+    val zMax = (0L until 255L).map { d =>
+      val (x1, y1) = zByD(d); val (x2, y2) = zByD(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(zMax > 1, "expected the Z curve to jump")
+  }
+
+  private def interleave(v: Int): Int =
+    (0 until 16).map(i => ((v >> i) & 1) << (2 * i)).reduce(_ | _)
+
+  test("hilbertIndex column matches the kernel and masks into range") {
+    import graft.functions.hilbertIndex
+    val df = spark.range(50).select(col("id"),
+      (col("id") % 7).as("x"), (col("id") % 11).as("y"))
+    val got = df.withColumn("h", hilbertIndex(col("x"), col("y"), 4))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (x, y, h) =>
+      assert(h == graft.functions.HilbertKernel.xy2d(4, x, y))
+    }
+  }
+
   test("zOrderShards plan range-partitions on the z value") {
     val df = spark.range(100).select(col("id"),
       (col("id") % 7).as("x"), (col("id") % 11).as("y"))
