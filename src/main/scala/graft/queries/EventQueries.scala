@@ -128,6 +128,38 @@ object EventQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // Salted skew join (ops/Skew.saltedJoin): events (skewed user
+    // traffic) ⋈ per-user dimension — the oracle is the PLAIN join,
+    // proving the salt is result-transparent; PlanSpec pins the salted
+    // exchange shape
+    "q134_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"))
+      val dim = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"))
+      graft.ops.Skew.saltedJoin(ev, dim, "user_id", factor = 8)
+        .select(col("user_id"), col("event_id"), col("user_events"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Rolling 7-day active users (the WAU curve): per-day distinct
+    // actives expanded over the trailing week — the expansion is
+    // per-(user, day) rows (already distinct-compressed), never raw
+    // events
+    "q135_rolling_active" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      daily
+        .select(col("user_id"), explode(sequence(col("day"),
+          date_add(col("day"), 6))).as("window_day"))
+        .distinct()
+        .groupBy(col("window_day"))
+        .agg(count(lit(1)).as("wau"))
+        .orderBy(col("window_day"))
+    }),
+
     // A/B conversion readout (ops/Analytics.abConversionTest): md5-split
     // arms, exact counts, pooled two-proportion z micro-rounded
     "q132_ab_test" -> ((s, dir) => {
@@ -304,6 +336,25 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle is the UNSALTED join — identical output is the whole
+    // point of salting
+    "q134_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, count(*) AS user_events FROM events GROUP BY 1)
+        |SELECT e.user_id, e.event_id, d.user_events
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "q135_rolling_active" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |expanded AS (
+        |  SELECT DISTINCT user_id,
+        |    day + CAST(i AS INT) AS window_day
+        |  FROM daily, unnest(generate_series(0, 6)) AS t(i))
+        |SELECT window_day, count(*) AS wau
+        |FROM expanded GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q57 md5-split mirror + the z formula in the Spark expression's
     // exact float op order
     "q132_ab_test" ->

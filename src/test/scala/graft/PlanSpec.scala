@@ -316,6 +316,13 @@ class PlanSpec extends SparkTestBase {
       "attribution planned a self-join instead of the running-last window")
   }
 
+  test("q134 salted join: join key carries the salt, small side replicates") {
+    val df = SparkEntry.queries("q134_salted_join")(spark, sf)
+    val s = plan(df)
+    assert(s.contains("__salt"), "salt column missing from the join")
+    assert(s.contains("Generate"), "small side not replicated via explode")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(
