@@ -262,6 +262,27 @@ object CorpusQueries {
     // math (float summation order can't move it) — which is what makes
     // a perplexity query oracle-exact instead of rows-only. The count
     // tables are corpus-derived and deliberately NOT broadcast
+    // Cross-source shared-opening flow: for every source pair, how many
+    // 80-char document OPENINGS appear in both — the doc-level
+    // companion to q98's gram overlap (a shared opening across feeds is
+    // the re-served-boilerplate signature; exact-full-text flow is the
+    // same query with md5(text)). Hash groups carry the distinct source
+    // SET (bounded by source cardinality, the q78 dimension contract);
+    // pairs explode in-row from the set
+    "q136_dup_flow" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(substring(col("text"), 1, 80)).as("h"))
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(flatten(transform(col("ss"), (a, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"),
+          col("p.source_b").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_texts"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // PMI collocations (ops/Corpus.collocations): top-40 most-associated
     // word pairs, min support 5 — micro-nat PMI under a total order, so
     // the whole ranking is oracle-exact
@@ -562,6 +583,18 @@ object CorpusQueries {
         |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM joined WHERE status IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    "q136_dup_flow" ->
+      """WITH g AS (
+        |  SELECT md5(substr(text, 1, 80)) AS h,
+        |    list_sort(list(DISTINCT source)) AS ss
+        |  FROM documents GROUP BY 1 HAVING count(DISTINCT source) >= 2),
+        |p AS (
+        |  SELECT a.s AS source_a, b.s AS source_b
+        |  FROM (SELECT h, unnest(ss) AS s FROM g) a
+        |  JOIN (SELECT h, unnest(ss) AS s FROM g) b
+        |    ON a.h = b.h AND a.s < b.s)
+        |SELECT source_a, source_b, count(*) AS n_shared_texts
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // PMI assembled in the same fixed term order as the Spark
     // expression; the (pmi DESC, w1, w2) total order makes LIMIT exact
     "q118_collocations" ->
