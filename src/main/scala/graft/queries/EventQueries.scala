@@ -128,6 +128,20 @@ object EventQueries {
         .orderBy(col("touch_type"))
     }),
 
+    // NATIVE session_window sessionization — the built-in operator the
+    // custom q33 window spelling and the GroupState streaming
+    // sessionizer bracket; its window end is last-event + gap (the
+    // oracle mirrors that closed form)
+    "q137_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Salted skew join (ops/Skew.saltedJoin): events (skewed user
     // traffic) ⋈ per-user dimension — the oracle is the PLAIN join,
     // proving the salt is result-transparent; PlanSpec pins the salted
@@ -336,6 +350,33 @@ object EventQueries {
         |  count(*) AS n_users
         |FROM weekly JOIN first USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the q33 gap-session derivation adjusted to session_window's
+    // HALF-OPEN window (a diff of exactly the gap starts a NEW session,
+    // hence >= not >), with its closed form: start = min ts, end =
+    // max ts + gap
+    "q137_session_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1
+        |           ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, event_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS prev_ts
+        |      FROM ev)))
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // the oracle is the UNSALTED join — identical output is the whole
     // point of salting
     "q134_salted_join" ->
