@@ -106,4 +106,41 @@ object PropertySpec extends Properties("graft") {
       val s3 = graft.functions.SrpHash.signature(scaled, 16, isFloat = false)
       s1 == s2 && s1 == s3
     }
+
+  property("hilbert xy2d is a bijection with unit steps at any order") =
+    forAll(Gen.chooseNum(1, 5)) { order =>
+      import graft.functions.HilbertKernel.xy2d
+      val side = 1 << order
+      val cells = for (x <- 0 until side; y <- 0 until side)
+        yield xy2d(order, x, y) -> ((x, y))
+      val byD = cells.toMap
+      val bijective = byD.size == side * side &&
+        byD.keys.min == 0L && byD.keys.max == side.toLong * side - 1
+      val unitSteps = (0L until (side.toLong * side - 1)).forall { d =>
+        val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+        math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+      }
+      bijective && unitSteps
+    }
+
+  property("mmr rerank: distinct ids, bounded size, λ=1 follows relevance") =
+    forAll(Gen.chooseNum(1, 12), Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(-100, 100)))) { (k, raw) =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      // distinct ids; score from the int; a 2-dim vector from the pair
+      val cands = raw.map(_._1).distinct.zip(raw).map { case (id, (_, s)) =>
+        new GenericInternalRow(Array[Any](id, s.toDouble,
+          new GenericArrayData(Array[Any](s.toDouble, 1.0))))
+      }
+      val arr = new GenericArrayData(cands.toArray[Any])
+      val out = graft.functions.MmrKernel.rerank(arr, 1.0, k)
+        .toLongArray().toSeq
+      val ids = cands.map(_.getLong(0))
+      val expectedSize = math.min(k, cands.size)
+      val relevanceOrder = cands.map(r => (-r.getDouble(1), r.getLong(0)))
+        .sorted.map(_._2).take(expectedSize)
+      out.size == expectedSize && out.distinct.size == out.size &&
+        out == relevanceOrder
+    }
 }
