@@ -59,6 +59,34 @@ class StatefulSpec extends SparkTestBase {
     assert(u1Final.head.session_end == ts("2024-01-01 13:00:00"))
   }
 
+  test("native session_window aggregates a watermarked stream (q137's live twin)") {
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[RawEvent]
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("start"), col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    // one 2-event session, then other-user traffic pushes the watermark
+    // far past its close so the append-mode result finalizes
+    stream.addData(
+      RawEvent(1L, ts("2024-01-01 10:00:00")),
+      RawEvent(1L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    stream.addData(RawEvent(2L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    stream.addData(RawEvent(2L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sw_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(out.exists(r => r._1 == 1L && r._2 == ts("2024-01-01 10:00:00") && r._3 == 2L),
+      s"user-1 session not finalized: ${out.toSeq}")
+  }
+
   test("streaming funnel: advances survive batches, match the batch twin in-order") {
     implicit val sql = spark.sqlContext
     val stream = MemoryStream[TypedEvent]
