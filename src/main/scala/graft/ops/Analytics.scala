@@ -117,6 +117,30 @@ object Analytics {
       s"stack(${labels.size}, $stack) AS (bucket_idx, bucket, n_users)"))
   }
 
+  /** [[eventTransitions]] enriched with dwell time: per (cur → next)
+    * transition, the count plus total and mean dwell (seconds spent in
+    * `cur` before moving on), mean micro-rounded off the exact integer
+    * dwell-sum — where users hesitate, not just where they go. Same
+    * plan shape as the probability matrix (one lead window, one
+    * dimension-cardinality groupBy). */
+  def transitionDwell(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(byUser))
+      .withColumn("__nextTs", lead(col(tsCol), 1).over(byUser))
+      .filter(col("__next").isNotNull)
+      .select(col(typeCol).as("cur"), col("__next").as("next"),
+        ((unix_micros(col("__nextTs")) - unix_micros(col(tsCol)))
+          / lit(1000000L)).cast("long").as("dwell_s"))
+      .groupBy(col("cur"), col("next"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dwell_s")).as("total_dwell_s"),
+        (floor(sum(col("dwell_s")).cast("double") / count(lit(1))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("mean_dwell_s"))
+  }
+
   /** Two-proportion A/B conversion test: users are split into arms by
     * the engine's deterministic md5 hash split ([[Corpus.hashSplit]] —
     * assignment is a pure function of the user key, identical in any

@@ -221,6 +221,14 @@ object EventQueries {
         .orderBy(col("bucket_idx"))
     }),
 
+    // Transition dwell times (ops/Analytics.transitionDwell): where
+    // users hesitate — exact integer dwell sums, micro-rounded means
+    "q138_transition_dwell" -> ((s, dir) => {
+      graft.ops.Analytics.transitionDwell(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("cur"), col("next"))
+    }),
+
     // First-order Markov transition matrix (ops/Analytics
     // .eventTransitions): micro-rounded probabilities off exact counts
     "q120_event_transitions" -> ((s, dir) => {
@@ -535,6 +543,22 @@ object EventQueries {
         |  (4, 'gt_1d', (SELECT count(*) FROM d WHERE dur > 86400000000)))
         |  AS v(bucket_idx, bucket, n_users)
         |ORDER BY bucket_idx""".stripMargin,
+    "q138_transition_dwell" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER w AS next,
+        |    (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS dwell_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT cur, next, count(*) AS n,
+        |  CAST(sum(dwell_s) AS BIGINT) AS total_dwell_s,
+        |  floor(CAST(sum(dwell_s) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mean_dwell_s
+        |FROM pairs WHERE next IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY cur, next""".stripMargin,
     "q120_event_transitions" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
