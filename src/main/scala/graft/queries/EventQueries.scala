@@ -221,6 +221,22 @@ object EventQueries {
         .orderBy(col("bucket_idx"))
     }),
 
+    // Funnel × experiment arm (composition: Analytics.funnel over each
+    // md5-split arm) — the per-variant funnel readout an experiment
+    // review actually looks at
+    "q139_funnel_by_arm" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("arm",
+        graft.ops.Corpus.hashSplit(col("user_id"), "ab:", Seq("80" -> "a"), "b"))
+      val arms = Seq("a", "b").map { arm =>
+        graft.ops.Analytics.funnel(ev.filter(col("arm") === arm),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+          .withColumn("arm", lit(arm))
+      }
+      arms.reduce(_ unionByName _)
+        .select(col("arm"), col("stage_idx"), col("stage"), col("n_users"))
+        .orderBy(col("arm"), col("stage_idx"))
+    }),
+
     // Transition dwell times (ops/Analytics.transitionDwell): where
     // users hesitate — exact integer dwell sums, micro-rounded means
     "q138_transition_dwell" -> ((s, dir) => {
@@ -543,6 +559,34 @@ object EventQueries {
         |  (4, 'gt_1d', (SELECT count(*) FROM d WHERE dur > 86400000000)))
         |  AS v(bucket_idx, bucket, n_users)
         |ORDER BY bucket_idx""".stripMargin,
+    "q139_funnel_by_arm" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN substr(md5('ab:' || user_id), 1, 2) < '80'
+        |         THEN 'a' ELSE 'b' END AS arm
+        |  FROM events),
+        |t1 AS (SELECT arm, user_id, min(ts) AS r FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1, 2),
+        |t2 AS (SELECT e.arm, e.user_id, min(e.ts) AS r FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id AND e.arm = t1.arm
+        |       WHERE e.event_type = 'click' AND e.ts > t1.r GROUP BY 1, 2),
+        |t3 AS (SELECT e.arm, e.user_id, min(e.ts) AS r FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id AND e.arm = t2.arm
+        |       WHERE e.event_type = 'purchase' AND e.ts > t2.r GROUP BY 1, 2),
+        |arms AS (SELECT DISTINCT arm FROM ev)
+        |SELECT arm, stage_idx, stage, coalesce(n, 0) AS n_users FROM (
+        |  SELECT a.arm, s.stage_idx, s.stage, c.n
+        |  FROM arms a
+        |  CROSS JOIN (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        |    AS s(stage_idx, stage)
+        |  LEFT JOIN (
+        |    SELECT arm, 1 AS stage_idx, count(*) AS n FROM t1 GROUP BY 1
+        |    UNION ALL
+        |    SELECT arm, 2, count(*) FROM t2 GROUP BY 1
+        |    UNION ALL
+        |    SELECT arm, 3, count(*) FROM t3 GROUP BY 1) c
+        |    ON c.arm = a.arm AND c.stage_idx = s.stage_idx)
+        |ORDER BY arm, stage_idx""".stripMargin,
     "q138_transition_dwell" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
