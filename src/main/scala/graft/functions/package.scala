@@ -317,6 +317,16 @@ package object functions {
   def srpSignature(v: Column, bits: Int): Column =
     expr2col(SrpSignature(col2expr(v), bits))
 
+  /** Viterbi unigram-LM encode (see [[UnigramKernel]]): vocab is
+    * (piece, micro-nat logprob) pairs; the map rides the plan as a
+    * codegen reference object. */
+  def unigramEncode(text: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int): Column = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    vocab.foreach { case (p, lp) => m.put(p, java.lang.Long.valueOf(lp)) }
+    expr2col(UnigramEncode(col2expr(text), m, maxPieceLen))
+  }
+
   /** Hilbert-curve clustering key (see [[HilbertKernel.xy2d]]). */
   def hilbertIndex(x: Column, y: Column, order: Int): Column =
     expr2col(HilbertIndex(col2expr(x.cast("long")), col2expr(y.cast("long")), order))

@@ -376,6 +376,48 @@ object CorpusQueries {
           round(sum(col("nb")).cast("double") / sum(col("nw")) * 1e6)
             .cast("long").as("fertility_micro"))
         .orderBy(col("source"))
+    }),
+
+    // Unigram-LM tokenizer induction (ops/Unigram, Kudo 2018 — the
+    // prune-based family next to q97's merge-based BPE): the learned
+    // vocabulary IS the artifact (golden — EM + Viterbi aren't
+    // SQL-expressible; determinism via exact integer counts, micro-nat
+    // probs, and total-order selections)
+    "q140_unigram_vocab" -> ((s, dir) => {
+      val vocab = graft.ops.Unigram.learnVocab(t(s, dir, "documents"),
+        "text", seedSize = 2000, targetSize = 300, emRounds = 2,
+        maxPieceLen = 6)
+      val spark = s
+      import spark.implicits._
+      vocab.toDF("piece", "logprob_micro")
+        .orderBy(col("logprob_micro").desc, col("piece"))
+    }),
+
+    // Tokenizer family A/B: the same corpus encoded by the learned BPE
+    // (32 merges) and the learned unigram vocab — corpus fertility per
+    // family, the gauge a pipeline uses to pick its tokenizer
+    "q141_tokenizer_compare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.learnMergesLocal(docs, "text", merges = 32)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val uni = graft.ops.Unigram.learnVocab(docs, "text",
+        seedSize = 2000, targetSize = 300, emRounds = 2, maxPieceLen = 6)
+      val spark = s
+      import spark.implicits._
+      Seq("bpe", "unigram").map { fam =>
+        val nTok = if (fam == "bpe") size(graft.ops.Bpe.encodeBpe(col("text"), merges))
+          else size(graft.ops.Unigram.encode(col("text"), uni, 6))
+        docs.select(tokenCount(col("text")).as("nw"), nTok.as("nt"))
+          .agg(sum(col("nw")).cast("long").as("n_words"),
+            sum(col("nt")).cast("long").as("n_tokens"),
+            round(sum(col("nt")).cast("double") / sum(col("nw")) * 1e6)
+              .cast("long").as("fertility_micro"))
+          .withColumn("tokenizer", lit(fam))
+      }.reduce(_ unionByName _)
+        .select(col("tokenizer"), col("n_words"), col("n_tokens"),
+          col("fertility_micro"))
+        .orderBy(col("tokenizer"))
     })
   )
 
