@@ -340,7 +340,11 @@ object Analytics {
     * the proof they agree. */
   private def ntileExact(df: DataFrame, metric: Column, userCol: Column,
       k: Int, out: String): DataFrame = {
-    val withM = df.withColumn("__m", metric)
+    // three consumers below (tie-rank, histogram, total) — materialize
+    // once so cascaded ntile layers don't recompute the whole chain per
+    // consumer (the semDedup single-scan discipline); the frame is
+    // per-user aggregated, orders of magnitude under the event log
+    val withM = df.withColumn("__m", metric).localCheckpoint()
     val counts = withM.groupBy(col("__m")).agg(count(lit(1)).as("__c"))
     val offs = counts.withColumn("__off",
       coalesce(sum(col("__c")).over(Window.orderBy(col("__m"))
