@@ -316,6 +316,17 @@ class PlanSpec extends SparkTestBase {
       "attribution planned a self-join instead of the running-last window")
   }
 
+  test("q121 rfm: cascaded exact-ntile layers stay within a bounded exchange budget") {
+    // pre-fix, each ntile layer's three consumers recomputed the whole
+    // chain below it (139 exchanges); the per-layer materialization
+    // keeps it flat
+    val df = SparkEntry.queries("q121_rfm")(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.length <= 10, s"rfm has ${exchanges.length} exchanges")
+  }
+
   test("q134 salted join: join key carries the salt, small side replicates") {
     val df = SparkEntry.queries("q134_salted_join")(spark, sf)
     val s = plan(df)
