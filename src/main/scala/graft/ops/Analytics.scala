@@ -338,7 +338,7 @@ object Analytics {
     * applied to ranking: the ORACLE runs native window ntile, this
     * runs the distributed equivalent, and the driver's hash compare is
     * the proof they agree. */
-  private def ntileExact(df: DataFrame, metric: Column, userCol: Column,
+  private[ops] def ntileExact(df: DataFrame, metric: Column, userCol: Column,
       k: Int, out: String): DataFrame = {
     // three consumers below (tie-rank, histogram, total) — materialize
     // once so cascaded ntile layers don't recompute the whole chain per

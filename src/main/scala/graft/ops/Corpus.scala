@@ -721,4 +721,93 @@ object Corpus {
       .agg((sum(when(col("m_a") === col("m_b"), 1L).otherwise(0L))
         .cast("double") / perms).as("jaccard_est"))
   }
+
+  /** Cross-doc duplicated-SPAN detection — the positional sharpening of
+    * [[dupGramStats]] (Lee et al. 2022's exact-substring signal without
+    * the suffix array): an n-gram occurrence is duplicated when its
+    * gram appears in ≥ `minDocs` distinct docs; a SPAN is a maximal run
+    * of consecutive duplicated gram positions (gaps-and-islands:
+    * pos − row_number over duplicated positions is constant within a
+    * run). A long max_run is verbatim boilerplate to cut; a high n_dup
+    * with short runs is phrase-level reuse to keep.
+    *
+    * Returns (doc_id, n_grams, n_dup, n_spans, max_run) for EVERY input
+    * doc (zeros when gram-less or clean). Scale shape: one corpus-gram
+    * exchange to per-doc gram counts, a gram-keyed doc-frequency join
+    * (ids+hashes only — text never travels), and a per-doc sort for the
+    * islands window. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2,
+      s"dupSpans needs n > 0 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val occ = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.wordNgramHashes(col(textCol), n))
+        .as(Seq("pos", "g")))
+    val docFreq = occ.groupBy(col("g"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val marked = occ.join(docFreq.filter(col("df") >= minDocs), Seq("g"),
+        "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+    val runs = marked
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_dup"), count(lit(1)).as("n_spans"),
+        max(col("run")).as("max_run"))
+    val totals = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over the
+    * whitespace-token unigram distribution — the mixture-health gauge
+    * behind reweighting decisions (a source whose KL spikes after a
+    * crawl refresh changed its content profile, whatever its row count
+    * says). No smoothing needed: a source's support is a subset of the
+    * corpus's by construction.
+    *
+    * Oracle-exact discipline (q88/q118 applied to divergence): the log
+    * ratio ln(c_st·c / (c_s·c_t)) is computed on EXACT integer counts,
+    * rounded once per term to nano-nats, then Σ c_st·lnratio_nano is
+    * exact integer arithmetic and one final integer DIV by c_s rounds
+    * the per-source divergence. Integer products stay under 2⁵³ up to
+    * ~10⁸ corpus tokens per side; beyond that, pre-aggregate counts to
+    * DECIMAL before the ratio (same trade as q131's moments).
+    *
+    * Scale shape: one token exchange to (source, token) counts, a
+    * token-keyed join against corpus counts (token text never leaves
+    * the histogram), dimension-cardinality output. */
+  def sourceDivergence(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+        explode(split(lower(col(textCol)), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val st = toks.groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+    val s = st.groupBy(col("source")).agg(sum(col("c_st")).as("c_s"))
+    val ct = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+    val c = st.agg(sum(col("c_st")).as("c"))
+    st.join(ct, Seq("t")).join(broadcast(s), Seq("source")).crossJoin(c)
+      .withColumn("lnr_nano",
+        floor(log(col("c_st").cast("double") * col("c").cast("double")
+          / (col("c_s").cast("double") * col("c_t").cast("double")))
+          * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("source"))
+      // final division in doubles, NOT integer DIV: the rounded sum can
+      // land epsilon-negative and Spark's div truncates toward zero
+      // while DuckDB's // floors — doubles built from the same exact
+      // integers divide identically in both engines
+      .agg(max(col("c_s")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        floor(sum(col("c_st") * col("lnr_nano")).cast("double")
+          / max(col("c_s")).cast("double") + lit(0.5)).cast("long")
+          .as("kl_nano"))
+  }
 }

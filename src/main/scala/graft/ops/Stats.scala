@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact order statistics — quantiles, rank-sum AUC,
+  * median/MAD outliers — built on the value-HISTOGRAM prefix-rank
+  * construction (the q121 ntile machinery generalized): group by the
+  * metric VALUE first, window over the distinct-value histogram, and
+  * join ranks back. The only sorts are over per-group distinct values
+  * (bounded by value cardinality, not row count), so a 100 TB frame
+  * with a few million distinct cents sorts a few million histogram
+  * rows — never the frame itself.
+  *
+  * Engine-portable by construction: every rank, cutoff, and score is
+  * integer arithmetic until one final well-separated rounding, so the
+  * DuckDB oracle's native window forms hash-match exactly (the q88/q90
+  * discipline applied to order statistics).
+  */
+object Stats {
+
+  /** Exact discrete quantiles (SQL `percentile_disc` semantics: the
+    * smallest value whose cumulative count reaches rank
+    * ceil(p/100 × n), computed as the INTEGER `(n·p + 99) div 100`)
+    * per group over an integral metric column.
+    *
+    * Returns one row per group: `group, n, q<p>` for each requested
+    * percentile. Scale shape: one partial-agg rollup to the
+    * (group, value) histogram, one per-group window over distinct
+    * values, one dimension-cardinality final agg. The full frame
+    * shuffles once (to the histogram); rows never sort globally. */
+  def quantilesDisc(df: DataFrame, groupCol: Column, valueCol: Column,
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    val hist = df
+      .groupBy(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byG))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    // rank cutoff ceil(p·n/100) as INTEGER arithmetic — `(n·p+99) div
+    // 100`, never float division (whose representation error can cross
+    // an integer boundary exactly at the ranks that matter)
+    val qCols = percentiles.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("v")))
+        .as(s"p$p")
+    }
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), qCols: _*)
+  }
+
+  /** Exact ROC AUC via the Mann–Whitney rank-sum with midrank tie
+    * handling — the distributed form of "sort by score, sum positive
+    * ranks" that never sorts the frame: ranks come from the score
+    * histogram (2·midrank(v) = 2·cumBefore(v) + cnt(v) + 1, an
+    * INTEGER), so Σ 2·midrank over positives is exact, and
+    * AUC = (Σ2R − n₊(n₊+1)) / (2·n₊·n₋) is a ratio of exact integers
+    * rounded once to micro units.
+    *
+    * Returns a single row: n, n_pos, auc_micro, gini_micro. Degenerate
+    * label distributions (no positives or no negatives) raise — an
+    * AUC over one class is a pipeline bug, not a 0.5. */
+  def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val hist = df
+      .groupBy(scoreCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(labelCol.cast("int")).cast("long").as("cpos"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("c")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // rank sums accumulate in DECIMAL(38,0) (the q131/q103 exact-moment
+    // discipline): Σ2R grows as n·n and n²·10⁶ overflows BIGINT past
+    // ~6M rows — decimal keeps the arithmetic exact to 38 digits
+    val agg = cum.agg(
+      sum(col("c")).as("n"),
+      sum(col("cpos")).as("n_pos"),
+      sum(col("cpos").cast("decimal(38,0)")
+        * (col("cum_before") * 2 + col("c") + lit(1)).cast("decimal(38,0)"))
+        .as("sum2r"))
+    agg
+      // floor(x·1e6 + 0.5) on an exact integer ratio: num/den with
+      // num = Σ2R − n₊(n₊+1) ≥ 0, den = 2·n₊·n₋ — all-integer DIV,
+      // no float division anywhere (num·1e6 overflows double's 53-bit
+      // mantissa at ~1e5 rows, so a double path would be WRONG, not
+      // just untidy). The degenerate-label raise is woven INTO the
+      // consumed column (the strict-date pattern,
+      // functions/package.scala) so pruning can't drop it.
+      .select(col("n"), col("n_pos"),
+        expr("""CASE WHEN n_pos > 0 AND n - n_pos > 0
+               |  THEN ((sum2r - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+               |          * 1000000
+               |        + CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos))
+               |       DIV (CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos) * 2)
+               |  ELSE raise_error(concat(
+               |    'aucExact needs both classes present, got n_pos=',
+               |    CAST(n_pos AS STRING), ' of n=', CAST(n AS STRING)))
+               |END""".stripMargin).cast("long").as("auc_micro"))
+      .withColumn("gini_micro", col("auc_micro") * 2 - 1000000L)
+  }
+
+  /** Robust per-group outlier profile from EXACT median and MAD: for
+    * each group, med = percentile_disc(0.5) of the integral metric,
+    * MAD = percentile_disc(0.5) of |v − med|, and n_outliers counts
+    * rows with |v − med| > k·MAD — all integer comparisons, so the
+    * flag can never round apart from the oracle. The classic
+    * mean/stddev z-score breaks under the very outliers it hunts;
+    * median/MAD does not (50% breakdown point).
+    *
+    * Two histogram passes over the frame (value, then deviation) —
+    * each the quantilesDisc scale shape; the per-group medians ride a
+    * broadcast join back onto the second pass. */
+  def medianMadOutliers(df: DataFrame, groupCol: Column, valueCol: Column,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"MAD multiplier must be positive, got $k")
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+    val med = quantilesDisc(base, col("g"), col("v"), Seq(50))
+      .select(col("g"), col("p50").as("med"))
+    val dev = base.join(broadcast(med), Seq("g"))
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = quantilesDisc(dev, col("g"), col("d"), Seq(50))
+      .select(col("g"), col("p50").as("mad"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("d") > col("mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Decile lift / gains table — the model-targeting companion of
+    * [[aucExact]]: rows ranked by score DESC (ties broken by `tieCol`
+    * — the total order both engines share), cut into `buckets` equal
+    * slices by [[Analytics.ntileExact]] (the distributed exact ntile —
+    * no global sort), then per slice the positive rate, its lift over
+    * the base rate, and the cumulative capture of all positives.
+    * "Top decile captures 4× base rate" is the sentence this op exists
+    * to make exact.
+    *
+    * All-integer micro arithmetic on non-negative operands, so Spark's
+    * truncating DIV and the oracle's flooring // agree; sums ride
+    * DECIMAL(38,0) past the 2⁶³ regime. A label-free frame raises (a
+    * lift table over zero positives is a pipeline bug, not a row of
+    * nulls). */
+  def decileLift(df: DataFrame, scoreCol: Column, labelCol: Column,
+      tieCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2, 1000], got $buckets")
+    val base = df.select(scoreCol.cast("long").as("__v"),
+      labelCol.cast("int").cast("long").as("__pos"), tieCol.as("__tie"))
+    val ranked = Analytics.ntileExact(base, -col("__v"), col("__tie"),
+      buckets, "decile")
+    val b = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_b"), sum(col("__pos")).as("npos_b"))
+    val tot = b.agg(sum(col("n_b")).as("n"), sum(col("npos_b")).as("npos"))
+    val cumW = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0) // `buckets` rows total
+    b.crossJoin(tot)
+      .withColumn("cum_pos", sum(col("npos_b")).over(cumW))
+      .select(col("decile"), col("n_b"), col("npos_b"),
+        expr("""CASE WHEN npos > 0
+               |  THEN CAST(CAST(npos_b AS DECIMAL(38,0)) * 1000000
+               |            DIV n_b AS BIGINT)
+               |  ELSE raise_error('decileLift needs at least one positive label')
+               |END""".stripMargin).cast("long").as("rate_micro"),
+        expr("""CAST(CAST(npos_b AS DECIMAL(38,0)) * n * 1000000
+               |     DIV (CAST(n_b AS DECIMAL(38,0)) * npos) AS BIGINT)"""
+          .stripMargin).as("lift_micro"),
+        expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 DIV npos AS BIGINT)")
+          .as("cum_capture_micro"))
+  }
+
+  /** DDSketch-style mergeable log-histogram quantiles over a POSITIVE
+    * integral metric: bucket = (ilog2(v), sub) with `subBuckets`
+    * linear sub-divisions of each binary octave — relative error ≤
+    * 1/subBuckets, bucket counts merge by addition in ANY order (the
+    * property that makes the sketch streamable and shardable, unlike
+    * exact quantiles' ordered prefix).
+    *
+    * The estimate for percentile p is the LOWER BOUND of the first
+    * bucket whose cumulative count reaches rank (n·p + 99) div 100 —
+    * deterministic integers end-to-end. ilog2 is float-log2 with an
+    * exact boundary correction (compare against pow(2, b)), the same
+    * closed form the SQL oracle runs, so engines cannot disagree at
+    * octave boundaries.
+    *
+    * Returns per group: n, est_p50, est_p90, est_p99. Callers wanting
+    * an error gauge join against [[quantilesDisc]] (q145 does). */
+  def sketchQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+      subBuckets: Int = 8): DataFrame = {
+    require(subBuckets >= 2 && subBuckets <= 256
+        && (subBuckets & (subBuckets - 1)) == 0,
+      s"subBuckets must be a power of two in [2, 256] (keeps every " +
+        s"bucket bound exact integer math), got $subBuckets")
+    val v = col("__v")
+    val b0 = floor(log2(v)).cast("long")
+    // float log2 with an exact boundary correction — then the raise
+    // for non-positive input woven into the consumed octave column
+    val corrected =
+      when(pow(lit(2.0), (b0 + 1).cast("double")) <= v.cast("double"), b0 + 1)
+        .when(pow(lit(2.0), b0.cast("double")) > v.cast("double"), b0 - 1)
+        .otherwise(b0)
+    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("__v"))
+      .withColumn("e", when(v > 0, corrected).otherwise(raise_error(
+        concat(lit("sketchQuantiles needs positive values, got "), v))))
+      // linear sub-bucket inside the octave: (v − 2^e)·m div 2^e —
+      // all-integer once e is fixed (shiftleft is the exact power)
+      .withColumn("sub",
+        expr(s"(__v - shiftleft(1L, CAST(e AS INT))) * $subBuckets" +
+          " DIV shiftleft(1L, CAST(e AS INT))"))
+    val buckets = base
+      .groupBy(col("g"), col("e"), col("sub"))
+      .agg(count(lit(1)).as("c"))
+      // bucket lower bound back in value units: 2^e + sub·2^e div m
+      .withColumn("lo",
+        expr(s"shiftleft(1L, CAST(e AS INT))" +
+          s" + sub * shiftleft(1L, CAST(e AS INT)) DIV $subBuckets"))
+    val byG = Window.partitionBy(col("g")).orderBy(col("e"), col("sub"))
+    val cum = buckets
+      .withColumn("cum", sum(col("c")).over(byG))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n * 50 + 99) DIV 100"), col("lo")))
+          .as("est_p50"),
+        min(when(col("cum") >= expr("(n * 90 + 99) DIV 100"), col("lo")))
+          .as("est_p90"),
+        min(when(col("cum") >= expr("(n * 99 + 99) DIV 100"), col("lo")))
+          .as("est_p99"))
+  }
+}

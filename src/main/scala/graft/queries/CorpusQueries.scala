@@ -418,6 +418,25 @@ object CorpusQueries {
         .select(col("tokenizer"), col("n_words"), col("n_tokens"),
           col("fertility_micro"))
         .orderBy(col("tokenizer"))
+    }),
+
+    // Cross-doc duplicated-SPAN detection (ops/Corpus.dupSpans — the
+    // positional sharpening of q107's duplicate-gram fraction): maximal
+    // runs of consecutive cross-doc-duplicated trigram positions via
+    // gaps-and-islands. max_run says "verbatim boilerplate" where
+    // q107's fraction can only say "reused phrases somewhere"
+    "q146_dup_spans" -> ((s, dir) => {
+      Corpus.dupSpans(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-source KL(source ‖ corpus) over whitespace unigrams
+    // (ops/Corpus.sourceDivergence) — the mixture-drift gauge; exact
+    // integer counts, one nano-nat rounding per term (q88/q118
+    // discipline applied to divergence)
+    "q147_source_kl" -> ((s, dir) => {
+      Corpus.sourceDivergence(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("source"))
     })
   )
 
@@ -820,6 +839,64 @@ object CorpusQueries {
          |    AS mean_quality_micro,
          |  CAST(min(n_tok) AS BIGINT) AS min_tokens,
          |  CAST(max(n_tok) AS BIGINT) AS max_tokens
-         |FROM per GROUP BY source ORDER BY source""".stripMargin
+         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+    // same tokenization as the q107 oracle (string trigrams mirror the
+    // Spark side's hashed grams); islands key pos − row_number is
+    // position-offset-invariant, so DuckDB's 1-based slice positions
+    // and Spark's 0-based posexplode agree by construction
+    "q146_dup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |occ AS (
+        |  SELECT doc_id, s AS pos, array_to_string(l[s:s+2], ' ') AS gram
+        |  FROM d, unnest(generate_series(1, len(l) - 2)) AS u(s)),
+        |pd AS (SELECT gram, doc_id FROM occ GROUP BY 1, 2),
+        |dfq AS (SELECT gram, count(*) AS df FROM pd GROUP BY 1),
+        |mk AS (SELECT o.doc_id, o.pos
+        |  FROM occ o JOIN dfq USING (gram) WHERE df >= 2),
+        |isl AS (SELECT doc_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS island
+        |  FROM mk),
+        |runs AS (SELECT doc_id, island, count(*) AS run
+        |  FROM isl GROUP BY 1, 2),
+        |r AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_dup,
+        |    CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(max(run) AS BIGINT) AS max_run
+        |  FROM runs GROUP BY 1),
+        |tots AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        |  FROM occ GROUP BY 1)
+        |SELECT documents.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_dup, 0) AS n_dup, coalesce(n_spans, 0) AS n_spans,
+        |  coalesce(max_run, 0) AS max_run
+        |FROM documents LEFT JOIN tots USING (doc_id) LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the double pipeline mirrors the Spark side operation-for-
+    // operation (numerator product, then one division) so the ln sees
+    // the identical IEEE double; one nano-nat floor per term, exact
+    // integer Σ, one final identical-double division
+    "q147_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |tk AS (SELECT source, t FROM toks WHERE length(t) > 0),
+        |st AS (SELECT source, t, count(*) AS c_st FROM tk GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS c_s
+        |  FROM st GROUP BY 1),
+        |ct AS (SELECT t, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |c AS (SELECT CAST(sum(c_st) AS BIGINT) AS c FROM st),
+        |j AS (SELECT st.source, st.c_st, s.c_s, ct.c_t,
+        |    CAST(floor(ln(CAST(st.c_st AS DOUBLE) * c.c
+        |        / (CAST(s.c_s AS DOUBLE) * ct.c_t)) * 1e9 + 0.5) AS BIGINT)
+        |      AS lnr_nano
+        |  FROM st JOIN ct USING (t) JOIN s USING (source) CROSS JOIN c)
+        |SELECT source, max(c_s) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(floor(CAST(sum(c_st * lnr_nano) AS DOUBLE)
+        |      / CAST(max(c_s) AS DOUBLE) + 0.5) AS BIGINT) AS kl_nano
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -272,6 +272,45 @@ object EventQueries {
         col("ts"), col("event_type"))
         .withColumnRenamed("key", "event_type")
         .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // Exact ROC AUC of the value signal against the purchase label via
+    // the distributed Mann–Whitney rank-sum (ops/Stats.aucExact):
+    // midranks from the score HISTOGRAM, never a global sort; the
+    // all-integer 2·midrank form is what makes an AUC hash-exact
+    // across engines (the q88 discipline applied to ranking metrics)
+    "q143_auc" -> ((s, dir) => {
+      graft.ops.Stats.aucExact(
+        t(s, dir, "events").withColumn("cents",
+          floor(col("value") * 100 + lit(0.5)).cast("long")),
+        col("cents"), col("event_type") === "purchase")
+    }),
+
+    // Robust per-type value-anomaly profile: exact median + MAD (50%
+    // breakdown point — mean/stddev z-scores break under the very
+    // outliers they hunt), outliers = |v − med| > 3·MAD, all integer
+    // comparisons (ops/Stats.medianMadOutliers, two histogram passes)
+    "q144_mad_outliers" -> ((s, dir) => {
+      graft.ops.Stats.medianMadOutliers(
+        t(s, dir, "events").withColumn("cents",
+          floor(col("value") * 100 + lit(0.5)).cast("long")),
+        col("event_type"), col("cents"), k = 3)
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // Decile lift / gains table for the value→purchase signal
+    // (ops/Stats.decileLift): deciles from the DISTRIBUTED exact ntile
+    // (q121 machinery) over score DESC with event_id tie order — the
+    // oracle runs native window ntile, the hash compare is the
+    // equivalence proof; per-decile positive rate, lift, and
+    // cumulative capture in all-integer micro units
+    "q148_decile_lift" -> ((s, dir) => {
+      graft.ops.Stats.decileLift(
+        t(s, dir, "events").withColumn("cents",
+          floor(col("value") * 100 + lit(0.5)).cast("long")),
+        col("cents"), col("event_type") === "purchase", col("event_id"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -686,6 +725,86 @@ object EventQueries {
         |               / (t_cnt - 1), CAST(0.0 AS DOUBLE)))
         |         THEN 'spike'
         |       ELSE 'ok' END AS status
-        |FROM w ORDER BY event_type, hour""".stripMargin
+        |FROM w ORDER BY event_type, hour""".stripMargin,
+
+    // Mann–Whitney midrank closed form: 2·midrank(v) = 2·cumBefore(v)
+    // + cnt(v) + 1 keeps every rank an integer; AUC is one integer
+    // ratio micro-rounded once — hugeint on the DuckDB side mirrors
+    // the Spark side's DECIMAL(38,0) rank sums
+    "q143_auc" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |h AS (SELECT v, count(*) AS c, sum(pos) AS cpos FROM c GROUP BY 1),
+        |cum AS (SELECT v, c, cpos,
+        |    coalesce(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM h),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(cpos) AS BIGINT) AS n_pos,
+        |    sum(cpos * (2 * cb + c + 1)) AS sum2r
+        |  FROM cum),
+        |m AS (SELECT n, n_pos,
+        |    CAST(((sum2r - n_pos * (n_pos + 1)) * 1000000
+        |          + n_pos * (n - n_pos))
+        |         // (n_pos * (n - n_pos) * 2) AS BIGINT) AS auc_micro
+        |  FROM a)
+        |SELECT n, n_pos, auc_micro,
+        |  auc_micro * 2 - 1000000 AS gini_micro FROM m""".stripMargin,
+
+    "q144_mad_outliers" ->
+      """WITH c AS (SELECT event_type AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |h AS (SELECT g, v, count(*) AS c FROM c GROUP BY 1, 2),
+        |cm AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        |med AS (SELECT g,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS med
+        |  FROM cm GROUP BY g),
+        |d AS (SELECT c.g AS g, abs(c.v - m.med) AS dv, m.med AS med
+        |  FROM c JOIN med m ON c.g = m.g),
+        |dh AS (SELECT g, dv, count(*) AS c FROM d GROUP BY 1, 2),
+        |dcm AS (SELECT g, dv,
+        |    sum(c) OVER (PARTITION BY g ORDER BY dv) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM dh),
+        |mad AS (SELECT g,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN dv END) AS mad
+        |  FROM dcm GROUP BY g)
+        |SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(d.med) AS BIGINT) AS med,
+        |  CAST(max(ma.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN d.dv > 3 * ma.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN mad ma ON d.g = ma.g
+        |GROUP BY d.g ORDER BY event_type""".stripMargin,
+
+    // native window ntile over (score DESC, event_id) = the Spark
+    // side's ntileExact(-score, event_id); all operands non-negative,
+    // so DuckDB's flooring // equals Spark's truncating DIV
+    "q148_decile_lift" ->
+      """WITH c AS (SELECT event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |r AS (SELECT v, pos,
+        |    CAST(ntile(10) OVER (ORDER BY v DESC, event_id) AS INT) AS decile
+        |  FROM c),
+        |b AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(sum(pos) AS BIGINT) AS npos_b
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+        |    CAST(sum(npos_b) AS BIGINT) AS npos FROM b),
+        |w AS (SELECT decile, n_b, npos_b, n, npos,
+        |    CAST(sum(npos_b) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+        |  FROM b CROSS JOIN t)
+        |SELECT decile, n_b, npos_b,
+        |  npos_b * 1000000 // n_b AS rate_micro,
+        |  npos_b * n * 1000000 // (n_b * npos) AS lift_micro,
+        |  cum_pos * 1000000 // npos AS cum_capture_micro
+        |FROM w ORDER BY decile""".stripMargin
   )
 }

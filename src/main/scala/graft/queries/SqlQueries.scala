@@ -270,6 +270,47 @@ object SqlQueries {
         .withColumn("z", graft.ops.Layout.zValueN(
           Seq(col("x"), col("y"), col("t3")), bitsPerDim = 8))
         .orderBy(col("z"), col("doc_id"))
+    }),
+
+    // Exact DISTRIBUTED percentile_disc per group (ops/Stats
+    // histogram-prefix-rank construction — the q121 machinery applied
+    // to quantiles): the oracle runs the same closed form natively and
+    // the hash compare proves the distributed ranks agree. Unlike
+    // q36's `percentile()` (an in-memory sort per group inside one
+    // agg buffer), this never holds a group's values in one buffer —
+    // the 100 TB shape.
+    "q142_exact_quantiles" -> ((s, dir) => {
+      graft.ops.Stats.quantilesDisc(
+        t(s, dir, "lineitem").withColumn("cents",
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")),
+        col("l_returnflag"), col("cents"), Seq(25, 50, 75, 90, 99))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Mergeable log-histogram quantile sketch (DDSketch-style: binary
+    // octave × 16 linear sub-buckets → ≤6.25% relative error bound)
+    // next to the EXACT quantiles it approximates — the per-group
+    // err*_micro columns ARE the measured error, and the oracle
+    // recomputes sketch + exact + error natively, so the error gauge
+    // itself is hash-verified. Bucket counts merge by addition in any
+    // order: the streamable/shardable path exact prefix-ranks lack.
+    "q145_sketch_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("cents",
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+      val sk = graft.ops.Stats.sketchQuantiles(
+        li, col("l_returnflag"), col("cents"), subBuckets = 16)
+      val ex = graft.ops.Stats.quantilesDisc(
+        li, col("l_returnflag"), col("cents"), Seq(50, 90, 99)).drop("n")
+      sk.join(ex, Seq("g"))
+        .select(col("g").as("l_returnflag"), col("n"),
+          col("est_p50"), col("p50"),
+          expr("abs(est_p50 - p50) * 1000000 DIV p50").as("err50_micro"),
+          col("est_p90"), col("p90"),
+          expr("abs(est_p90 - p90) * 1000000 DIV p90").as("err90_micro"),
+          col("est_p99"), col("p99"),
+          expr("abs(est_p99 - p99) * 1000000 DIV p99").as("err99_micro"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -440,6 +481,75 @@ object SqlQueries {
          |  (${sqlSpread3("x", 0, 8)}) |
          |  (${sqlSpread3("y", 1, 8)}) |
          |  (${sqlSpread3("t3", 2, 8)}) AS z
-         |FROM c ORDER BY z, doc_id""".stripMargin
+         |FROM c ORDER BY z, doc_id""".stripMargin,
+
+    // percentile_disc closed form: smallest v whose cumulative count
+    // reaches rank ceil(p·n/100) = (n·p+99)//100 — INTEGER rank math
+    // on both sides (float division's representation error can cross
+    // an integer boundary at exactly the ranks that matter)
+    "q142_exact_quantiles" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |h AS (SELECT g, v, count(*) AS c FROM c GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END) AS p25,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN v END) AS p75,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+        |FROM cum GROUP BY g ORDER BY l_returnflag""".stripMargin,
+
+    // the sketch oracle recomputes bucket = (corrected-ilog2 octave,
+    // 16 linear sub-buckets) natively — the float-log2 boundary
+    // correction (compare against pow(2, b)) is the same closed form
+    // the Spark side runs, so engines cannot disagree at octave edges
+    "q145_sketch_quantiles" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |e0 AS (SELECT g, v, CAST(floor(log2(v)) AS BIGINT) AS b0 FROM c),
+        |e1 AS (SELECT g, v,
+        |    CASE WHEN pow(2, b0 + 1) <= v THEN b0 + 1
+        |         WHEN pow(2, b0) > v THEN b0 - 1
+        |         ELSE b0 END AS e
+        |  FROM e0),
+        |bk AS (SELECT g, e,
+        |    (v - (1::BIGINT << CAST(e AS INT))) * 16
+        |      // (1::BIGINT << CAST(e AS INT)) AS sub
+        |  FROM e1),
+        |h AS (SELECT g, e, sub, count(*) AS c FROM bk GROUP BY 1, 2, 3),
+        |lob AS (SELECT g, e, sub, c,
+        |    (1::BIGINT << CAST(e AS INT))
+        |      + sub * (1::BIGINT << CAST(e AS INT)) // 16 AS lo
+        |  FROM h),
+        |cum AS (SELECT g, lo,
+        |    sum(c) OVER (PARTITION BY g ORDER BY e, sub) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM lob),
+        |sk AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lo END) AS BIGINT) AS est_p50,
+        |    CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lo END) AS BIGINT) AS est_p90,
+        |    CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lo END) AS BIGINT) AS est_p99
+        |  FROM cum GROUP BY g),
+        |vh AS (SELECT g, v, count(*) AS c FROM c GROUP BY 1, 2),
+        |vcum AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM vh),
+        |ex AS (SELECT g,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+        |    min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+        |    min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99
+        |  FROM vcum GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  est_p50, p50, abs(est_p50 - p50) * 1000000 // p50 AS err50_micro,
+        |  est_p90, p90, abs(est_p90 - p90) * 1000000 // p90 AS err90_micro,
+        |  est_p99, p99, abs(est_p99 - p99) * 1000000 // p99 AS err99_micro
+        |FROM sk JOIN ex USING (g) ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -426,4 +426,42 @@ class SemanticsSpec extends SparkTestBase {
     assert(est(("A", "C")) <= 0.05 && est(("B", "C")) <= 0.05,
       "disjoint sources should estimate near zero")
   }
+
+  test("dupSpans: islands split runs; self-repeats and clean docs stay zero") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 vs doc 2 share "a b", "b c" (positions 0,1 → one run of 2)
+      // and "e f" (position 4 → its own run of 1): 2 spans, max_run 2
+      (1L, "a b c d e f g"),
+      (2L, "a b c x e f y"),
+      (3L, "p q p q p q"),        // within-doc repeats: df=1 → clean
+      (4L, "")                    // gram-less → all zeros
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.dupSpans(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 6L, 3L, 2L, 2L),
+      (2L, 6L, 3L, 2L, 2L),
+      (3L, 5L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L)), got.toSeq.toString)
+  }
+
+  test("sourceDivergence: a corpus-matching source scores ~0, a skewed one higher") {
+    import spark.implicits._
+    // source A = the corpus profile (uniform over 4 tokens); source B
+    // concentrates on one token → KL(B‖corpus) must exceed KL(A‖corpus)
+    val docs = Seq(
+      (1L, "A", "w x y z"), (2L, "A", "w x y z"),
+      (3L, "B", "w w w w"), (4L, "B", "w w w x")
+    ).toDF("doc_id", "source", "text")
+    val kl = graft.ops.Corpus.sourceDivergence(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("kl_nano"))).toMap
+    assert(kl("A")._1 == 8L && kl("B")._1 == 8L)
+    assert(kl("B")._2 > kl("A")._2,
+      s"skewed source should diverge more: $kl")
+    assert(kl("A")._2 >= 0L && kl("B")._2 > 100000000L, kl.toString) // > 0.1 nat
+  }
 }

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantics of the histogram-prefix-rank order statistics (ops/Stats):
+  * quantilesDisc against hand-computed percentile_disc ranks, aucExact
+  * against the closed-form rank-sum on tiny labeled sets, medianMad
+  * against hand medians, and the sketch's relative-error contract. */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantilesDisc picks the smallest value at rank ceil(p·n/100)") {
+    // n=10 values 10..100: p50 → rank 5 → 50; p25 → rank ceil(2.5)=3
+    // → 30; p99 → rank ceil(9.9)=10 → 100; p100 → rank 10 → 100
+    val df = (1 to 10).map(i => ("a", i * 10L)).toDF("g", "v")
+    val out = Stats.quantilesDisc(df, col("g"), col("v"), Seq(25, 50, 99))
+      .collect().head
+    assert(out.getAs[Long]("n") == 10L)
+    assert(out.getAs[Long]("p25") == 30L)
+    assert(out.getAs[Long]("p50") == 50L)
+    assert(out.getAs[Long]("p99") == 100L)
+  }
+
+  test("quantilesDisc handles duplicated values and multiple groups") {
+    // group b: [1,1,1,9] → n=4, p50 rank 2 → 1, p90 rank ceil(3.6)=4 → 9
+    val df = (Seq(("a", 5L), ("a", 7L)) ++
+      Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 9L))).toDF("g", "v")
+    val rows = Stats.quantilesDisc(df, col("g"), col("v"), Seq(50, 90))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("b").getAs[Long]("p50") == 1L)
+    assert(rows("b").getAs[Long]("p90") == 9L)
+    assert(rows("a").getAs[Long]("p50") == 5L) // rank ceil(1)=1 → 5
+  }
+
+  test("aucExact: perfect separation scores 1.0, inversion scores 0.0") {
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    assert(Stats.aucExact(perfect, col("s"), col("y"))
+      .collect().head.getAs[Long]("auc_micro") == 1000000L)
+    val inverted = Seq((1L, true), (2L, true), (3L, false), (4L, false))
+      .toDF("s", "y")
+    val r = Stats.aucExact(inverted, col("s"), col("y")).collect().head
+    assert(r.getAs[Long]("auc_micro") == 0L)
+    assert(r.getAs[Long]("gini_micro") == -1000000L)
+  }
+
+  test("aucExact: ties get midranks (all-tied scores → AUC exactly 0.5)") {
+    val tied = Seq((7L, true), (7L, false), (7L, true), (7L, false))
+      .toDF("s", "y")
+    assert(Stats.aucExact(tied, col("s"), col("y"))
+      .collect().head.getAs[Long]("auc_micro") == 500000L)
+  }
+
+  test("aucExact: hand-computed mixed case") {
+    // scores: neg {1, 3}, pos {2, 4}: pairs (pos>neg): (2>1)=1, (2>3)=0,
+    // (4>1)=1, (4>3)=1 → 3/4 = 0.75
+    val df = Seq((1L, false), (3L, false), (2L, true), (4L, true))
+      .toDF("s", "y")
+    assert(Stats.aucExact(df, col("s"), col("y"))
+      .collect().head.getAs[Long]("auc_micro") == 750000L)
+  }
+
+  test("aucExact raises on a single-class frame") {
+    val oneClass = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val e = intercept[Exception] {
+      Stats.aucExact(oneClass, col("s"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+
+  test("medianMadOutliers: hand-computed median, MAD, and outlier count") {
+    // [10,12,14,16,100]: med=14 (rank 3), |d|=[4,2,0,2,86] → MAD=2
+    // (sorted d: 0,2,2,4,86, rank 3 → 2); outliers d > 3·2=6 → {100}
+    val df = Seq(10L, 12L, 14L, 16L, 100L).map(("a", _)).toDF("g", "v")
+    val r = Stats.medianMadOutliers(df, col("g"), col("v"), k = 3)
+      .collect().head
+    assert(r.getAs[Long]("med") == 14L)
+    assert(r.getAs[Long]("mad") == 2L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Long]("n") == 5L)
+  }
+
+  test("sketchQuantiles honors the 1/subBuckets relative-error bound") {
+    // log-spaced positives exercise many octaves; the estimate is a
+    // bucket LOWER bound, so est ≤ exact and (exact−est)/exact < 1/m
+    val vals = (1 to 400).map(i => ("a", (math.pow(1.04, i) * 7).toLong max 1L))
+    val df = vals.toDF("g", "v")
+    val sk = Stats.sketchQuantiles(df, col("g"), col("v"), subBuckets = 16)
+      .collect().head
+    val ex = Stats.quantilesDisc(df, col("g"), col("v"), Seq(50, 90, 99))
+      .collect().head
+    for ((e, s) <- Seq(("p50", "est_p50"), ("p90", "est_p90"), ("p99", "est_p99"))) {
+      val exact = ex.getAs[Long](e).toDouble
+      val est = sk.getAs[Long](s).toDouble
+      assert(est <= exact, s"$s=$est above exact $e=$exact")
+      assert((exact - est) / exact <= 1.0 / 16 + 1e-9,
+        s"$s=$est misses $e=$exact beyond the 1/16 bound")
+    }
+  }
+
+  test("sketchQuantiles rejects non-positive values and bad subBuckets") {
+    val df = Seq(("a", 0L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      Stats.sketchQuantiles(df, col("g"), col("v")).collect()
+    }
+    assert(e.getMessage.contains("positive"))
+    val ok = Seq(("a", 5L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Stats.sketchQuantiles(ok, col("g"), col("v"), subBuckets = 12)
+    }
+  }
+
+  test("decileLift: hand-computed gains table on a separable score") {
+    // 10 rows scored 1..10, positives = scores 9,10: halves (buckets=2):
+    // top half {10..6} has both positives → rate 0.4, lift 2.0,
+    // capture 1.0; bottom half rate 0, lift 0, capture stays 1.0
+    val df = (1 to 10).map(i => (i.toLong, i >= 9, i.toLong)).toDF("s", "y", "id")
+    val rows = Stats.decileLift(df, col("s"), col("y"), col("id"), buckets = 2)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == Seq(1, 2))
+    val top = rows.head
+    assert(top.getAs[Long]("n_b") == 5L)
+    assert(top.getAs[Long]("npos_b") == 2L)
+    assert(top.getAs[Long]("rate_micro") == 400000L)
+    assert(top.getAs[Long]("lift_micro") == 2000000L)
+    assert(top.getAs[Long]("cum_capture_micro") == 1000000L)
+    val bot = rows(1)
+    assert(bot.getAs[Long]("npos_b") == 0L && bot.getAs[Long]("lift_micro") == 0L)
+    assert(bot.getAs[Long]("cum_capture_micro") == 1000000L)
+  }
+
+  test("decileLift raises when no labels are positive") {
+    val df = (1 to 4).map(i => (i.toLong, false, i.toLong)).toDF("s", "y", "id")
+    val e = intercept[Exception] {
+      Stats.decileLift(df, col("s"), col("y"), col("id"), buckets = 2).collect()
+    }
+    assert(e.getMessage.contains("positive label"))
+  }
+
+  test("sketch buckets merge: union of shards equals the whole") {
+    // mergeability = the groupBy is over (g, e, sub) counts — computing
+    // the sketch over a union must equal the sketch over the whole
+    val a = (1 to 200).map(i => ("a", i * 3L + 1))
+    val whole = Stats.sketchQuantiles(a.toDF("g", "v"), col("g"), col("v"))
+      .collect().head
+    val shardsUnion = Stats.sketchQuantiles(
+      a.take(67).toDF("g", "v").union(a.drop(67).toDF("g", "v")),
+      col("g"), col("v")).collect().head
+    assert(whole.getAs[Long]("est_p50") == shardsUnion.getAs[Long]("est_p50"))
+    assert(whole.getAs[Long]("est_p99") == shardsUnion.getAs[Long]("est_p99"))
+  }
+}
