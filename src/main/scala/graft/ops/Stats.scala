@@ -52,6 +52,115 @@ object Stats {
       .agg(max(col("n")).as("n"), qCols: _*)
   }
 
+  /** Exact INTERPOLATED quantiles (SQL `percentile_cont` semantics) per
+    * group, reported ×100 so the linear interpolation stays integer:
+    * 0-based position (n−1)·p/100 splits into rank r = ·div 100 and
+    * fraction f = ·mod 100, and p×100 = v_r·(100−f) + v_{r+1}·f — no
+    * float lerp to round apart across engines (the [[quantilesDisc]]
+    * histogram shape with two rank probes per percentile). */
+  def quantilesCont(df: DataFrame, groupCol: Column, valueCol: Column,
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    val hist = df
+      .groupBy(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byG))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val qCols = percentiles.flatMap { p =>
+      // v_lo at 0-based rank r ⟺ cum ≥ r+1; v_hi at r+1 ⟺ cum ≥ r+2
+      // (null when r+1 = n, i.e. f = 0 — coalesced away below)
+      Seq(
+        min(when(col("cum") >= expr(s"(n - 1) * $p DIV 100 + 1"), col("v")))
+          .as(s"__lo$p"),
+        min(when(col("cum") >= expr(s"(n - 1) * $p DIV 100 + 2"), col("v")))
+          .as(s"__hi$p"))
+    }
+    val agg = cum.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), qCols: _*)
+    val outCols = col("g") +: col("n") +: percentiles.map { p =>
+      (col(s"__lo$p") * (lit(100) - expr(s"(n - 1) * $p % 100"))
+        + coalesce(col(s"__hi$p"), col(s"__lo$p"))
+          * expr(s"(n - 1) * $p % 100")).as(s"p${p}_x100")
+    }
+    agg.select(outCols: _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the label=true and
+    * label=false score distributions — EXACT and distributed: from the
+    * shared score histogram, D = max |cum₁/n₁ − cum₂/n₂| is computed as
+    * the integer max |cum₁·n₂ − cum₂·n₁| over distinct scores, divided
+    * once at the end (DECIMAL(38,0) keeps n₁·n₂-scale products exact
+    * past 2⁶³). The α=0.05 threshold 1.358·√((n₁+n₂)/(n₁·n₂)) is the
+    * one float expression — identical IEEE ops on identical integers on
+    * both engines, micro-floored once.
+    *
+    * Returns one row: n1, n2, d_micro, crit_micro, rejected. An empty
+    * side raises (a KS test against nothing is a pipeline bug). */
+  def ksTest2(df: DataFrame, valueCol: Column, labelCol: Column): DataFrame = {
+    val hist = df
+      .groupBy(valueCol.cast("long").as("v"))
+      .agg(sum(labelCol.cast("int")).cast("long").as("c1"),
+        sum(when(labelCol, 0).otherwise(1)).cast("long").as("c2"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+    val totals = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    cum.crossJoin(totals)
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1").cast("decimal(38,0)") * col("n2")
+          - col("cum2").cast("decimal(38,0)") * col("n1"))).as("__dnum"))
+      .select(col("n1"), col("n2"),
+        expr("""CASE WHEN n1 > 0 AND n2 > 0
+               |  THEN CAST(__dnum * 1000000
+               |       DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)
+               |  ELSE raise_error('ksTest2 needs both samples non-empty')
+               |END""".stripMargin).as("d_micro"),
+        floor(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double")))
+          * lit(1e6)).cast("long").as("crit_micro"))
+      .withColumn("rejected", col("d_micro") > col("crit_micro"))
+  }
+
+  /** Pearson chi-square independence test over two categorical columns
+    * — exact-rational cell terms: (o·n − rt·ct)² / (n·rt·ct) equals
+    * (o−e)²/e without ever materializing the fractional expected count,
+    * numerators squared in DECIMAL(38,0) (they pass 2⁵³ at ~10⁶ rows),
+    * one nano rounding per cell, exact integer Σ. Returns one row:
+    * n, n_cells, dof, chi2_nano. Zero-margin categories cannot occur
+    * (a category only exists through observed rows). */
+  def chi2Independence(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val obs = df.groupBy(rowCol.as("r"), colCol.as("k"))
+      .agg(count(lit(1)).as("__o"))
+    val rt = obs.groupBy(col("r")).agg(sum(col("__o")).as("rt"))
+    val ct = obs.groupBy(col("k")).agg(sum(col("__o")).as("ct"))
+    val n = obs.agg(sum(col("__o")).as("n"))
+    // the FULL margin grid, not just observed cells: an unobserved
+    // (r, k) still contributes (0−e)²/e = rt·ct/n — dropping empties
+    // deflates exactly the statistic that detects strong dependence
+    rt.crossJoin(ct)
+      .join(obs, Seq("r", "k"), "left")
+      .withColumn("o", coalesce(col("__o"), lit(0L))).crossJoin(n)
+      // operands cast to DECIMAL BEFORE the products (o·n alone passes
+      // 2⁶³ at ~3·10⁹ rows); the squared deviation must stay under
+      // DECIMAL(38,0), i.e. |o·n − rt·ct| < 10¹⁴·√10 — ample for any
+      // per-category deviation this side of 10⁷×10⁷ margins
+      .withColumn("term_nano", expr(
+        """CAST(((CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+          |       * (CAST(o AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct))
+          |       * 1000000000
+          |     DIV (CAST(n AS DECIMAL(38,0)) * rt * ct) AS BIGINT)"""
+          .stripMargin))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        ((countDistinct(col("r")) - 1) * (countDistinct(col("k")) - 1))
+          .as("dof"),
+        sum(col("term_nano")).as("chi2_nano"))
+  }
+
   /** Exact ROC AUC via the Mann–Whitney rank-sum with midrank tie
     * handling — the distributed form of "sort by score, sum positive
     * ranks" that never sorts the frame: ranks come from the score
@@ -190,11 +299,17 @@ object Stats {
     * Returns per group: n, est_p50, est_p90, est_p99. Callers wanting
     * an error gauge join against [[quantilesDisc]] (q145 does). */
   def sketchQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+      subBuckets: Int = 8): DataFrame =
+    sketchQuantilesFromBuckets(
+      sketchBuckets(df, groupCol, valueCol, subBuckets), subBuckets)
+
+  /** The sketch's bucketize half: (g, e, sub, c) counts. Bucket counts
+    * from ANY partitioning — or any set of batches — merge by summing
+    * `c` per (g, e, sub) before [[sketchQuantilesFromBuckets]]; the
+    * streaming quantile sink is exactly that composition. */
+  def sketchBuckets(df: DataFrame, groupCol: Column, valueCol: Column,
       subBuckets: Int = 8): DataFrame = {
-    require(subBuckets >= 2 && subBuckets <= 256
-        && (subBuckets & (subBuckets - 1)) == 0,
-      s"subBuckets must be a power of two in [2, 256] (keeps every " +
-        s"bucket bound exact integer math), got $subBuckets")
+    requireSubBuckets(subBuckets)
     val v = col("__v")
     val b0 = floor(log2(v)).cast("long")
     // float log2 with an exact boundary correction — then the raise
@@ -203,7 +318,7 @@ object Stats {
       when(pow(lit(2.0), (b0 + 1).cast("double")) <= v.cast("double"), b0 + 1)
         .when(pow(lit(2.0), b0.cast("double")) > v.cast("double"), b0 - 1)
         .otherwise(b0)
-    val base = df.select(groupCol.as("g"), valueCol.cast("long").as("__v"))
+    df.select(groupCol.as("g"), valueCol.cast("long").as("__v"))
       .withColumn("e", when(v > 0, corrected).otherwise(raise_error(
         concat(lit("sketchQuantiles needs positive values, got "), v))))
       // linear sub-bucket inside the octave: (v − 2^e)·m div 2^e —
@@ -211,15 +326,21 @@ object Stats {
       .withColumn("sub",
         expr(s"(__v - shiftleft(1L, CAST(e AS INT))) * $subBuckets" +
           " DIV shiftleft(1L, CAST(e AS INT))"))
-    val buckets = base
       .groupBy(col("g"), col("e"), col("sub"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** The sketch's estimate half over (possibly merged) bucket counts. */
+  def sketchQuantilesFromBuckets(buckets: DataFrame,
+      subBuckets: Int): DataFrame = {
+    requireSubBuckets(subBuckets)
+    val withLo = buckets
       // bucket lower bound back in value units: 2^e + sub·2^e div m
       .withColumn("lo",
         expr(s"shiftleft(1L, CAST(e AS INT))" +
           s" + sub * shiftleft(1L, CAST(e AS INT)) DIV $subBuckets"))
     val byG = Window.partitionBy(col("g")).orderBy(col("e"), col("sub"))
-    val cum = buckets
+    val cum = withLo
       .withColumn("cum", sum(col("c")).over(byG))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
     cum.groupBy(col("g"))
@@ -231,4 +352,10 @@ object Stats {
         min(when(col("cum") >= expr("(n * 99 + 99) DIV 100"), col("lo")))
           .as("est_p99"))
   }
+
+  private def requireSubBuckets(subBuckets: Int): Unit =
+    require(subBuckets >= 2 && subBuckets <= 256
+        && (subBuckets & (subBuckets - 1)) == 0,
+      s"subBuckets must be a power of two in [2, 256] (keeps every " +
+        s"bucket bound exact integer math), got $subBuckets")
 }

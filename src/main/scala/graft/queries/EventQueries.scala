@@ -311,6 +311,27 @@ object EventQueries {
           floor(col("value") * 100 + lit(0.5)).cast("long")),
         col("cents"), col("event_type") === "purchase", col("event_id"))
         .orderBy(col("decile"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov: does the purchase value
+    // distribution differ from everything else's? Exact integer
+    // sup-distance from the shared score histogram
+    // (ops/Stats.ksTest2) — the distribution-shift cousin of q143's
+    // AUC, with the α=0.05 decision pinned in the output
+    "q150_ks_test" -> ((s, dir) => {
+      graft.ops.Stats.ksTest2(
+        t(s, dir, "events").withColumn("cents",
+          floor(col("value") * 100 + lit(0.5)).cast("long")),
+        col("cents"), col("event_type") === "purchase")
+    }),
+
+    // Chi-square independence of event_type × hour-of-day — the
+    // seasonality-confound check behind any per-type rate comparison;
+    // exact-rational cell terms, one nano rounding per cell
+    // (ops/Stats.chi2Independence)
+    "q151_chi2" -> ((s, dir) => {
+      graft.ops.Stats.chi2Independence(t(s, dir, "events"),
+        col("event_type"), hour(col("ts")))
     })
   )
 
@@ -805,6 +826,62 @@ object EventQueries {
         |  npos_b * 1000000 // n_b AS rate_micro,
         |  npos_b * n * 1000000 // (n_b * npos) AS lift_micro,
         |  cum_pos * 1000000 // npos AS cum_capture_micro
-        |FROM w ORDER BY decile""".stripMargin
+        |FROM w ORDER BY decile""".stripMargin,
+
+    // D = max |cum1·n2 − cum2·n1| over the shared histogram — integer
+    // sup-distance, one micro division; the critical value is the one
+    // float expression, identical IEEE ops both sides
+    "q150_ks_test" ->
+      """WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |h AS (SELECT v, CAST(sum(pos) AS BIGINT) AS c1,
+        |    CAST(sum(1 - pos) AS BIGINT) AS c2
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM h),
+        |cum AS (SELECT
+        |    CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+        |  FROM h),
+        |m AS (SELECT n1, n2,
+        |    max(abs(cum1 * n2 - cum2 * n1)) AS dnum
+        |  FROM cum CROSS JOIN t GROUP BY n1, n2)
+        |SELECT n1, n2,
+        |  CAST(dnum * 1000000 // (n1 * n2) AS BIGINT) AS d_micro,
+        |  CAST(floor(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS crit_micro,
+        |  CAST(dnum * 1000000 // (n1 * n2) AS BIGINT)
+        |    > CAST(floor(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS rejected
+        |FROM m""".stripMargin,
+
+    // cell term (o·n − rt·ct)²·10⁹ // (n·rt·ct) — the exact-rational
+    // form of (o−e)²/e; hugeint mirrors the Spark DECIMAL(38,0)
+    "q151_chi2" ->
+      """WITH ev AS (SELECT event_type AS r,
+        |    hour(CAST(ts AS TIMESTAMP)) AS k FROM events),
+        |o AS (SELECT r, k, CAST(count(*) AS BIGINT) AS o
+        |  FROM ev GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT k, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |grid AS (SELECT rt.r, ct.k, rt.rt, ct.ct,
+        |    coalesce(o.o, 0) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN o USING (r, k)),
+        |j AS (SELECT g.o, g.rt, g.ct, n.n,
+        |    CAST(((CAST(g.o AS HUGEINT) * n.n - CAST(g.rt AS HUGEINT) * g.ct)
+        |          * (CAST(g.o AS HUGEINT) * n.n - CAST(g.rt AS HUGEINT) * g.ct))
+        |         * 1000000000
+        |         // (CAST(n.n AS HUGEINT) * g.rt * g.ct) AS BIGINT)
+        |      AS term_nano
+        |  FROM grid g CROSS JOIN n),
+        |d AS (SELECT count(DISTINCT r) AS nr, count(DISTINCT k) AS nk FROM o)
+        |SELECT max(j.n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(max((d.nr - 1) * (d.nk - 1)) AS BIGINT) AS dof,
+        |  CAST(sum(j.term_nano) AS BIGINT) AS chi2_nano
+        |FROM j CROSS JOIN d""".stripMargin
   )
 }

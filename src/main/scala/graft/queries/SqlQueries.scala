@@ -311,6 +311,20 @@ object SqlQueries {
           col("est_p99"), col("p99"),
           expr("abs(est_p99 - p99) * 1000000 DIV p99").as("err99_micro"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Exact DISTRIBUTED percentile_cont (q142's disc sibling): the
+    // linear interpolation is reported ×100 so it stays INTEGER —
+    // v_r·(100−f) + v_{r+1}·f with (r, f) from (n−1)·p divmod 100 —
+    // and the oracle runs the identical closed form (native
+    // quantile_cont would re-introduce the float lerp this avoids)
+    "q149_cont_quantiles" -> ((s, dir) => {
+      graft.ops.Stats.quantilesCont(
+        t(s, dir, "lineitem").withColumn("cents",
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")),
+        col("l_returnflag"), col("cents"), Seq(25, 50, 90))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -550,6 +564,35 @@ object SqlQueries {
         |  est_p50, p50, abs(est_p50 - p50) * 1000000 // p50 AS err50_micro,
         |  est_p90, p90, abs(est_p90 - p90) * 1000000 // p90 AS err90_micro,
         |  est_p99, p99, abs(est_p99 - p99) * 1000000 // p99 AS err99_micro
-        |FROM sk JOIN ex USING (g) ORDER BY l_returnflag""".stripMargin
+        |FROM sk JOIN ex USING (g) ORDER BY l_returnflag""".stripMargin,
+
+    // percentile_cont closed form ×100: v at 0-based rank r ⟺ the
+    // smallest v with cum ≥ r+1; f = 0 leaves the (null) upper probe
+    // coalesced to the lower
+    "q149_cont_quantiles" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |h AS (SELECT g, v, count(*) AS c FROM c GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h),
+        |a AS (SELECT g, CAST(max(n) AS BIGINT) AS n,
+        |    min(CASE WHEN cum >= (n - 1) * 25 // 100 + 1 THEN v END) AS lo25,
+        |    min(CASE WHEN cum >= (n - 1) * 25 // 100 + 2 THEN v END) AS hi25,
+        |    min(CASE WHEN cum >= (n - 1) * 50 // 100 + 1 THEN v END) AS lo50,
+        |    min(CASE WHEN cum >= (n - 1) * 50 // 100 + 2 THEN v END) AS hi50,
+        |    min(CASE WHEN cum >= (n - 1) * 90 // 100 + 1 THEN v END) AS lo90,
+        |    min(CASE WHEN cum >= (n - 1) * 90 // 100 + 2 THEN v END) AS hi90
+        |  FROM cum GROUP BY g)
+        |SELECT g AS l_returnflag, n,
+        |  lo25 * (100 - (n - 1) * 25 % 100)
+        |    + coalesce(hi25, lo25) * ((n - 1) * 25 % 100) AS p25_x100,
+        |  lo50 * (100 - (n - 1) * 50 % 100)
+        |    + coalesce(hi50, lo50) * ((n - 1) * 50 % 100) AS p50_x100,
+        |  lo90 * (100 - (n - 1) * 90 % 100)
+        |    + coalesce(hi90, lo90) * ((n - 1) * 90 % 100) AS p90_x100
+        |FROM a ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -479,6 +479,30 @@ object EventPipeline {
       .orderBy(col("n").desc, col("token")))
   }
 
+  /** Streaming quantile monitoring over an unbounded value stream: each
+    * batch contributes its (g, e, sub) log-histogram bucket counts
+    * (ops/Stats.sketchBuckets — the DDSketch-style mergeable sketch,
+    * q145's batch op), stored keyed by (g, e, sub, batch_id) through
+    * the checked merge sink so a replayed batch overwrites itself
+    * instead of double counting. The live report merges buckets by
+    * summing counts per (g, e, sub) — the any-order mergeability the
+    * sketch exists for — and re-estimates p50/p90/p99 with the same
+    * ≤1/subBuckets relative-error bound as the batch path. Merge input
+    * is bucket-scale (≤ octaves × subBuckets × groups × batches rows),
+    * never stream-scale; nothing touches the driver. */
+  def quantileSketchSink(bucketsPath: String, groupCol: Column,
+      valueCol: Column, subBuckets: Int,
+      report: DataFrame => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val slice = graft.ops.Stats
+      .sketchBuckets(batch, groupCol, valueCol, subBuckets)
+      .withColumn("batch_id", lit(batchId))
+    mergeBatchSink(bucketsPath, Seq("g", "e", "sub", "batch_id"))(slice, batchId)
+    val merged = spark.read.parquet(bucketsPath)
+      .groupBy(col("g"), col("e"), col("sub")).agg(sum(col("c")).as("c"))
+    report(graft.ops.Stats.sketchQuantilesFromBuckets(merged, subBuckets))
+  }
+
   def spikeMonitorSink(countsPath: String, keyCol: Column, tsCol: Column,
       alert: DataFrame => Unit, trailHours: Int = 24, minHistory: Int = 12,
       z: Double = 3.0)(batch: DataFrame, batchId: Long): Unit = {

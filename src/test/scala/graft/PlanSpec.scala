@@ -327,6 +327,34 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges.length <= 10, s"rfm has ${exchanges.length} exchanges")
   }
 
+  test("q142 exact quantiles: histogram-scale windows, bounded exchange budget") {
+    val df = SparkEntry.queries("q142_exact_quantiles")(spark, sf)
+    val p = plan(df)
+    // the only window sorts run over the per-group distinct-value
+    // histogram AFTER a partial-aggregated groupBy — the frame itself
+    // must partial-aggregate before anything exchanges
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "histogram not map-side partial")
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.length <= 5, s"quantiles has ${exchanges.length} exchanges")
+  }
+
+  test("q148 decile lift: one ntile layer stays within a bounded exchange budget") {
+    val df = SparkEntry.queries("q148_decile_lift")(spark, sf)
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.length <= 8, s"decile lift has ${exchanges.length} exchanges")
+  }
+
+  test("q146 dup spans: candidate exchange carries gram hashes, not text") {
+    val p = plan(SparkEntry.queries("q146_dup_spans")(spark, sf))
+    assert(p.contains("word_ngram_hashes"), "fused gram-hash kernel missing")
+    assert(p.contains("LeftSemi"), "doc-frequency mark must be a semi join")
+  }
+
   test("q134 salted join: join key carries the salt, small side replicates") {
     val df = SparkEntry.queries("q134_salted_join")(spark, sf)
     val s = plan(df)

@@ -34,6 +34,46 @@ class StatsSpec extends SparkTestBase {
     assert(rows("a").getAs[Long]("p50") == 5L) // rank ceil(1)=1 → 5
   }
 
+  test("quantilesCont interpolates ×100 exactly; f=0 coalesces the upper probe") {
+    // n=4 values 10..40: p25 → pos 0.75 → 10·25+20·75 = 1750;
+    // p50 → pos 1.5 → 20·50+30·50 = 2500; p100 → pos 3, f=0 → 4000
+    val df = Seq(10L, 20L, 30L, 40L).map(("a", _)).toDF("g", "v")
+    val r = Stats.quantilesCont(df, col("g"), col("v"), Seq(25, 50, 100))
+      .collect().head
+    assert(r.getAs[Long]("p25_x100") == 1750L)
+    assert(r.getAs[Long]("p50_x100") == 2500L)
+    assert(r.getAs[Long]("p100_x100") == 4000L)
+  }
+
+  test("ksTest2: identical samples D=0, disjoint samples D=1, one-sided raises") {
+    val same = Seq((1L, true), (2L, true), (3L, true),
+      (1L, false), (2L, false), (3L, false)).toDF("v", "y")
+    val r0 = Stats.ksTest2(same, col("v"), col("y")).collect().head
+    assert(r0.getAs[Long]("d_micro") == 0L && !r0.getAs[Boolean]("rejected"))
+    val disjoint = Seq((1L, true), (2L, true),
+      (10L, false), (20L, false)).toDF("v", "y")
+    val r1 = Stats.ksTest2(disjoint, col("v"), col("y")).collect().head
+    assert(r1.getAs[Long]("d_micro") == 1000000L)
+    val oneSided = Seq((1L, true), (2L, true)).toDF("v", "y")
+    val e = intercept[Exception] {
+      Stats.ksTest2(oneSided, col("v"), col("y")).collect()
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("chi2Independence: exact independence scores 0, dependence scores > 0") {
+    val indep = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x"), ("b", "x"), ("b", "y"), ("b", "y")).toDF("r", "k")
+    val r0 = Stats.chi2Independence(indep, col("r"), col("k")).collect().head
+    assert(r0.getAs[Long]("chi2_nano") == 0L)
+    assert(r0.getAs[Long]("dof") == 1L && r0.getAs[Long]("n_cells") == 4L)
+    // fully dependent 2×2: chi2 = n = 8 → 8e9 nano
+    val dep = Seq.fill(4)(("a", "x")) ++ Seq.fill(4)(("b", "y"))
+    val r1 = Stats.chi2Independence(dep.toDF("r", "k"), col("r"), col("k"))
+      .collect().head
+    assert(r1.getAs[Long]("chi2_nano") == 8000000000L, r1.toString)
+  }
+
   test("aucExact: perfect separation scores 1.0, inversion scores 0.0") {
     val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
       .toDF("s", "y")

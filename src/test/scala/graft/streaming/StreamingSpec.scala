@@ -456,4 +456,44 @@ class StreamingSpec extends SparkTestBase {
       (0 until 300).map(i => s"beta other$i").toDF("text"), 1L)
     assert(latest == merged, s"replay changed the report: $latest vs $merged")
   }
+
+  test("streaming quantile sketch: cross-batch merge equals the one-shot sketch, replay-safe") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qs-sink").toString + "/buckets"
+    var latest: Map[String, (Long, Long, Long, Long)] = Map.empty
+    val report: org.apache.spark.sql.DataFrame => Unit = df =>
+      latest = df.collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("est_p50"),
+          r.getAs[Long]("est_p90"), r.getAs[Long]("est_p99"))).toMap
+    val batch0 = (1 to 300).map(i => ("lat", i * 7L))
+    val batch1 = (1 to 300).map(i => ("lat", i * 13L + 1000))
+    val stream = MemoryStream[(String, Long)]
+    val q = stream.toDF().toDF("g", "v")
+      .writeStream
+      .foreachBatch(EventPipeline.quantileSketchSink(
+        dir, col("g"), col("v"), subBuckets = 16, report) _)
+      .start()
+    stream.addData(batch0)
+    q.processAllAvailable()
+    assert(latest("lat")._1 == 300L)
+    stream.addData(batch1)
+    q.processAllAvailable()
+    q.stop()
+    assert(latest("lat")._1 == 600L)
+    // the streamed two-batch merge must EQUAL the one-shot batch sketch
+    // over the union — the mergeability contract, end to end
+    val oneShot = graft.ops.Stats.sketchQuantiles(
+      (batch0 ++ batch1).toDF("g", "v"), col("g"), col("v"), subBuckets = 16)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("est_p50"),
+          r.getAs[Long]("est_p90"), r.getAs[Long]("est_p99"))).toMap
+    assert(latest == oneShot, s"stream merge diverged: $latest vs $oneShot")
+
+    // re-delivering batch 1 (same batch_id) must overwrite its buckets,
+    // leaving the report unchanged
+    EventPipeline.quantileSketchSink(dir, col("g"), col("v"),
+      subBuckets = 16, report)(batch1.toDF("g", "v"), 1L)
+    assert(latest == oneShot, s"replay changed the report: $latest")
+  }
 }
