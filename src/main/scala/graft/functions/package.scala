@@ -43,6 +43,10 @@ package object functions {
     * signal (low = repetitive boilerplate, ~1 = high-entropy noise). */
   def compressionRatio(c: Column): Column = expr2col(CompressionRatio(col2expr(c)))
 
+  /** Character-level Shannon entropy in nano-nats (one-pass codegen
+    * kernel; oracle-exact per-distinct-char nano rounding). */
+  def charEntropyNanos(c: Column): Column = expr2col(CharEntropy(col2expr(c)))
+
   // ---------------------------------------------------------------------
   // String / id functions (SURVEY §2.7)
   // ---------------------------------------------------------------------

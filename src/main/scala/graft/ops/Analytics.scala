@@ -461,4 +461,50 @@ object Analytics {
           .as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Kaplan–Meier survival estimator over right-censored durations —
+    * the time-to-churn / time-to-next-conversion curve q114's cohort
+    * grid cannot express (censoring: a user's last observed gap is a
+    * LOWER bound, not an event; dropping or completing it biases the
+    * curve, the textbook mistake this op exists to avoid).
+    *
+    * Distributed exact, the histogram discipline: one groupBy to the
+    * (duration → events, total) histogram, at-risk counts from the
+    * prefix sum over distinct durations (never a per-subject sort),
+    * and the product ∏(1 − dᵢ/nᵢ) carried in LOG space — one
+    * nano-nat-floored term per event time, summed as exact integers —
+    * so partitioning cannot reorder a float product. `surv_micro`
+    * exponentiates the pinned integer once (identical IEEE ops both
+    * engines). A time where every remaining subject dies (d = n_risk)
+    * has no finite log — its rows report lnS of the preceding times
+    * and surv_micro = 0 exactly.
+    *
+    * Returns one row per distinct EVENT duration: t, n_risk, d,
+    * lnS_nano, surv_micro. */
+  def kaplanMeier(df: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val hist = df.groupBy(durationCol.cast("long").as("t"))
+      .agg(sum(eventCol.cast("int")).cast("long").as("d"),
+        count(lit(1)).as("m"))
+    val before = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.agg(sum(col("m")).as("__n"))
+    val risk = hist.crossJoin(tot)
+      .withColumn("n_risk",
+        col("__n") - coalesce(sum(col("m")).over(before), lit(0L)))
+    risk.filter(col("d") > 0)
+      .withColumn("term_nano",
+        when(col("d") === col("n_risk"), lit(null).cast("long"))
+          .otherwise(floor(
+            log((col("n_risk") - col("d")).cast("double")
+              / col("n_risk").cast("double")) * lit(1e9) + lit(0.5))
+            .cast("long")))
+      .withColumn("lnS_nano", sum(col("term_nano")).over(
+        Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t"), col("n_risk"), col("d"), col("lnS_nano"),
+        when(col("d") === col("n_risk"), lit(0L))
+          .otherwise(floor(exp(col("lnS_nano").cast("double") / lit(1e9))
+            * lit(1e6) + lit(0.5)).cast("long")).as("surv_micro"))
+  }
 }

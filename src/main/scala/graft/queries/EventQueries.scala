@@ -332,6 +332,33 @@ object EventQueries {
     "q151_chi2" -> ((s, dir) => {
       graft.ops.Stats.chi2Independence(t(s, dir, "events"),
         col("event_type"), hour(col("ts")))
+    }),
+
+    // Kaplan–Meier time-to-next-purchase curve
+    // (ops/Analytics.kaplanMeier): inter-purchase day gaps are events,
+    // each user's tail gap to the corpus max timestamp is right-
+    // CENSORED — it still holds the user at risk without pretending a
+    // purchase happened; log-space integer product, exp'd once
+    "q153_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val maxTs = ev.agg(max(col("ts")).as("mx"))
+      val durations = ev
+        .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+        .crossJoin(maxTs)
+        .select(
+          when(col("next_ts").isNotNull,
+            datediff(col("next_ts").cast("date"), col("ts").cast("date")))
+            .otherwise(
+              datediff(col("mx").cast("date"), col("ts").cast("date")))
+            .as("dur"),
+          col("next_ts").isNotNull.as("is_event"))
+      graft.ops.Analytics.kaplanMeier(durations, col("dur"), col("is_event"))
+        .withColumnRenamed("t", "t_days")
+        .orderBy(col("t_days"))
     })
   )
 
@@ -882,6 +909,53 @@ object EventQueries {
         |SELECT max(j.n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
         |  CAST(max((d.nr - 1) * (d.nk - 1)) AS BIGINT) AS dof,
         |  CAST(sum(j.term_nano) AS BIGINT) AS chi2_nano
-        |FROM j CROSS JOIN d""".stripMargin
+        |FROM j CROSS JOIN d""".stripMargin,
+
+    // the KM product in log space: one nano-nat floor per event time
+    // (the identical double pipeline as the Spark kernel), exact
+    // integer prefix sum, exp'd once; a d = n_risk terminal time
+    // surfaces surv_micro = 0 via the CASE, not via ln(0)
+    "q153_survival" ->
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(ts) AS mx FROM p),
+        |g AS (SELECT user_id, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_ts
+        |  FROM p),
+        |dur AS (SELECT
+        |    CASE WHEN next_ts IS NOT NULL
+        |      THEN date_diff('day', CAST(ts AS DATE), CAST(next_ts AS DATE))
+        |      ELSE date_diff('day', CAST(ts AS DATE), CAST(mx AS DATE))
+        |    END AS t,
+        |    next_ts IS NOT NULL AS ev
+        |  FROM g CROSS JOIN mx),
+        |h AS (SELECT CAST(t AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM dur GROUP BY 1),
+        |tot AS (SELECT CAST(sum(m) AS BIGINT) AS n FROM h),
+        |r AS (SELECT t, d, m,
+        |    n - coalesce(CAST(sum(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      AS n_risk
+        |  FROM h CROSS JOIN tot),
+        |e AS (SELECT t, n_risk, d,
+        |    CASE WHEN d = n_risk THEN NULL
+        |         ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+        |                / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |    END AS term
+        |  FROM r WHERE d > 0),
+        |s AS (SELECT t, n_risk, d,
+        |    CAST(sum(term) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS lnS_nano
+        |  FROM e)
+        |SELECT t AS t_days, n_risk, d, lnS_nano,
+        |  CASE WHEN d = n_risk THEN 0
+        |       ELSE CAST(floor(exp(CAST(lnS_nano AS DOUBLE) / 1e9) * 1e6
+        |              + 0.5) AS BIGINT)
+        |  END AS surv_micro
+        |FROM s ORDER BY t_days""".stripMargin
   )
 }

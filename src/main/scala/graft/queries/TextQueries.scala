@@ -184,6 +184,17 @@ object TextQueries {
       raw.select(col("o_orderkey"),
         parseFlexibleTimestamp(col("date_str")).as("parsed"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Character-level Shannon entropy (functions/CharEntropy — one-pass
+    // codegen kernel): the gibberish/padding gauge next to q81's
+    // deflate ratio; nano-nat integer terms keep a float-free sum, so
+    // the SQL twin's per-char explode hash-matches the kernel exactly
+    "q152_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          charEntropyNanos(col("text")).as("entropy_nano"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -303,6 +314,26 @@ object TextQueries {
         |  CASE WHEN o_orderkey % 2 = 0
         |    THEN try_strptime(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S')
         |    ELSE try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') END AS parsed
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // per-distinct-char term floor(p·ln(p)·1e9 + 0.5), the identical
+    // left-assoc double pipeline the kernel runs; empty docs coalesce
+    // to zero entropy
+    "q152_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM cc GROUP BY 1),
+        |terms AS (SELECT cc.doc_id,
+        |    CAST(floor((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)
+        |      * 1e9 + 0.5) AS BIGINT) AS t
+        |  FROM cc JOIN tot USING (doc_id)),
+        |e AS (SELECT doc_id, -CAST(sum(t) AS BIGINT) AS entropy_nano
+        |  FROM terms GROUP BY 1)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  coalesce(entropy_nano, 0) AS entropy_nano
+        |FROM documents LEFT JOIN e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -284,4 +284,28 @@ class AnalyticsSpec extends SparkTestBase {
       ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
       ("2024-01-08", 0, 1L), ("2024-01-08", 2, 1L)))
   }
+
+  test("kaplanMeier: censoring holds subjects at risk; terminal time drops to 0") {
+    import spark.implicits._
+    // durations: 1(event), 2(event), 2(censored), 3(event)
+    // t=1: n=4, d=1 → S=3/4; t=2: n=3, d=1 (censor counts in n, not d)
+    // → S=1/2; t=3: n=1, d=1 → terminal, S=0
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .toDF("dur", "ev")
+    val rows = graft.ops.Analytics.kaplanMeier(df, col("dur"), col("ev"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("surv_micro")))
+    assert(rows.toSeq == Seq(
+      (1L, 4L, 1L, 750000L),
+      (2L, 3L, 1L, 500000L),
+      (3L, 1L, 1L, 0L)), rows.toSeq.toString)
+    // dropping the censored row would misreport S(2) as 1/2·... —
+    // prove the censor changed the curve: without it S(2) = 3/4·1/2
+    val without = graft.ops.Analytics.kaplanMeier(
+      Seq((1L, true), (2L, true), (3L, true)).toDF("dur", "ev"),
+      col("dur"), col("ev"))
+      .orderBy("t").collect().map(_.getAs[Long]("surv_micro"))
+    assert(without.toSeq == Seq(666667L, 333333L, 0L), without.toSeq.toString)
+  }
 }
