@@ -462,6 +462,46 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Market-basket association rules over (basket, item) rows — pair
+    * support, directional confidence, and lift, the co-purchase /
+    * co-occurrence miner (items = products, tags, or n-gram features;
+    * baskets = orders, sessions, or docs). Exact integer micro units
+    * throughout; DECIMAL(38,0) carries the support·n products.
+    *
+    * Scale shape: one distinct to (basket, item), a basket-keyed
+    * self-join whose fan-out is Σ|basket|² — bounded by the basket-size
+    * cap a caller enforces upstream (a degenerate mega-basket would
+    * square; that's a property of the PROBLEM, the classic a-priori
+    * trade), margins broadcast back onto the pair frame. Returns every
+    * pair with support ≥ `minSupport`; callers rank/limit. */
+  def associationRules(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Int = 2): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val d = df.select(basketCol.as("b"), itemCol.as("i")).distinct()
+    val pairs = d.as("x").join(d.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val margins = d.groupBy(col("i")).agg(count(lit(1)).as("ci"))
+    val nb = d.select(col("b")).distinct().agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(margins.select(col("i").as("item_a"), col("ci").as("c_a"))),
+        Seq("item_a"))
+      .join(broadcast(margins.select(col("i").as("item_b"), col("ci").as("c_b"))),
+        Seq("item_b"))
+      .crossJoin(nb)
+      .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("n_baskets"),
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * 1000000 DIV c_a AS BIGINT)")
+          .as("conf_ab_micro"),
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * 1000000 DIV c_b AS BIGINT)")
+          .as("conf_ba_micro"),
+        expr("""CAST(CAST(c_ab AS DECIMAL(38,0)) * n_baskets * 1000000
+               |     DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"""
+          .stripMargin).as("lift_micro"))
+  }
+
   /** Kaplan–Meier survival estimator over right-censored durations —
     * the time-to-churn / time-to-next-conversion curve q114's cohort
     * grid cannot express (censoring: a user's last observed gap is a

@@ -84,4 +84,50 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count via degree-ordered orientation (the
+    * compact-forward / node-iterator algorithm): canonicalize to
+    * undirected simple edges, orient each from its (degree, node)-lower
+    * endpoint, build wedges by joining oriented edges on their source
+    * with the two tips in orientation order, and close each wedge with
+    * a semi-join back onto the oriented edge set. The orientation
+    * bounds every node's out-degree by O(√m), so the wedge fan-out is
+    * O(m^1.5) worst case instead of Σdeg² — the difference between a
+    * star graph exploding and not.
+    *
+    * Returns one row: n_nodes, n_edges, n_triangles. */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    // orient from the (degree, node)-smaller endpoint; carry the tip's
+    // rank so wedge tips order without another degree join
+    val oriented = withDeg.select(
+      when(col("du") < col("dv")
+          || (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+        .otherwise(
+          struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .localCheckpoint() // three consumers: two wedge sides + the close
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src")
+          && (col("e1.dd") < col("e2.dd")
+            || (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
+    val closed = wedges.join(oriented.select(col("src"), col("dst")),
+      Seq("src", "dst"), "left_semi")
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(
+        und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
 }

@@ -122,6 +122,36 @@ object GraphQueries {
       t(s, dir, "documents").select(
         col("doc_id"), pdfTextCleanup(dirty).as("clean"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Market-basket association rules over order→product-family baskets
+    // (ops/Analytics.associationRules): support, directional
+    // confidence, lift — integer-micro exact; support threshold scales
+    // with the basket count so the rule set stays rule-sized at any SF
+    "q154_copurchase" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 1000).as("fam"))
+      val rules = graft.ops.Analytics.associationRules(
+        baskets, col("l_orderkey"), col("fam"), minSupport = 2)
+      rules
+        .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
+        .orderBy(col("c_ab").desc, col("item_a"), col("item_b"))
+        .limit(100)
+    }),
+
+    // Exact triangle count over the support-thresholded co-purchase
+    // graph (ops/Graph.triangleCount, degree-ordered orientation —
+    // out-degree bounded O(√m), so the wedge join cannot blow up on a
+    // hub); same scale-relative threshold as q154
+    "q155_triangles" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 1000).as("fam"))
+      val rules = graft.ops.Analytics.associationRules(
+        baskets, col("l_orderkey"), col("fam"), minSupport = 2)
+      val edges = rules
+        .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
+        .select(col("item_a"), col("item_b"))
+      graft.ops.Graph.triangleCount(edges, "item_a", "item_b")
     })
   )
 
@@ -178,6 +208,63 @@ object GraphQueries {
         |      regexp_replace('p1' || chr(12) || translate(text, 'ae', 'áé') || chr(10) || 'end',
         |        '[\x0c\n\r]+', ' ', 'g')),
         |    '[^\x00-\x7F]', '', 'g') AS clean
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // hugeint mirrors the Spark DECIMAL(38,0); the scale-relative
+    // support threshold keeps the rule set (and the LIMIT tie zone)
+    // total-ordered at any SF
+    "q154_copurchase" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
+        |  FROM lineitem),
+        |p AS (SELECT x.i AS item_a, y.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM d x JOIN d y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |m AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM d GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM d)
+        |SELECT p.item_a, p.item_b, p.c_ab, ma.ci AS c_a, mb.ci AS c_b,
+        |  nb.n_baskets,
+        |  CAST(CAST(p.c_ab AS HUGEINT) * 1000000 // ma.ci AS BIGINT)
+        |    AS conf_ab_micro,
+        |  CAST(CAST(p.c_ab AS HUGEINT) * 1000000 // mb.ci AS BIGINT)
+        |    AS conf_ba_micro,
+        |  CAST(CAST(p.c_ab AS HUGEINT) * nb.n_baskets * 1000000
+        |       // (CAST(ma.ci AS HUGEINT) * mb.ci) AS BIGINT) AS lift_micro
+        |FROM p JOIN m ma ON p.item_a = ma.i JOIN m mb ON p.item_b = mb.i
+        |CROSS JOIN nb
+        |WHERE p.c_ab >= greatest(3, nb.n_baskets // 25000)
+        |ORDER BY p.c_ab DESC, p.item_a, p.item_b LIMIT 100""".stripMargin,
+
+    // degree-ordered orientation spelled in SQL: each undirected edge
+    // leaves its (degree, node)-smaller endpoint, wedge tips order by
+    // the carried tip rank, the close is an equi-join on the oriented
+    // edge set
+    "q155_triangles" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
+        |  FROM lineitem),
+        |p AS (SELECT x.i AS u, y.i AS v, count(*) AS c_ab
+        |  FROM d x JOIN d y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM d),
+        |e AS (SELECT u, v FROM p CROSS JOIN nb
+        |  WHERE c_ab >= greatest(3, n_baskets // 25000)),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY 1),
+        |o AS (SELECT
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |      THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |      THEN e.v ELSE e.u END AS dst,
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |      THEN dv.dg ELSE du.dg END AS dd
+        |  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+        |w AS (SELECT e1.dst AS ws, e2.dst AS wd
+        |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+        |    AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM w JOIN o ON w.ws = o.src AND w.wd = o.dst)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  n_triangles
+        |FROM tri""".stripMargin
   )
 }

@@ -94,4 +94,35 @@ class PageRankSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Graph.pageRank(e, "src", "dst", 5, dampingPct = 101))
   }
+
+  test("triangleCount: triangle 1, square 0, K4 4; duplicates/reversals collapse") {
+    import spark.implicits._
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graph.triangleCount(edges.toDF("a", "b"), "a", "b")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == ((3L, 3L, 1L)))
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) == ((4L, 4L, 0L)))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(count(k4) == ((4L, 6L, 4L)))
+    // reversed + duplicated edges and self-loops are one undirected edge / dropped
+    assert(count(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L))) == ((3L, 3L, 1L)))
+  }
+
+  test("associationRules: hand-computed support, confidence, lift") {
+    import spark.implicits._
+    // baskets: {a,b} ×3, {a,c}, {b,c}: c_ab=3, c_a=4, c_b=4, n=5
+    // conf a→b = 3/4; lift = 3·5/(4·4) = 0.9375
+    val rows = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "b"), (4L, "a"), (4L, "c"), (5L, "b"), (5L, "c"))
+      .toDF("bk", "item")
+    val got = graft.ops.Analytics.associationRules(
+      rows, col("bk"), col("item"), minSupport = 2)
+      .collect().map(r => (r.getAs[String]("item_a"), r.getAs[String]("item_b"),
+        r.getAs[Long]("c_ab"), r.getAs[Long]("conf_ab_micro"),
+        r.getAs[Long]("lift_micro")))
+    assert(got.toSeq == Seq(("a", "b", 3L, 750000L, 937500L)), got.toSeq.toString)
+  }
 }
