@@ -34,6 +34,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Nearest REFERENCE vector for every input vector — the inverted
+    * role of [[bruteForceTopK]]: the BIG side scans, only the small
+    * reference set broadcasts, and the per-vector argmax is a PARTIAL
+    * aggregate (min over struct(−score, ref_id) — same (score DESC,
+    * id) tie order as [[rankTopK]]), so the exchange carries one row
+    * per input vector, never the scored cross product. This is the
+    * semantic-decontamination plan: corpus × benchmark-eval-set, flag
+    * what sits too close. Scale path beyond a broadcastable reference
+    * set: [[ivfTopK]] with the references as the corpus. */
+  def nearestOver(vecs: DataFrame, refs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val r = refs.select(col(idCol).as("rid"), col(vecCol).as("rv"))
+    v.join(broadcast(r))
+      .withColumn("score", round(cosineSimilarity(col("vv"), col("rv")), 6))
+      .groupBy(col("vid"))
+      .agg(min(struct((-col("score")).as("ns"), col("rid").as("rid"))).as("m"))
+      .select(col("vid"), col("m.rid").as("nearest_id"),
+        (-col("m.ns")).as("score"))
+  }
+
   /** Exact top-k EUCLIDEAN neighbors per probe — same plan shape as
     * [[bruteForceTopK]] (broadcast probes, linear corpus scan, bounded
     * heap), ranking ascending L2. This is the ground truth an L2 index

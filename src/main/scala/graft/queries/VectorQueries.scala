@@ -232,6 +232,51 @@ object VectorQueries {
           vecs.filter(col("vec_id") % 2 === 0),
           vecs.filter(col("vec_id") % 2 === 1), "embedding")
         .orderBy(col("dim"))
+    }),
+
+    // Matryoshka-truncation recall gauge: exact top-5 under prefix
+    // dims 8/16/32 scored against the full-64-dim truth — the
+    // dimension-vs-recall curve behind "can we serve at quarter width"
+    // (the q92 recall discipline applied to representation truncation;
+    // dim 64 is the sanity row at recall 1)
+    "q156_matryoshka_recall" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val probes = vecs.filter(col("vec_id") < 20)
+      val full = Similarity.bruteForceTopK(vecs, probes,
+          "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("neighbor_id"))
+      Seq(8, 16, 32, 64).map { d =>
+        val tv = vecs.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        val tp = probes.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        Similarity.bruteForceTopK(tv, tp, "vec_id", "embedding", k = 5)
+          .select(col("probe_id"), col("neighbor_id"))
+          .join(full, Seq("probe_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .withColumn("dim", lit(d))
+      }.reduce(_ unionByName _)
+        .crossJoin(probes.agg(count(lit(1)).as("n_probes")))
+        .select(col("dim"), col("n_probes"), lit(5).as("k"), col("hits"),
+          expr("CAST(hits * 1000000 DIV (n_probes * 5) AS BIGINT)")
+            .as("recall_micro"))
+        .orderBy(col("dim"))
+    }),
+
+    // Semantic decontamination (ops/Similarity.nearestOver): every
+    // corpus vector's nearest benchmark-eval vector (eval = the 2%
+    // id-stride slice), flagged past cosine 0.4 — the embedding-space
+    // sibling of q58/q66's exact-match decontamination; corpus scans,
+    // only the eval set broadcasts, argmax is map-side partial
+    "q157_semantic_decon" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.nearestOver(
+          vecs.filter(col("vec_id") % 50 =!= 0),
+          vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding")
+        .select(col("vid").as("vec_id"), col("nearest_id").as("nearest_eval_id"),
+          floor(col("score") * 1e6 + lit(0.5)).cast("long").as("sim_micro"))
+        .withColumn("contaminated", col("sim_micro") >= 400000L)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -451,6 +496,61 @@ object VectorQueries {
         |  CASE WHEN sqrt(vr / nr + vc / nc) = 0 THEN NULL
         |       ELSE CAST(round(abs(mr - mc) / sqrt(vr / nr + vc / nc) * 1000) AS BIGINT)
         |  END AS z_milli
-        |FROM j ORDER BY dim""".stripMargin
+        |FROM j ORDER BY dim""".stripMargin,
+
+    // per-dim truncated top-5 via the q19 round-then-rank discipline on
+    // sliced DOUBLE[] prefixes; hits join against the full-width truth
+    "q156_matryoshka_recall" -> {
+      def top5(d: Int, name: String) =
+        s"""$name AS (SELECT probe_id, neighbor_id FROM (
+           |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY p.vec_id
+           |      ORDER BY round(list_cosine_similarity(
+           |        CAST(p.embedding[1:$d] AS DOUBLE[]),
+           |        CAST(c.embedding[1:$d] AS DOUBLE[])), 6) DESC, c.vec_id)
+           |      AS rnk
+           |  FROM embeddings p CROSS JOIN embeddings c WHERE p.vec_id < 20)
+           |WHERE rnk <= 5)""".stripMargin
+      def hits(d: Int) =
+        s"""h$d AS (SELECT CAST(count(*) AS BIGINT) AS hits
+           |  FROM d$d JOIN full5 USING (probe_id, neighbor_id))""".stripMargin
+      s"""WITH ${top5(64, "full5")},
+         |${top5(8, "d8")}, ${top5(16, "d16")}, ${top5(32, "d32")},
+         |${top5(64, "d64")},
+         |${hits(8)}, ${hits(16)}, ${hits(32)}, ${hits(64)},
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes
+         |  FROM embeddings WHERE vec_id < 20)
+         |SELECT dim, n_probes, k, hits,
+         |  CAST(hits * 1000000 // (n_probes * 5) AS BIGINT) AS recall_micro
+         |FROM (
+         |  SELECT 8 AS dim, np.n_probes, 5 AS k, h8.hits FROM h8 CROSS JOIN np
+         |  UNION ALL
+         |  SELECT 16, np.n_probes, 5, h16.hits FROM h16 CROSS JOIN np
+         |  UNION ALL
+         |  SELECT 32, np.n_probes, 5, h32.hits FROM h32 CROSS JOIN np
+         |  UNION ALL
+         |  SELECT 64, np.n_probes, 5, h64.hits FROM h64 CROSS JOIN np)
+         |ORDER BY dim""".stripMargin
+    },
+
+    // argmax spelled as row_number over (score DESC, ref id) — the
+    // exact tie order of the Spark min(struct(−score, id)) partial agg
+    "q157_semantic_decon" ->
+      """WITH ev AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 50 = 0),
+        |co AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 50 <> 0),
+        |sc AS (SELECT co.vec_id AS vec_id, ev.vec_id AS rid,
+        |    round(list_cosine_similarity(CAST(co.embedding AS DOUBLE[]),
+        |      CAST(ev.embedding AS DOUBLE[])), 6) AS score
+        |  FROM co CROSS JOIN ev),
+        |best AS (SELECT vec_id, rid, score,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY score DESC, rid) AS rnk
+        |  FROM sc)
+        |SELECT vec_id, rid AS nearest_eval_id,
+        |  CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS sim_micro,
+        |  CAST(floor(score * 1e6 + 0.5) AS BIGINT) >= 400000 AS contaminated
+        |FROM best WHERE rnk = 1 ORDER BY vec_id""".stripMargin
   )
 }

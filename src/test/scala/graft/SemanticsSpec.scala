@@ -427,6 +427,18 @@ class SemanticsSpec extends SparkTestBase {
       "disjoint sources should estimate near zero")
   }
 
+  test("nearestOver: finds the scaled twin at cosine 1; ties break to min ref id") {
+    import spark.implicits._
+    val refs = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)),
+      (102L, Array(0f, 2f))).toDF("vec_id", "embedding")
+    val vecs = Seq((1L, Array(2f, 0f)), (2L, Array(0f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.nearestOver(vecs, refs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // vec 1 → ref 100 (cos 1); vec 2 ties refs 101/102 at cos 1 → min id 101
+    assert(got == Set((1L, 100L, 1.0), (2L, 101L, 1.0)), got.toString)
+  }
+
   test("dupSpans: islands split runs; self-repeats and clean docs stay zero") {
     import spark.implicits._
     val docs = Seq(
