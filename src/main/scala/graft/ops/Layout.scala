@@ -96,4 +96,42 @@ object Layout {
       .sortWithinPartitions(col("__h"))
       .drop("__h")
   }
+
+  /** File-skipping efficacy of a layout, measured the way an engine
+    * actually prunes: rows are cut into `nFiles` equal files in
+    * `orderMetric` order (exact distributed ntile — no global sort),
+    * each file keeps (min, max) zone-map stats on x and y, and a box
+    * query touches a file iff both ranges overlap the box. Comparing
+    * the same box under a Z-order metric vs a linear key is the
+    * quantified answer to "why cluster at all" — rows_scanned over
+    * rows_matched is the read amplification the layout buys down.
+    *
+    * Returns one row: layout, n_files, files_touched, rows_matched,
+    * rows_scanned. */
+  def fileSkipStats(df: DataFrame, orderMetric: Column, tieCol: Column,
+      nFiles: Int, xCol: Column, yCol: Column,
+      xLo: Long, xHi: Long, yLo: Long, yHi: Long,
+      label: String): DataFrame = {
+    require(nFiles >= 2, s"nFiles must be >= 2, got $nFiles")
+    require(xLo <= xHi && yLo <= yHi, "box bounds must be ordered")
+    val base = df.select(orderMetric.as("__m"), tieCol.as("__t"),
+      xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+    val filed = Analytics.ntileExact(base, col("__m"), col("__t"),
+      nFiles, "file_id")
+    val perFile = filed.groupBy(col("file_id"))
+      .agg(min(col("x")).as("minx"), max(col("x")).as("maxx"),
+        min(col("y")).as("miny"), max(col("y")).as("maxy"),
+        count(lit(1)).as("n"),
+        sum(when(col("x").between(xLo, xHi)
+          && col("y").between(yLo, yHi), 1L).otherwise(0L)).as("matched"))
+      .withColumn("touched",
+        col("maxx") >= xLo && col("minx") <= xHi
+          && col("maxy") >= yLo && col("miny") <= yHi)
+    perFile.agg(count(lit(1)).as("n_files"),
+        sum(when(col("touched"), 1L).otherwise(0L)).as("files_touched"),
+        sum(col("matched")).as("rows_matched"),
+        sum(when(col("touched"), col("n")).otherwise(0L)).as("rows_scanned"))
+      .select(lit(label).as("layout"), col("n_files"), col("files_touched"),
+        col("rows_matched"), col("rows_scanned"))
+  }
 }

@@ -325,6 +325,55 @@ object SqlQueries {
         col("l_returnflag"), col("cents"), Seq(25, 50, 90))
         .withColumnRenamed("g", "l_returnflag")
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Why cluster at all, quantified (ops/Layout.fileSkipStats): the
+    // same box predicate under Z-order vs linear-key file layout, with
+    // honest zone-map pruning (a file is read iff its min/max ranges
+    // overlap the box). rows_scanned / rows_matched is the read
+    // amplification the layout buys down — the number that justifies
+    // q72/q82/q133 at 100 TB
+    "q158_zorder_pruning" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 97).as("x"), ((col("doc_id") * 7) % 89).as("y"))
+      val z = base.withColumn("m",
+        graft.ops.Layout.zValue(col("x"), col("y")))
+      val lin = base.withColumn("m", col("doc_id"))
+      graft.ops.Layout.fileSkipStats(z, col("m"), col("doc_id"), 64,
+          col("x"), col("y"), 10, 30, 20, 40, "zorder")
+        .unionByName(graft.ops.Layout.fileSkipStats(lin, col("m"),
+          col("doc_id"), 64, col("x"), col("y"), 10, 30, 20, 40, "linear"))
+        .orderBy(col("layout"))
+    }),
+
+    // UNPIVOT via the stack generator — wide metrics to long
+    // (metric, val) rows, the reshape the warehouse surface was missing
+    "q159_unpivot" -> ((s, dir) => {
+      t(s, dir, "part").select(col("p_partkey"),
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+            .as("retail_cents"),
+          col("p_size").cast("long").as("sz"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .selectExpr("p_partkey",
+          "stack(3, 'retail_cents', retail_cents, 'size', sz, " +
+            "'name_len', name_len) AS (metric, val)")
+        .orderBy(col("p_partkey"), col("metric"))
+    }),
+
+    // Exact per-group mode from the value histogram — max count, ties
+    // to the smallest value via one max(struct(c, −v)) partial
+    // aggregate (no per-group sort)
+    "q160_mode" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .groupBy(col("l_returnflag"), col("cents")).agg(count(lit(1)).as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("c"), (-col("cents")).as("nv"))).as("m"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("l_returnflag"), (-col("m.nv")).as("mode_cents"),
+          col("m.c").as("mode_count"), col("n_distinct"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -593,6 +642,73 @@ object SqlQueries {
         |    + coalesce(hi50, lo50) * ((n - 1) * 50 % 100) AS p50_x100,
         |  lo90 * (100 - (n - 1) * 90 % 100)
         |    + coalesce(hi90, lo90) * ((n - 1) * 90 % 100) AS p90_x100
-        |FROM a ORDER BY l_returnflag""".stripMargin
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // the q72 Morton chain feeds native ntile(64) file assignment —
+    // the ntileExact equivalence (q121) carries over; zone-map overlap
+    // spelled with the same CASE both sides
+    "q158_zorder_pruning" -> {
+      def layout(src: String, m: String, label: String) =
+        s"""SELECT '$label' AS layout,
+           |  CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(CASE WHEN maxx >= 10 AND minx <= 30
+           |                 AND maxy >= 20 AND miny <= 40
+           |            THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+           |  CAST(sum(matched) AS BIGINT) AS rows_matched,
+           |  CAST(sum(CASE WHEN maxx >= 10 AND minx <= 30
+           |                 AND maxy >= 20 AND miny <= 40
+           |            THEN n ELSE 0 END) AS BIGINT) AS rows_scanned
+           |FROM (
+           |  SELECT f, min(x) AS minx, max(x) AS maxx,
+           |    min(y) AS miny, max(y) AS maxy, count(*) AS n,
+           |    sum(CASE WHEN x BETWEEN 10 AND 30 AND y BETWEEN 20 AND 40
+           |        THEN 1 ELSE 0 END) AS matched
+           |  FROM (SELECT x, y, ntile(64) OVER (ORDER BY $m, doc_id) AS f
+           |        FROM $src)
+           |  GROUP BY f)""".stripMargin
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(doc_id % 97 AS BIGINT) AS x,
+         |         CAST((doc_id * 7) % 89 AS BIGINT) AS y
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, x, y,
+         |  ((x | (x << 8)) & 16711935) AS xa, ((y | (y << 8)) & 16711935) AS ya FROM c),
+         |s2 AS (SELECT doc_id, x, y,
+         |  ((xa | (xa << 4)) & 252645135) AS xb, ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+         |s3 AS (SELECT doc_id, x, y,
+         |  ((xb | (xb << 2)) & 858993459) AS xc, ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+         |s4 AS (SELECT doc_id, x, y,
+         |  ((xc | (xc << 1)) & 1431655765) AS xd, ((yc | (yc << 1)) & 1431655765) AS yd FROM s3),
+         |zf AS (SELECT doc_id, x, y, (xd | (yd << 1)) AS z FROM s4)
+         |SELECT * FROM (
+         |  ${layout("zf", "z", "zorder")}
+         |  UNION ALL
+         |  ${layout("zf", "doc_id", "linear")})
+         |ORDER BY layout""".stripMargin
+    },
+
+    "q159_unpivot" ->
+      """WITH b AS (SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS retail_cents,
+        |    CAST(p_size AS BIGINT) AS sz,
+        |    CAST(length(p_name) AS BIGINT) AS name_len
+        |  FROM part)
+        |SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, 'retail_cents' AS metric, retail_cents AS val FROM b
+        |  UNION ALL SELECT p_partkey, 'size', sz FROM b
+        |  UNION ALL SELECT p_partkey, 'name_len', name_len FROM b)
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q160_mode" ->
+      """WITH h AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT g, v, c,
+        |    row_number() OVER (PARTITION BY g ORDER BY c DESC, v) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nd
+        |  FROM h)
+        |SELECT g AS l_returnflag, v AS mode_cents, c AS mode_count,
+        |  nd AS n_distinct
+        |FROM r WHERE rnk = 1 ORDER BY l_returnflag""".stripMargin
   )
 }
