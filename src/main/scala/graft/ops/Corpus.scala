@@ -767,6 +767,38 @@ object Corpus {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
   }
 
+  /** Largest-remainder (Hamilton) budget allocation: split an integer
+    * `total` across keys proportionally to an integer weight, with the
+    * floor quotas topped up by remainder rank so Σalloc = total EXACTLY
+    * — the "sample exactly N docs across strata" allocator behind any
+    * fixed-token-budget mixture (floats + rounding either overshoot
+    * the budget or leak it; this cannot). All-integer: quota = w·total,
+    * base = quota div W, remainders ranked (quota mod W desc, key).
+    * Keys are stratum-cardinality (dimension scale) — the one window
+    * sorts strata, not rows. */
+  def allocateBudget(df: DataFrame, keyCol: Column, weightCol: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val w = df.select(keyCol.as("key"), weightCol.cast("long").as("w"))
+      .groupBy(col("key")).agg(sum(col("w")).as("w"))
+    val tot = w.agg(sum(col("w")).as("bigw"))
+    val based = w.crossJoin(tot)
+      .withColumn("__ok", when(col("bigw") > 0, col("bigw"))
+        .otherwise(raise_error(lit("allocateBudget needs positive total weight"))))
+      .withColumn("base",
+        expr(s"CAST(CAST(w AS DECIMAL(38,0)) * $total DIV __ok AS BIGINT)"))
+      .withColumn("rem",
+        expr(s"CAST(CAST(w AS DECIMAL(38,0)) * $total % __ok AS BIGINT)"))
+    val leftover = based.agg((lit(total) - sum(col("base"))).as("left"))
+    based
+      .withColumn("rrank", row_number().over(
+        Window.orderBy(col("rem").desc, col("key"))).cast("long"))
+      .crossJoin(leftover)
+      .select(col("key"), col("w"), col("base"),
+        (col("base") + when(col("rrank") <= col("left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Per-source distribution drift: KL(source ‖ corpus) over the
     * whitespace-token unigram distribution — the mixture-health gauge
     * behind reweighting decisions (a source whose KL spikes after a

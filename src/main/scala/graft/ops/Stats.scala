@@ -126,6 +126,81 @@ object Stats {
       .withColumn("rejected", col("d_micro") > col("crit_micro"))
   }
 
+  /** Exact Pearson correlation matrix over integer-scaled metrics —
+    * the profiling companion of q131's OLS: all five moments per pair
+    * (Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL(38,0) in ONE scan
+    * (never one pass per pair), and the closed form
+    * (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²)) runs on doubles
+    * cast once from exact decimals — correctly-rounded casts of
+    * identical integers, so both engines see the same IEEE inputs.
+    * Returns one row per unordered pair: var_a, var_b, n, corr_micro
+    * (null when either variance is zero — a constant column has no
+    * correlation, not corr 0). */
+  def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
+    require(vars.size >= 2, s"corrMatrix needs >= 2 variables, got ${vars.size}")
+    require(vars.map(_._1).distinct.size == vars.size, "variable names must be unique")
+    val base = df.select(vars.map { case (n, c) =>
+      c.cast("long").as(n) }: _*)
+    val names = vars.map(_._1)
+    // operands cast to DECIMAL BEFORE the row-level products — long
+    // squares overflow past |v| ~ 3·10⁹
+    val moments =
+      names.map(n => sum(col(n).cast("decimal(38,0)")).as(s"s_$n")) ++
+      names.map(n => sum(col(n).cast("decimal(38,0)") * col(n)).as(s"q_$n")) ++
+      (for (i <- names.indices; j <- i + 1 until names.size) yield
+        sum(col(names(i)).cast("decimal(38,0)") * col(names(j)))
+          .as(s"x_${names(i)}_${names(j)}"))
+    val agg = base.agg(count(lit(1)).as("n"), moments: _*)
+    val pairRows = (for (i <- names.indices; j <- i + 1 until names.size) yield {
+      val (a, b) = (names(i), names(j))
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        expr(s"""CASE
+          |  WHEN (n * q_$a - s_$a * s_$a) = 0 OR (n * q_$b - s_$b * s_$b) = 0
+          |  THEN CAST(NULL AS BIGINT)
+          |  ELSE CAST(floor(
+          |    CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE)
+          |    / sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE)
+          |           * CAST(n * q_$b - s_$b * s_$b AS DOUBLE))
+          |    * 1000000 + 0.5) AS BIGINT)
+          |END""".stripMargin).as("corr_micro"))
+    })
+    agg.select(col("n"), explode(array(pairRows: _*)).as("p"))
+      .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
+        col("n"), col("p.corr_micro").as("corr_micro"))
+  }
+
+  /** Two-sketch Kolmogorov–Smirnov distance over SHARED bucket keys —
+    * the streaming-drift form of [[ksTest2]]: both sides are (e, sub)
+    * log-histogram bucket counts ([[sketchBuckets]] output for ONE
+    * group, `g` ignored), D = max |cumA·nB − cumB·nA| over the merged
+    * bucket axis, micro-rounded once. Bucketing adds ≤1/subBuckets
+    * resolution error to D — the standard binned-KS trade. Returns one
+    * row: n_a, n_b, d_micro. */
+  def ksFromBuckets(a: DataFrame, b: DataFrame): DataFrame = {
+    val ca = a.groupBy(col("e"), col("sub")).agg(sum(col("c")).as("ca"))
+    val cb = b.groupBy(col("e"), col("sub")).agg(sum(col("c")).as("cb"))
+    val merged = ca.join(cb, Seq("e", "sub"), "full_outer")
+      .select(col("e"), col("sub"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.orderBy(col("e"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val totals = merged.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(totals)
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cuma").cast("decimal(38,0)") * col("n_b")
+          - col("cumb").cast("decimal(38,0)") * col("n_a"))).as("__dnum"))
+      .select(col("n_a"), col("n_b"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0
+               |  THEN CAST(__dnum * 1000000
+               |       DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)
+               |  ELSE raise_error('ksFromBuckets needs both sketches non-empty')
+               |END""".stripMargin).as("d_micro"))
+  }
+
   /** Pearson chi-square independence test over two categorical columns
     * — exact-rational cell terms: (o·n − rt·ct)² / (n·rt·ct) equals
     * (o−e)²/e without ever materializing the fractional expected count,

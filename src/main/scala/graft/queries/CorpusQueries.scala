@@ -437,6 +437,18 @@ object CorpusQueries {
     "q147_source_kl" -> ((s, dir) => {
       Corpus.sourceDivergence(t(s, dir, "documents"), "source", "text")
         .orderBy(col("source"))
+    }),
+
+    // Largest-remainder token-budget allocation across sources
+    // (ops/Corpus.allocateBudget): Σalloc = 10000 EXACTLY — floats
+    // round-trip a fixed budget into over/undershoot, Hamilton quotas
+    // cannot; weights are the exact q12 token counts
+    "q163_budget_allocation" -> ((s, dir) => {
+      Corpus.allocateBudget(
+        t(s, dir, "documents")
+          .select(col("source"), tokenCount(col("text")).as("ntok")),
+        col("source"), col("ntok"), total = 10000L)
+        .orderBy(col("key"))
     })
   )
 
@@ -897,6 +909,26 @@ object CorpusQueries {
         |  CAST(count(*) AS BIGINT) AS n_terms,
         |  CAST(floor(CAST(sum(c_st * lnr_nano) AS DOUBLE)
         |      / CAST(max(c_s) AS DOUBLE) + 0.5) AS BIGINT) AS kl_nano
-        |FROM j GROUP BY source ORDER BY source""".stripMargin
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // Hamilton quotas in hugeint; the remainder rank is total-ordered
+    // (rem DESC, key) on both sides
+    "q163_budget_allocation" ->
+      """WITH w AS (SELECT source AS key,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |        END) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM w),
+        |b AS (SELECT key, w,
+        |    CAST(CAST(w AS HUGEINT) * 10000 // bigw AS BIGINT) AS base,
+        |    CAST(CAST(w AS HUGEINT) * 10000 % bigw AS BIGINT) AS rem
+        |  FROM w CROSS JOIN t),
+        |l AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS leftov FROM b),
+        |r AS (SELECT key, w, base, rem,
+        |    row_number() OVER (ORDER BY rem DESC, key) AS rrank FROM b)
+        |SELECT key, w, base,
+        |  base + CASE WHEN rrank <= leftov THEN 1 ELSE 0 END AS alloc
+        |FROM r CROSS JOIN l ORDER BY key""".stripMargin
   )
 }

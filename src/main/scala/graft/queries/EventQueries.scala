@@ -334,6 +334,28 @@ object EventQueries {
         col("event_type"), hour(col("ts")))
     }),
 
+    // Incremental view maintenance (warehouse/Warehouse.aggState +
+    // mergeAggState): the daily rollup maintained as mergeable partial
+    // states — a 70%/30% id-split stands in for yesterday's state +
+    // today's delta, and the ORACLE is the full recompute, so the hash
+    // compare IS the maintained-view ≡ recompute proof
+    "q161_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withColumn("day", col("ts").cast("date"))
+      val st = graft.warehouse.Warehouse.aggState(
+        ev.filter(col("event_id") % 10 < 7), Seq("event_type", "day"),
+        col("cents"))
+      val dl = graft.warehouse.Warehouse.aggState(
+        ev.filter(col("event_id") % 10 >= 7), Seq("event_type", "day"),
+        col("cents"))
+      graft.warehouse.Warehouse.mergeAggState(st, dl, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("sum_v").cast("long").as("sum_cents"),
+          col("min_v").as("min_cents"), col("max_v").as("max_cents"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Kaplan–Meier time-to-next-purchase curve
     // (ops/Analytics.kaplanMeier): inter-purchase day gaps are events,
     // each user's tail gap to the corpus max timestamp is right-
@@ -910,6 +932,19 @@ object EventQueries {
         |  CAST(max((d.nr - 1) * (d.nk - 1)) AS BIGINT) AS dof,
         |  CAST(sum(j.term_nano) AS BIGINT) AS chi2_nano
         |FROM j CROSS JOIN d""".stripMargin,
+
+    // the oracle RECOMPUTES from scratch — hash equality proves the
+    // merged incremental states reconstruct it exactly
+    "q161_incremental_agg" ->
+      """SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
 
     // the KM product in log space: one nano-nat floor per event time
     // (the identical double pipeline as the Spark kernel), exact

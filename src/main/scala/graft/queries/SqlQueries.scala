@@ -360,6 +360,24 @@ object SqlQueries {
         .orderBy(col("p_partkey"), col("metric"))
     }),
 
+    // Exact Pearson correlation matrix over the four lineitem metrics
+    // (ops/Stats.corrMatrix): all 14 moments in ONE scan via
+    // DECIMAL(38,0) partial aggregates, closed form on once-cast
+    // doubles — the data-profiling grid q78 lacked
+    "q162_corr_matrix" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+          .as("cents"),
+        floor(col("l_discount") * 1000000 + lit(0.5)).cast("long")
+          .as("disc"),
+        floor(col("l_tax") * 1000000 + lit(0.5)).cast("long").as("tax"))
+      graft.ops.Stats.corrMatrix(li, Seq(
+          "qty" -> col("qty"), "cents" -> col("cents"),
+          "disc" -> col("disc"), "tax" -> col("tax")))
+        .orderBy(col("var_a"), col("var_b"))
+    }),
+
     // Exact per-group mode from the value histogram — max count, ties
     // to the smallest value via one max(struct(c, −v)) partial
     // aggregate (no per-group sort)
@@ -697,6 +715,42 @@ object SqlQueries {
         |  UNION ALL SELECT p_partkey, 'size', sz FROM b
         |  UNION ALL SELECT p_partkey, 'name_len', name_len FROM b)
         |ORDER BY p_partkey, metric""".stripMargin,
+
+    // hugeint moments mirror the Spark DECIMAL(38,0); the correlation
+    // closed form runs on once-cast doubles of identical exact integers
+    "q162_corr_matrix" -> {
+      val names = Seq("qty", "cents", "disc", "tax")
+      val pairs = for (i <- names.indices; j <- i + 1 until names.size)
+        yield (names(i), names(j))
+      def corrExpr(a: String, b: String) =
+        s"""CASE
+           |  WHEN (n * q_$a - s_$a * s_$a) = 0 OR (n * q_$b - s_$b * s_$b) = 0
+           |  THEN CAST(NULL AS BIGINT)
+           |  ELSE CAST(floor(
+           |    CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE)
+           |    / sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE)
+           |           * CAST(n * q_$b - s_$b * s_$b AS DOUBLE))
+           |    * 1000000 + 0.5) AS BIGINT)
+           |END""".stripMargin
+      val momentSelects =
+        names.map(n => s"sum(CAST($n AS HUGEINT)) AS s_$n") ++
+        names.map(n => s"sum(CAST($n AS HUGEINT) * $n) AS q_$n") ++
+        pairs.map { case (a, b) => s"sum(CAST($a AS HUGEINT) * $b) AS x_${a}_$b" }
+      val pairSelects = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS var_a, '$b' AS var_b, n, ${corrExpr(a, b)} AS corr_micro FROM m"
+      }
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         |    CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS disc,
+         |    CAST(floor(l_tax * 1000000 + 0.5) AS BIGINT) AS tax
+         |  FROM lineitem),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${momentSelects.mkString(",\n  ")}
+         |  FROM b)
+         |SELECT var_a, var_b, n, corr_micro FROM (
+         |  ${pairSelects.mkString("\n  UNION ALL\n  ")})
+         |ORDER BY var_a, var_b""".stripMargin
+    },
 
     "q160_mode" ->
       """WITH h AS (SELECT l_returnflag AS g,

@@ -503,6 +503,33 @@ object EventPipeline {
     report(graft.ops.Stats.sketchQuantilesFromBuckets(merged, subBuckets))
   }
 
+  /** Streaming distribution-drift monitor: a pinned REFERENCE bucket
+    * sketch (ops/Stats.sketchBuckets over the blessed corpus, written
+    * once) versus the accumulated stream — per batch, the stream's
+    * bucket counts merge into the store (replay-safe via the checked
+    * sink) and the binned two-sample KS distance
+    * (ops/Stats.ksFromBuckets) against the reference feeds `alert`
+    * as one (d_micro, drifted) row. The detector every feature
+    * pipeline wants on day one: "today's values no longer look like
+    * the training distribution", caught from the data itself. Bucket-
+    * scale state and merge input; nothing stream-scale persists. */
+  def ksDriftSink(referencePath: String, bucketsPath: String,
+      valueCol: Column, subBuckets: Int, thresholdMicro: Long,
+      alert: DataFrame => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val slice = graft.ops.Stats
+      .sketchBuckets(batch, lit("s"), valueCol, subBuckets)
+      .withColumn("batch_id", lit(batchId))
+    mergeBatchSink(bucketsPath, Seq("g", "e", "sub", "batch_id"))(slice, batchId)
+    val stream = spark.read.parquet(bucketsPath)
+      .groupBy(col("e"), col("sub")).agg(sum(col("c")).as("c"))
+    val ref = spark.read.parquet(referencePath)
+      .groupBy(col("e"), col("sub")).agg(sum(col("c")).as("c"))
+    alert(graft.ops.Stats.ksFromBuckets(ref, stream)
+      .withColumn("threshold_micro", lit(thresholdMicro))
+      .withColumn("drifted", col("d_micro") > lit(thresholdMicro)))
+  }
+
   def spikeMonitorSink(countsPath: String, keyCol: Column, tsCol: Column,
       alert: DataFrame => Unit, trailHours: Int = 24, minHistory: Int = 12,
       z: Double = 3.0)(batch: DataFrame, batchId: Long): Unit = {

@@ -293,4 +293,33 @@ object Warehouse {
     fs.delete(old, true)
     (parts.length, outFiles)
   }
+
+  /** Algebraic aggregate STATE for incremental view maintenance: per
+    * key, (n, sum, min, max) over an integral metric — every component
+    * distributive, so states from disjoint slices merge exactly
+    * ([[mergeAggState]]) and the maintained view provably equals a full
+    * recompute (the q161 oracle IS that proof). AVG and friends derive
+    * from the state at read time; non-distributive aggs (exact
+    * distinct, median) need their own mergeable structures (HLL /
+    * [[graft.ops.Stats.sketchBuckets]]) — this op refuses nothing but
+    * carries only what merges. */
+  def aggState(df: DataFrame, keyCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "aggState needs at least one key column")
+    df.select(keyCols.map(col) :+ valueCol.cast("long").as("__v"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("sum_v"),
+        min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
+  }
+
+  /** Merge two (or, by folding, any number of) [[aggState]] frames:
+    * counts and sums add, min/max fold — one union + one partial-agg
+    * rollup, never a rescan of the base data. */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
 }

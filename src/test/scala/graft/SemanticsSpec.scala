@@ -427,6 +427,22 @@ class SemanticsSpec extends SparkTestBase {
       "disjoint sources should estimate near zero")
   }
 
+  test("allocateBudget: quotas sum to the budget exactly; remainders rank-ordered") {
+    import spark.implicits._
+    // weights 5/3/2 of total 7: quotas 3.5/2.1/1.4 → bases 3/2/1 (sum 6),
+    // one leftover goes to the largest remainder (a: .5)
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w")
+    val got = graft.ops.Corpus.allocateBudget(w, col("k"), col("w"), 7L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L), got.toString)
+    // property: any weights, any total — Σalloc == total
+    val big = Seq(("s1", 17L), ("s2", 13L), ("s3", 7L), ("s4", 41L),
+      ("s5", 1L)).toDF("k", "w")
+    val sum = graft.ops.Corpus.allocateBudget(big, col("k"), col("w"), 1000L)
+      .agg(org.apache.spark.sql.functions.sum("alloc")).collect().head.getLong(0)
+    assert(sum == 1000L, s"allocation leaked: $sum")
+  }
+
   test("nearestOver: finds the scaled twin at cosine 1; ties break to min ref id") {
     import spark.implicits._
     val refs = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)),

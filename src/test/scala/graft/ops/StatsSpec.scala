@@ -179,6 +179,28 @@ class StatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("positive label"))
   }
 
+  test("corrMatrix: perfect / inverse / independent pairs, constant → null") {
+    // y = 2x (corr 1), z = −x (corr −1), w constant (corr null)
+    val df = (1 to 20).map(i => (i.toLong, 2L * i, -i.toLong, 7L))
+      .toDF("x", "y", "z", "w")
+    val got = Stats.corrMatrix(df, Seq("x" -> col("x"), "y" -> col("y"),
+        "z" -> col("z"), "w" -> col("w")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(("x", "y")) == Some(1000000L))
+    assert(got(("x", "z")) == Some(-1000000L))
+    assert(got(("x", "w")) == None && got(("y", "w")) == None)
+  }
+
+  test("ksFromBuckets: identical sketches D=0, disjoint ranges D=1") {
+    val a = Stats.sketchBuckets((1 to 100).map(i => ("g", i * 5L)).toDF("g", "v"),
+      col("g"), col("v"), 16)
+    val b = Stats.sketchBuckets((1 to 100).map(i => ("g", i * 5L + 100000L)).toDF("g", "v"),
+      col("g"), col("v"), 16)
+    assert(Stats.ksFromBuckets(a, a).collect().head.getAs[Long]("d_micro") == 0L)
+    assert(Stats.ksFromBuckets(a, b).collect().head.getAs[Long]("d_micro") == 1000000L)
+  }
+
   test("sketch buckets merge: union of shards equals the whole") {
     // mergeability = the groupBy is over (g, e, sub) counts — computing
     // the sketch over a union must equal the sketch over the whole

@@ -496,4 +496,34 @@ class StreamingSpec extends SparkTestBase {
       subBuckets = 16, report)(batch1.toDF("g", "v"), 1L)
     assert(latest == oneShot, s"replay changed the report: $latest")
   }
+
+  test("streaming KS drift: matching stream stays quiet, shifted stream alerts") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ks-sink").toString
+    val refVals = (1 to 500).map(i => ("r", i * 3L + 10))
+    graft.ops.Stats.sketchBuckets(refVals.toDF("g", "v"),
+        lit("s"), col("v"), 16)
+      .write.parquet(s"$root/ref")
+    var last: (Long, Boolean) = (0L, false)
+    val alert: org.apache.spark.sql.DataFrame => Unit = df => {
+      val r = df.collect().head
+      last = (r.getAs[Long]("d_micro"), r.getAs[Boolean]("drifted"))
+    }
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().toDF("v")
+      .writeStream
+      .foreachBatch(EventPipeline.ksDriftSink(s"$root/ref", s"$root/buckets",
+        col("v"), 16, thresholdMicro = 200000L, alert) _)
+      .start()
+    // batch 0: same distribution as the reference → below threshold
+    stream.addData((1 to 500).map(i => i * 3L + 10))
+    q.processAllAvailable()
+    assert(!last._2, s"matching stream flagged drifted: $last")
+    // batch 1: values 100× larger — the cumulative mix must now drift
+    stream.addData((1 to 1500).map(i => i * 300L + 100000))
+    q.processAllAvailable()
+    q.stop()
+    assert(last._2 && last._1 > 200000L, s"shifted stream not flagged: $last")
+  }
 }
