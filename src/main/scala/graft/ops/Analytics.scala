@@ -462,6 +462,66 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** CUPED variance-reduced A/B means (Deng et al. 2013): each user's
+    * experiment-period metric y is adjusted by θ·(x − x̄) with x the
+    * PRE-period metric and θ = cov(x,y)/var(x) pooled over all users —
+    * the pre-period explains away persistent per-user spend level, so
+    * arm means separate with tighter variance at the same N.
+    *
+    * Oracle-exact discipline: θ comes from exact DECIMAL moments and
+    * is pinned to micro once; each user's adjustment is then the
+    * INTEGER y·10⁶·N − θ_micro·(x·N − Σx) (scaling by N clears the
+    * fractional mean), so the per-arm sums are exact and the one final
+    * division runs on identical once-cast doubles. Arms are the q132
+    * md5 split; zero pre-period variance degrades to θ = 0 (= plain
+    * means), not a division blowup.
+    *
+    * Returns one row per arm: arm, n_users, theta_micro,
+    * raw_mean_micro, cuped_mean_micro (micro-cents). */
+  def cupedAdjustedMeans(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, conversionType: String, valueCol: String,
+      salt: String, armACut: String, preDays: Int): DataFrame = {
+    require(preDays > 0, s"preDays must be positive, got $preDays")
+    val cents = floor(col(valueCol) * 100 + lit(0.5)).cast("long")
+    val cut = events.agg(date_add(min(col(tsCol)).cast("date"), preDays)
+      .as("__cut"))
+    val perUser = events.filter(col(typeCol) === conversionType)
+      .crossJoin(cut)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(
+        sum(when(col(tsCol).cast("date") < col("__cut"), cents)
+          .otherwise(0L)).as("x"),
+        sum(when(col(tsCol).cast("date") >= col("__cut"), cents)
+          .otherwise(0L)).as("y"))
+      .withColumn("arm",
+        when(substring(md5(concat(lit(salt), col("user_id").cast("string"))),
+          1, 2) < armACut, "a").otherwise("b"))
+    val m = perUser.agg(count(lit(1)).as("bign"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .withColumn("theta_micro", expr(
+        """CASE WHEN bign * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor(CAST(bign * sxy - sx * sy AS DOUBLE)
+          |       / CAST(bign * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+          |     AS BIGINT) END""".stripMargin))
+    perUser.crossJoin(m)
+      .withColumn("adj_scaled",
+        col("y").cast("decimal(38,0)") * 1000000L * col("bign")
+          - col("theta_micro").cast("decimal(38,0)")
+            * (col("x").cast("decimal(38,0)") * col("bign") - col("sx")))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        max(col("theta_micro")).as("theta_micro"),
+        floor(sum(col("y")).cast("double") * 1e6
+          / count(lit(1)).cast("double") + lit(0.5)).cast("long")
+          .as("raw_mean_micro"),
+        floor(sum(col("adj_scaled")).cast("double")
+          / (count(lit(1)).cast("double") * max(col("bign")).cast("double"))
+          + lit(0.5)).cast("long").as("cuped_mean_micro"))
+  }
+
   /** Market-basket association rules over (basket, item) rows — pair
     * support, directional confidence, and lift, the co-purchase /
     * co-occurrence miner (items = products, tags, or n-gram features;

@@ -52,6 +52,36 @@ object Stats {
       .agg(max(col("n")).as("n"), qCols: _*)
   }
 
+  /** WEIGHTED [[quantilesDisc]]: the smallest value whose cumulative
+    * WEIGHT reaches ceil(p·W/100) — "the median transaction weighted
+    * by quantity" class of question; same histogram-prefix shape, the
+    * counts replaced by integer weight sums (DECIMAL(38,0) past the
+    * long regime). */
+  def quantilesDiscWeighted(df: DataFrame, groupCol: Column,
+      valueCol: Column, weightCol: Column,
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    val hist = df
+      .select(groupCol.as("g"), valueCol.cast("long").as("v"),
+        weightCol.cast("long").as("__w"))
+      .filter(when(col("__w") >= 0, lit(true)).otherwise(raise_error(
+        concat(lit("quantilesDiscWeighted needs non-negative weights, got "),
+          col("__w")))))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("__w").cast("decimal(38,0)")).as("c"))
+    val byG = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(byG))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val qCols = percentiles.map { p =>
+      min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("v")))
+        .as(s"p$p")
+    }
+    cum.groupBy(col("g"))
+      .agg(max(col("n")).cast("long").as("total_weight"), qCols: _*)
+  }
+
   /** Exact INTERPOLATED quantiles (SQL `percentile_cont` semantics) per
     * group, reported ×100 so the linear interpolation stays integer:
     * 0-based position (n−1)·p/100 splits into rank r = ·div 100 and

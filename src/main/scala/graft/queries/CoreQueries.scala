@@ -234,6 +234,20 @@ object CoreQueries {
         .withColumn("running_qty", sum(col("l_quantity")).over(w))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // CDC apply (warehouse/Warehouse.applyCdc): highest-sequence op per
+    // key wins, a terminal delete tombstones the key — K1's upsert plus
+    // the delete channel; the winner is a map-side struct argmax, one
+    // row per key crossing the exchange
+    "q164_cdc_apply" -> ((s, dir) => {
+      val log = t(s, dir, "orders").select(
+        (col("o_orderkey") % 5000).as("key"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, "D").otherwise("U").as("op"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      graft.warehouse.Warehouse.applyCdc(log, "key", "seq", "op")
+        .orderBy(col("key"))
     })
   ) ++ asOfQueries
 
@@ -364,6 +378,19 @@ object CoreQueries {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // last-writer-wins spelled as a window; sequences are unique per
+    // key by construction, so the Spark struct-argmax agrees exactly
+    "q164_cdc_apply" ->
+      """WITH log AS (SELECT o_orderkey % 5000 AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT key, seq, op, cents,
+        |    row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rnk
+        |  FROM log)
+        |SELECT key, seq, op, cents FROM r
+        |WHERE rnk = 1 AND op <> 'D' ORDER BY key""".stripMargin
   )
 }

@@ -449,6 +449,32 @@ object CorpusQueries {
           .select(col("source"), tokenCount(col("text")).as("ntok")),
         col("source"), col("ntok"), total = 10000L)
         .orderBy(col("key"))
+    }),
+
+    // Per-source token concentration (Pareto gauge): how many docs
+    // cover 80% of a source's tokens, and the top-10 docs' share — the
+    // "is this source three mega-docs in a trenchcoat" curation signal;
+    // integer cum·100 ≥ total·80 rank math, per-source windows only
+    "q166_pareto" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("ntok").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), tokenCount(col("text")).as("ntok"))
+        .withColumn("cum", sum(col("ntok"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("total",
+          sum(col("ntok")).over(Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("total")).as("total_tokens"),
+          min(when(col("cum") * 100 >= col("total") * 80, col("rk")))
+            .as("n80_docs"),
+          expr("""CASE WHEN max(total) = 0 THEN CAST(0 AS BIGINT)
+                 |ELSE CAST(sum(CASE WHEN rk <= 10 THEN ntok ELSE 0 END)
+                 |     * 1000000 DIV max(total) AS BIGINT)
+                 |END""".stripMargin).as("top10_share_micro"))
+        .orderBy(col("source"))
     })
   )
 
@@ -929,6 +955,33 @@ object CorpusQueries {
         |    row_number() OVER (ORDER BY rem DESC, key) AS rrank FROM b)
         |SELECT key, w, base,
         |  base + CASE WHEN rrank <= leftov THEN 1 ELSE 0 END AS alloc
-        |FROM r CROSS JOIN l ORDER BY key""".stripMargin
+        |FROM r CROSS JOIN l ORDER BY key""".stripMargin,
+
+    // same q12 token arithmetic; the (ntok DESC, doc_id) window order
+    // is total, so cum/rank agree across engines
+    "q166_pareto" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |    END AS BIGINT) AS ntok
+        |  FROM documents),
+        |w AS (SELECT source, doc_id, ntok,
+        |    CAST(sum(ntok) OVER (PARTITION BY source
+        |      ORDER BY ntok DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ntok DESC, doc_id) AS rk,
+        |    CAST(sum(ntok) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(total) AS total_tokens,
+        |  CAST(min(CASE WHEN cum * 100 >= total * 80 THEN rk END) AS BIGINT)
+        |    AS n80_docs,
+        |  CASE WHEN max(total) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(sum(CASE WHEN rk <= 10 THEN ntok ELSE 0 END)
+        |            * 1000000 // max(total) AS BIGINT)
+        |  END AS top10_share_micro
+        |FROM w GROUP BY source ORDER BY source""".stripMargin
   )
 }

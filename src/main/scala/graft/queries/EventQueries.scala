@@ -334,6 +334,18 @@ object EventQueries {
         col("event_type"), hour(col("ts")))
     }),
 
+    // CUPED variance-reduced A/B means (ops/Analytics
+    // .cupedAdjustedMeans, Deng et al. 2013): pre-period spend explains
+    // away per-user level, θ from exact decimal moments pinned to
+    // micro once, per-user adjustments INTEGER — the modern
+    // experimentation readout next to q132's conversion z-test
+    "q165_cuped" -> ((s, dir) => {
+      graft.ops.Analytics.cupedAdjustedMeans(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase", "value",
+        salt = "ab:", armACut = "80", preDays = 15)
+        .orderBy(col("arm"))
+    }),
+
     // Incremental view maintenance (warehouse/Warehouse.aggState +
     // mergeAggState): the daily rollup maintained as mergeable partial
     // states — a 70%/30% id-split stands in for yesterday's state +
@@ -932,6 +944,51 @@ object EventQueries {
         |  CAST(max((d.nr - 1) * (d.nk - 1)) AS BIGINT) AS dof,
         |  CAST(sum(j.term_nano) AS BIGINT) AS chi2_nano
         |FROM j CROSS JOIN d""".stripMargin,
+
+    // θ and the adjustments mirror the Spark pipeline op-for-op:
+    // hugeint moments ≙ DECIMAL(38,0), one micro pin for θ, integer
+    // per-user adjustments, identical-double final divisions
+    "q165_cuped" ->
+      """WITH cut AS (SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) + 15
+        |    AS c FROM events),
+        |pu AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) < c
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= c
+        |        THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events CROSS JOIN cut
+        |  WHERE event_type = 'purchase' GROUP BY user_id),
+        |a AS (SELECT user_id, x, y,
+        |    CASE WHEN substr(md5('ab:' || user_id), 1, 2) < '80'
+        |      THEN 'a' ELSE 'b' END AS arm
+        |  FROM pu),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS bign,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM a),
+        |th AS (SELECT bign, sx,
+        |    CASE WHEN bign * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(CAST(bign * sxy - sx * sy AS DOUBLE)
+        |                / CAST(bign * sxx - sx * sx AS DOUBLE)
+        |                * 1000000 + 0.5) AS BIGINT)
+        |    END AS theta_micro
+        |  FROM m),
+        |adj AS (SELECT a.arm, a.y, th.theta_micro, th.bign,
+        |    CAST(a.y AS HUGEINT) * 1000000 * th.bign
+        |      - CAST(th.theta_micro AS HUGEINT)
+        |        * (CAST(a.x AS HUGEINT) * th.bign - th.sx) AS adj_scaled
+        |  FROM a CROSS JOIN th)
+        |SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  max(theta_micro) AS theta_micro,
+        |  CAST(floor(CAST(sum(y) AS DOUBLE) * 1e6
+        |    / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS raw_mean_micro,
+        |  CAST(floor(CAST(sum(adj_scaled) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * CAST(max(bign) AS DOUBLE)) + 0.5)
+        |    AS BIGINT) AS cuped_mean_micro
+        |FROM adj GROUP BY arm ORDER BY arm""".stripMargin,
 
     // the oracle RECOMPUTES from scratch — hash equality proves the
     // merged incremental states reconstruct it exactly

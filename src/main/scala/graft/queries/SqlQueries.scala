@@ -360,6 +360,19 @@ object SqlQueries {
         .orderBy(col("p_partkey"), col("metric"))
     }),
 
+    // Weighted exact quantiles (ops/Stats.quantilesDiscWeighted): the
+    // price under which 25/50/90% of shipped QUANTITY falls — rank
+    // cutoffs on cumulative weight, the volume-weighted twin of q142
+    "q167_weighted_quantiles" -> ((s, dir) => {
+      graft.ops.Stats.quantilesDiscWeighted(
+        t(s, dir, "lineitem").withColumn("cents",
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")),
+        col("l_returnflag"), col("cents"),
+        col("l_quantity").cast("long"), Seq(25, 50, 90))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact Pearson correlation matrix over the four lineitem metrics
     // (ops/Stats.corrMatrix): all 14 moments in ONE scan via
     // DECIMAL(38,0) partial aggregates, closed form on once-cast
@@ -715,6 +728,22 @@ object SqlQueries {
         |  UNION ALL SELECT p_partkey, 'size', sz FROM b
         |  UNION ALL SELECT p_partkey, 'name_len', name_len FROM b)
         |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q167_weighted_quantiles" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |h AS (SELECT g, v, sum(w) AS c FROM c GROUP BY 1, 2),
+        |cum AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n
+        |  FROM h)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END) AS p25,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90
+        |FROM cum GROUP BY g ORDER BY l_returnflag""".stripMargin,
 
     // hugeint moments mirror the Spark DECIMAL(38,0); the correlation
     // closed form runs on once-cast doubles of identical exact integers

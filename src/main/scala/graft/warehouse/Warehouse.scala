@@ -313,6 +313,32 @@ object Warehouse {
         min(col("__v")).as("min_v"), max(col("__v")).as("max_v"))
   }
 
+  /** Apply a CDC log to its final state: per key, the HIGHEST-sequence
+    * operation wins and a terminal delete removes the key — the
+    * upsert-with-tombstones semantics a replicated table's change feed
+    * needs (K1's keyed upsert, plus the delete channel it lacked).
+    * The winner is a map-side partial argmax over struct(seq, row) —
+    * one row per key crosses the exchange, never the full log — which
+    * requires `seqCol` to totally order each key's ops; equal
+    * sequences would tie-break on payload bytes, so they're rejected
+    * loudly via a woven guard, not silently last-writer-wins. */
+  def applyCdc(log: DataFrame, keyCol: String, seqCol: String,
+      opCol: String, deleteOp: String = "D"): DataFrame = {
+    val payload = log.columns.filterNot(_ == keyCol)
+    log.groupBy(col(keyCol))
+      .agg(max(struct(col(seqCol).as("__seq"),
+        struct(payload.map(col): _*).as("__row"))).as("__w"),
+        count(lit(1)).as("__n"),
+        countDistinct(col(seqCol)).as("__nd"))
+      .filter(when(col("__n") === col("__nd"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("applyCdc: duplicate sequence for key "),
+          col(keyCol).cast("string")))))
+      .select(col(keyCol), col("__w.__row").as("__row"))
+      .select(col(keyCol), col("__row.*"))
+      .filter(col(opCol) =!= deleteOp)
+  }
+
   /** Merge two (or, by folding, any number of) [[aggState]] frames:
     * counts and sums add, min/max fold — one union + one partial-agg
     * rollup, never a rescan of the base data. */
