@@ -462,6 +462,52 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Multi-touch LINEAR attribution with EXACT integer credits: each
+    * conversion splits 10⁶ micro-credits equally across its in-window
+    * prior touches — base 10⁶ div n each, the 10⁶ mod n remainder to
+    * the EARLIEST touches (Hamilton again), so every conversion
+    * credits exactly 10⁶ and the channel totals add up to
+    * conversions·10⁶ by construction (float splitting leaks credit;
+    * this cannot). Touchless conversions credit `"none"`. The
+    * conversion×touch pairing is a user-keyed join bounded by
+    * touches-per-window — [[lastTouchAttribution]]'s window trick
+    * can't produce the full touch SET, so the join is the honest plan.
+    * Returns (touch_type, n_conversions, credit_micro). */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, touchTypes: Seq[String],
+      conversionType: String, windowSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touch types must be non-empty and exclude the conversion type, " +
+        s"got $touchTypes / $conversionType")
+    require(windowSeconds > 0, s"attribution window must be positive, got $windowSeconds")
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("u"), col(tsCol).as("cts"),
+        col(tieCol).as("cid"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("u"), col(tsCol).as("tts"),
+        col(tieCol).as("tid"), col(typeCol).as("touch_type"))
+    val paired = conv.join(touch, Seq("u"))
+      .filter(col("tts") < col("cts")
+        && col("tts") >= col("cts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+    val perConv = Window.partitionBy(col("cid"))
+    val ranked = paired
+      .withColumn("n", count(lit(1)).over(perConv))
+      .withColumn("rk", row_number().over(
+        perConv.orderBy(col("tts"), col("tid"))).cast("long"))
+      .withColumn("credit",
+        expr("1000000 DIV n") + when(col("rk") <= expr("1000000 % n"), 1L)
+          .otherwise(0L))
+    val credited = ranked.groupBy(col("touch_type"))
+      .agg(countDistinct(col("cid")).as("n_conversions"),
+        sum(col("credit")).as("credit_micro"))
+    val none = conv.join(paired.select(col("cid")).distinct(),
+        Seq("cid"), "left_anti")
+      .agg(count(lit(1)).as("n_conversions"))
+      .select(lit("none").as("touch_type"), col("n_conversions"),
+        (col("n_conversions") * 1000000L).as("credit_micro"))
+    credited.unionByName(none.filter(col("n_conversions") > 0))
+  }
+
   /** CUPED variance-reduced A/B means (Deng et al. 2013): each user's
     * experiment-period metric y is adjusted by θ·(x − x̄) with x the
     * PRE-period metric and θ = cov(x,y)/var(x) pooled over all users —

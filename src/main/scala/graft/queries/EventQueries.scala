@@ -334,6 +334,45 @@ object EventQueries {
         col("event_type"), hour(col("ts")))
     }),
 
+    // Point-in-time enrichment: purchases joined to the SCD2 status
+    // dimension (signup/error run-collapsed versions from
+    // Warehouse.scd2FromLog) AS OF the purchase timestamp — the
+    // versioned-dim composition every warehouse needs, planned as the
+    // audited as-of union (no point-in-interval join explosion)
+    "q168_pit_enrich" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // one status event per (user, ts) — min event_id — so version
+      // start timestamps are unique per user and the as-of is total
+      val log0 = ev.filter(col("event_type").isin("signup", "error"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("event_id"))
+      val statusLog = log0.join(
+        ev.select(col("event_id"), col("event_type").as("status")),
+        Seq("event_id"))
+      val versions = graft.warehouse.Warehouse.scd2FromLog(
+          statusLog, "user_id", "ts", "event_id", Seq("status"))
+        .select(col("user_id"), col("valid_from").as("vts"), col("status"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.ops.AsOfJoin.asOf(facts, versions, "user_id", "ts", "vts")
+        .select(col("event_id"), col("user_id"), col("status"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Multi-touch linear attribution (ops/Analytics.linearAttribution):
+    // each purchase splits exactly 10⁶ micro-credits across its
+    // in-window prior views/clicks (remainder to the earliest — the
+    // q163 Hamilton discipline applied to credit), so channel totals
+    // reconcile to conversions·10⁶ by construction; q119's last-touch
+    // is the 1-touch special case
+    "q169_linear_attribution" -> ((s, dir) => {
+      graft.ops.Analytics.linearAttribution(t(s, dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        touchTypes = Seq("view", "click"), conversionType = "purchase",
+        windowSeconds = 7L * 24 * 3600)
+        .orderBy(col("touch_type"))
+    }),
+
     // CUPED variance-reduced A/B means (ops/Analytics
     // .cupedAdjustedMeans, Deng et al. 2013): pre-period spend explains
     // away per-user level, θ from exact decimal moments pinned to
@@ -944,6 +983,66 @@ object EventQueries {
         |  CAST(max((d.nr - 1) * (d.nk - 1)) AS BIGINT) AS dof,
         |  CAST(sum(j.term_nano) AS BIGINT) AS chi2_nano
         |FROM j CROSS JOIN d""".stripMargin,
+
+    // run-collapse + as-of spelled with windows: versions are status
+    // runs, the valid version is the latest vts ≤ purchase ts
+    "q168_pit_enrich" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |log0 AS (SELECT user_id, ts, min(event_id) AS event_id
+        |  FROM ev WHERE event_type IN ('signup', 'error') GROUP BY 1, 2),
+        |lg AS (SELECT l.user_id, l.ts, l.event_id, e.event_type AS status
+        |  FROM log0 l JOIN ev e ON e.event_id = l.event_id),
+        |runs AS (SELECT user_id, ts, status,
+        |    lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM lg),
+        |vers AS (SELECT user_id, ts AS vts, status FROM runs
+        |  WHERE prev IS NULL OR prev <> status),
+        |facts AS (SELECT user_id, event_id, ts FROM ev
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT f.event_id, f.user_id, v.status,
+        |    row_number() OVER (PARTITION BY f.event_id
+        |      ORDER BY v.vts DESC) AS rnk
+        |  FROM facts f LEFT JOIN vers v
+        |    ON f.user_id = v.user_id AND v.vts <= f.ts)
+        |SELECT event_id, user_id, status FROM j WHERE rnk = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // per-conversion Hamilton credit split: base 1e6//n to every
+    // in-window touch, remainder to the earliest (tts, tid) — exact
+    // integer totals both sides
+    "q169_linear_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid
+        |  FROM ev WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id AS u, ts AS tts, event_id AS tid,
+        |    event_type AS touch_type
+        |  FROM ev WHERE event_type IN ('view', 'click')),
+        |paired AS (SELECT c.cid, t.touch_type, t.tts, t.tid
+        |  FROM conv c JOIN touch t ON c.u = t.u
+        |  WHERE t.tts < c.cts
+        |    AND t.tts >= c.cts - INTERVAL 604800 SECONDS),
+        |ranked AS (SELECT cid, touch_type,
+        |    count(*) OVER (PARTITION BY cid) AS n,
+        |    row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rk
+        |  FROM paired),
+        |credited AS (SELECT touch_type,
+        |    CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+        |    CAST(sum(1000000 // n
+        |      + CASE WHEN rk <= 1000000 % n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS credit_micro
+        |  FROM ranked GROUP BY 1),
+        |none AS (SELECT 'none' AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_conversions,
+        |    CAST(count(*) * 1000000 AS BIGINT) AS credit_micro
+        |  FROM conv WHERE cid NOT IN (SELECT cid FROM paired))
+        |SELECT touch_type, n_conversions, credit_micro FROM credited
+        |UNION ALL
+        |SELECT touch_type, n_conversions, credit_micro FROM none
+        |  WHERE n_conversions > 0
+        |ORDER BY touch_type""".stripMargin,
 
     // θ and the adjustments mirror the Spark pipeline op-for-op:
     // hugeint moments ≙ DECIMAL(38,0), one micro pin for θ, integer

@@ -285,6 +285,30 @@ class AnalyticsSpec extends SparkTestBase {
       ("2024-01-08", 0, 1L), ("2024-01-08", 2, 1L)))
   }
 
+  test("linearAttribution: every conversion credits exactly 1e6; remainder to earliest") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val ev = Seq(
+      // user 1: three touches (view, view, click) then a purchase —
+      // 1e6/3: base 333333 ×3, remainder 1 to the EARLIEST (a view)
+      (1L, ts(0), "view", 10L), (1L, ts(1), "view", 11L),
+      (1L, ts(2), "click", 12L), (1L, ts(3), "purchase", 13L),
+      // user 2: purchase with no touches → 'none'
+      (2L, ts(5), "purchase", 20L),
+      // user 3: touch AFTER the purchase must not credit
+      (3L, ts(9), "purchase", 30L), (3L, ts(10), "click", 31L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val got = graft.ops.Analytics.linearAttribution(ev, "user_id", "ts",
+      "event_id", "event_type", Seq("view", "click"), "purchase", 3600L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Long]("credit_micro"))).toMap
+    assert(got("view") == ((1L, 666667L)), got.toString)   // 333334 + 333333
+    assert(got("click") == ((1L, 333333L)), got.toString)
+    assert(got("none") == ((2L, 2000000L)), got.toString)
+    assert(got.values.map(_._2).sum == 3000000L, "credit leaked")
+  }
+
   test("kaplanMeier: censoring holds subjects at risk; terminal time drops to 0") {
     import spark.implicits._
     // durations: 1(event), 2(event), 2(censored), 3(event)
