@@ -580,8 +580,12 @@ object Analytics {
     * square; that's a property of the PROBLEM, the classic a-priori
     * trade), margins broadcast back onto the pair frame. Returns every
     * pair with support ≥ `minSupport`; callers rank/limit. */
-  def associationRules(df: DataFrame, basketCol: Column, itemCol: Column,
-      minSupport: Int = 2): DataFrame = {
+  /** Pair-support core of [[associationRules]]: distinct (basket,
+    * item), basket-keyed self-join, support-filtered pair counts —
+    * exposed so graph consumers (q155's co-purchase edges) skip the
+    * margin joins they would only drop. */
+  def pairSupport(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Int): (DataFrame, DataFrame) = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     val d = df.select(basketCol.as("b"), itemCol.as("i")).distinct()
     val pairs = d.as("x").join(d.as("y"),
@@ -589,6 +593,12 @@ object Analytics {
       .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minSupport)
+    (d, pairs)
+  }
+
+  def associationRules(df: DataFrame, basketCol: Column, itemCol: Column,
+      minSupport: Int = 2): DataFrame = {
+    val (d, pairs) = pairSupport(df, basketCol, itemCol, minSupport)
     val margins = d.groupBy(col("i")).agg(count(lit(1)).as("ci"))
     val nb = d.select(col("b")).distinct().agg(count(lit(1)).as("n_baskets"))
     pairs

@@ -146,9 +146,11 @@ object GraphQueries {
     "q155_triangles" -> ((s, dir) => {
       val baskets = t(s, dir, "lineitem")
         .select(col("l_orderkey"), (col("l_partkey") % 1000).as("fam"))
-      val rules = graft.ops.Analytics.associationRules(
+      val (d, pairs) = graft.ops.Analytics.pairSupport(
         baskets, col("l_orderkey"), col("fam"), minSupport = 2)
-      val edges = rules
+      val nb = d.select(col("b")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val edges = pairs.crossJoin(nb)
         .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
         .select(col("item_a"), col("item_b"))
       graft.ops.Graph.triangleCount(edges, "item_a", "item_b")

@@ -355,6 +355,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), "doc-frequency mark must be a semi join")
   }
 
+  test("q162 corr matrix: all 14 moments ride ONE lineitem scan") {
+    val df = SparkEntry.queries("q162_corr_matrix")(spark, sf)
+    val scans = df.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"corr matrix scans lineitem $scans times")
+  }
+
+  test("q157 semantic decon: corpus never broadcasts; argmax partial-aggregates") {
+    val df = SparkEntry.queries("q157_semantic_decon")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_min") || p.contains("partial"),
+      "nearest-ref argmax not map-side partial")
+    assert(p.contains("BroadcastExchange"), "eval set not broadcast")
+  }
+
+  test("q164 cdc apply: winner is a partial argmax, one row per key shuffles") {
+    val p = plan(SparkEntry.queries("q164_cdc_apply")(spark, sf))
+    assert(p.contains("partial_max") || p.contains("partial"),
+      "CDC winner not map-side partial")
+    assert(!p.contains("Window"), "CDC fell back to a window rank")
+  }
+
   test("q134 salted join: join key carries the salt, small side replicates") {
     val df = SparkEntry.queries("q134_salted_join")(spark, sf)
     val s = plan(df)
