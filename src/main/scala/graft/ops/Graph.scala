@@ -85,6 +85,49 @@ object Graph {
     ranks
   }
 
+  /** Bounded-depth multi-source BFS: exact minimum hop distance from
+    * each probe to every node reachable within `maxDepth` hops of a
+    * DIRECTED edge list (symmetrize first for undirected semantics).
+    * Returns (probe, node, dist) with dist = the min hop count, probes
+    * included at dist 0. The relational face of graph traversal —
+    * DuckDB's recursive CTE is the oracle twin (q171), so the frontier
+    * expansion is provably min-dist-exact, not rows-only.
+    *
+    * Scale shape: classic frontier BFS — each round joins ONLY the new
+    * frontier (nodes first reached last round) against the edge list,
+    * anti-joins the visited set, and unions. Work per round is
+    * |frontier|·avg-degree, never |visited|·degree; the visited set is
+    * localCheckpointed each round (two consumers: union + anti-join,
+    * and it caps lineage depth at the round count). All-integer rows;
+    * no floats, no nondeterminism.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      probes: DataFrame, probeCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"bfsDistances maxDepth must be in [1, 16], got $maxDepth")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    var visited = probes
+      .select(col(probeCol).cast("long").as("probe"))
+      .distinct()
+      .select(col("probe"), col("probe").as("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    for (d <- 1 to maxDepth) {
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("probe"), col("dst").as("node"), lit(d).as("dist"))
+        .distinct()
+      frontier = next
+        .join(visited, Seq("probe", "node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    visited
+  }
+
   /** Exact triangle count via degree-ordered orientation (the
     * compact-forward / node-iterator algorithm): canonicalize to
     * undirected simple edges, orient each from its (degree, node)-lower

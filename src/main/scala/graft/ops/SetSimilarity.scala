@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT Jaccard-threshold set-similarity self-join via prefix filtering
+  * (the PPJoin family — Xiao et al., WWW 2008; public algorithm). The
+  * MinHash/SimHash paths in [[Dedup]] are probabilistic; this is the
+  * exact counterpart for token-set similarity: every emitted pair has
+  * true Jaccard >= tau AND no qualifying pair is missed. The q170 DuckDB
+  * brute-force oracle is the empirical losslessness proof at sf0.01.
+  *
+  * Scale shape (100 TB story):
+  *  - one shuffle to distinct (id, token);
+  *  - token frequencies via one aggregation — no global vocabulary sort
+  *    or dense rank is materialized: the canonical token order is the
+  *    (frequency asc, token asc) TUPLE, applied per-document by a window
+  *    partitioned on the document id;
+  *  - prefix filter: a document with s distinct tokens keeps only its
+  *    first  s - ceil(tau*s) + 1  tokens in canonical order. Two sets
+  *    with Jaccard >= tau MUST share a prefix token (pigeonhole on the
+  *    (1-tau)*s tokens a match may miss), so the candidate equi-join on
+  *    prefix tokens is lossless. Rare tokens sort first, so hub tokens
+  *    almost never enter a prefix — the join cannot blow up on "the";
+  *  - size-ratio pruning inside the candidate join: Jaccard >= tau
+  *    implies tau * max(|A|,|B|) <= min(|A|,|B|);
+  *  - the exact intersection count runs ONLY over surviving candidates:
+  *    candidates fan out by the a-side token list and equi-join
+  *    (b_id, token) against the token table — |candidates| * avg-set-size
+  *    rows, never a token-keyed all-pairs explosion.
+  *
+  * All comparisons are integer (tau in micro-units); no floating point
+  * anywhere, so results are partitioning- and platform-independent.
+  */
+object SetSimilarity {
+
+  /** Exact Jaccard >= tauMicro/1e6 pairs over (idCol, tokenCol) rows
+    * (rows need not be distinct — the op dedups). Returns
+    * (a_id, b_id, inter, uni, jac_micro) with a_id < b_id.
+    */
+  def jaccardJoinExact(tokens: DataFrame, idCol: String, tokenCol: String,
+      tauMicro: Long): DataFrame = {
+    require(tauMicro > 0 && tauMicro <= 1000000L,
+      s"tauMicro must be in (0, 1e6], got $tauMicro")
+    val tok = tokens
+      .select(col(idCol).cast("long").as("id"), col(tokenCol).as("token"))
+      .where(col("token").isNotNull && length(col("token")) > 0)
+      .distinct()
+
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+
+    // Prefix length: sz - ceil(tau*sz) + 1, all-integer ceil.
+    val prefixLen = col("sz") -
+      expr(s"(($tauMicro * sz + 999999) div 1000000)") + 1L
+    val canonical = Window.partitionBy(col("id"))
+      .orderBy(col("tf"), col("token"))
+    val prefixes = tok
+      .join(freq, "token")
+      .join(sizes, "id")
+      .withColumn("pos", row_number().over(canonical))
+      .where(col("pos") <= prefixLen)
+      .select(col("id"), col("token"), col("sz"))
+
+    val a = prefixes.select(col("id").as("a_id"), col("token"),
+      col("sz").as("sa"))
+    val b = prefixes.select(col("id").as("b_id"), col("token"),
+      col("sz").as("sb"))
+    val candidates = a.join(b, Seq("token"))
+      .where(col("a_id") < col("b_id") &&
+        lit(tauMicro) * greatest(col("sa"), col("sb")) <=
+          lit(1000000L) * least(col("sa"), col("sb")))
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
+      .distinct()
+
+    // Exact intersection restricted to candidates: fan out by the a-side
+    // token list, then equi-join (b_id, token) — candidate-bounded work.
+    val aTok = tok.select(col("id").as("a_id"), col("token"))
+    val bTok = tok.select(col("id").as("b_id"), col("token"))
+    val inter = candidates
+      .join(aTok, "a_id")
+      .join(bTok, Seq("b_id", "token"))
+      .groupBy(col("a_id"), col("b_id"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .where(col("inter") * 1000000L >= lit(tauMicro) * col("uni"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        expr("(inter * 1000000 div uni)").as("jac_micro"))
+  }
+
+  /** Word-token view of a text column: distinct lowercase alphanumeric
+    * runs per id — mirrored in SQL with DuckDB's string_split_regex. */
+  def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
+      .where(length(col("token")) > 0)
+
+  /** Word n-gram (shingle) view of a text column: each set element is n
+    * consecutive whitespace-separated words joined by one space — the
+    * q170 oracle mirrors it with array_to_string(t[s:s+n-1], ' ').
+    * Order-sensitive, so template corpora sharing a small vocabulary
+    * still get discriminative sets (plain word sets do not). */
+  def shingleTokens(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1 && n <= 16, s"shingle n must be in [1, 16], got $n")
+    df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("t"))
+      // guard: sequence(1, 0) counts BACKWARDS in Spark, so short texts
+      // must take the empty-array branch, not a degenerate sequence
+      .select(col("id"), explode(expr(
+        s"CASE WHEN size(t) >= $n THEN transform(sequence(1, size(t) - ${n - 1})," +
+          s" i -> concat_ws(' ', slice(t, i, $n))) ELSE array() END")).as("token"))
+  }
+}

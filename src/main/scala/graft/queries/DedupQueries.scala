@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
-import graft.ops.Dedup
+import graft.ops.{Dedup, SetSimilarity}
 
 /** Deduplication operators (north-star: exact, MinHash+LSH, SimHash,
   * n-gram Jaccard, embedding-cosine). The corpus is the documents table
@@ -125,6 +125,18 @@ object DedupQueries {
     // cosine-identical to their originals (sim 1.0 to the same
     // centroid), so every pair cluster exercises the min-id tie-break,
     // while singletons pass through kept — both paths exercised
+    // EXACT Jaccard >= 0.6 set-similarity self-join via prefix filtering
+    // (PPJoin family) over word-3-gram shingle sets — the exact
+    // counterpart to q15/q17's probabilistic LSH paths. Oracle-exact:
+    // the DuckDB twin brute-forces ALL shingle-sharing pairs, so a hash
+    // match proves the prefix filter lost nothing
+    "q170_setsim_exact" -> ((s, dir) => {
+      val tokens = SetSimilarity.shingleTokens(
+        corpusWithNearDups(s, dir), "doc_id", "text", n = 3)
+      SetSimilarity.jaccardJoinExact(tokens, "id", "token", tauMicro = 600000L)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "q100_semdedup" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
@@ -136,6 +148,32 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Brute force: every token-sharing pair's exact intersection — no
+    // prefix filter — then the same integer-micro Jaccard gate. Matching
+    // hashes = empirical losslessness proof for the prefix filter.
+    "q170_setsim_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xq' FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[s:s+2], ' ') AS token
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM corpus),
+        |       unnest(generate_series(1, len(t) - 2)) AS u(s)),
+        |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter,
+        |  CAST(sa.s + sb.s - inter AS BIGINT) AS uni,
+        |  CAST(inter * 1000000 // (sa.s + sb.s - inter) AS BIGINT) AS jac_micro
+        |FROM i JOIN sz sa ON i.a_id = sa.doc_id
+        |       JOIN sz sb ON i.b_id = sb.doc_id
+        |WHERE inter * 1000000 >= 600000 * (sa.s + sb.s - inter)
+        |ORDER BY a_id, b_id""".stripMargin,
     "q13_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (
         |  SELECT doc_id, text FROM documents

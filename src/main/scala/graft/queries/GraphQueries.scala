@@ -116,6 +116,29 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Bounded-depth multi-source BFS over the symmetrized customer↔
+    // supplier trade graph (q99's edge construction): exact min-hop
+    // distance layers from the probe customers, depth ≤ 3. Oracle-exact
+    // against DuckDB's recursive CTE — the frontier expansion is proven
+    // min-dist-correct, not rows-only
+    "q171_bfs_reach" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val base = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val edges = base
+        .select(col("cust").as("src"), (col("supp") + 1000000).as("dst"))
+        .unionByName(base
+          .select((col("supp") + 1000000).as("src"), col("cust").as("dst")))
+      val probes = edges.filter(col("src") < 20)
+        .select(col("src").as("probe")).distinct()
+      Graph.bfsDistances(edges, "src", "dst", probes, "probe", maxDepth = 3)
+        .groupBy(col("probe"), col("dist"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("probe"), col("dist"))
+    }),
+
     // F18 — PDF-extracted-text cleanup over text with injected artifacts
     "q48_pdf_cleanup" -> ((s, dir) => {
       val dirty = concat(lit("p1\u000c"), translate(col("text"), "ae", "áé"), lit("\nend"))
@@ -192,6 +215,29 @@ object GraphQueries {
          |$steps
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
     },
+    // Recursive-CTE twin: UNION-dedup per (probe, node, dist) level keeps
+    // the working table node-bounded; min(dist) collapses multi-path
+    // reaches to the same first-reach layer the frontier BFS computes
+    "q171_bfs_reach" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT CAST(cust AS BIGINT) AS src,
+        |    CAST(supp + 1000000 AS BIGINT) AS dst FROM base
+        |  UNION ALL
+        |  SELECT CAST(supp + 1000000 AS BIGINT) AS src,
+        |    CAST(cust AS BIGINT) AS dst FROM base),
+        |probes AS (SELECT DISTINCT src AS probe FROM edges WHERE src < 20),
+        |walk(probe, node, dist) AS (
+        |  SELECT probe, probe, 0 FROM probes
+        |  UNION
+        |  SELECT w.probe, e.dst, w.dist + 1
+        |  FROM walk w JOIN edges e ON w.node = e.src
+        |  WHERE w.dist < 3),
+        |md AS (SELECT probe, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+        |SELECT probe, dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM md GROUP BY 1, 2 ORDER BY probe, dist""".stripMargin,
     "q46_graph_2hop" ->
       """WITH edges AS (
         |  SELECT o_custkey AS cust, l_partkey AS part

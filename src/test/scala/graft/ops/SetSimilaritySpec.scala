@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Exact prefix-filtered set-similarity join: hand-computable Jaccard
+  * cases, losslessness vs a brute-force twin, and pruning behavior. */
+class SetSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def toks(rows: (Long, String)*) =
+    rows.toDF("id", "token")
+
+  test("finds exactly the pairs at/above tau with exact integer jaccard") {
+    // A={a,b,c,d}, B={a,b,c,e}: J = 3/5 = 0.6 — ON the threshold.
+    // C={x,y}: no qualifying partner.
+    val t = toks(
+      1L -> "a", 1L -> "b", 1L -> "c", 1L -> "d",
+      2L -> "a", 2L -> "b", 2L -> "c", 2L -> "e",
+      3L -> "x", 3L -> "y")
+    val out = SetSimilarity.jaccardJoinExact(t, "id", "token", 600000L)
+      .orderBy("a_id", "b_id").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) === (1L, 2L))
+    assert(r.getAs[Long]("inter") === 3L)
+    assert(r.getAs[Long]("uni") === 5L)
+    assert(r.getAs[Long]("jac_micro") === 600000L)
+  }
+
+  test("pair just below tau is excluded") {
+    // J = 2/4 = 0.5 < 0.6
+    val t = toks(1L -> "a", 1L -> "b", 1L -> "c",
+      2L -> "a", 2L -> "b", 2L -> "d")
+    assert(SetSimilarity.jaccardJoinExact(t, "id", "token", 600000L)
+      .count() === 0L)
+  }
+
+  test("duplicate input rows do not inflate intersections") {
+    val t = toks(1L -> "a", 1L -> "a", 1L -> "b",
+      2L -> "a", 2L -> "b", 2L -> "b")
+    val r = SetSimilarity.jaccardJoinExact(t, "id", "token", 500000L)
+      .collect().head
+    assert(r.getAs[Long]("inter") === 2L && r.getAs[Long]("uni") === 2L)
+    assert(r.getAs[Long]("jac_micro") === 1000000L)
+  }
+
+  test("lossless vs brute force on a randomized corpus") {
+    // Deterministic pseudo-random sets: doc i holds tokens
+    // {md5-derived} over a 40-token vocabulary — plus planted twins.
+    val base = (1L to 60L).flatMap { i =>
+      (1 to 12).map { j =>
+        val tok = math.abs((i * 2654435761L + j * 40503L) % 40)
+        (i, s"t$tok")
+      }
+    }
+    val twins = base.filter(_._1 <= 10).map { case (i, t) => (i + 100L, t) }
+    val t = toks((base ++ twins): _*)
+    val fast = SetSimilarity.jaccardJoinExact(t, "id", "token", 700000L)
+      .select("a_id", "b_id", "inter", "uni").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    // brute force: every token-sharing pair, exact sets via groupBy
+    val sets = (base ++ twins).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val slow = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if inter.toLong * 1000000L >= 700000L * uni
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    assert(fast === slow)
+    assert(fast.nonEmpty, "planted twins must qualify")
+  }
+
+  test("shingleTokens builds order-sensitive word n-grams") {
+    val df = Seq((1L, "a b c d"), (2L, "d c b a")).toDF("doc_id", "text")
+    val t = SetSimilarity.shingleTokens(df, "doc_id", "text", n = 3)
+      .as[(Long, String)].collect().toSet
+    assert(t === Set((1L, "a b c"), (1L, "b c d"), (2L, "d c b"), (2L, "c b a")))
+    // same word SET, zero shared shingles
+    assert(SetSimilarity.jaccardJoinExact(
+      SetSimilarity.shingleTokens(df, "doc_id", "text", 3),
+      "id", "token", 100000L).count() === 0L)
+  }
+
+  test("short texts yield no shingles rather than failing") {
+    val df = Seq((1L, "one two"), (2L, "")).toDF("doc_id", "text")
+    assert(SetSimilarity.shingleTokens(df, "doc_id", "text", 3).count() === 0L)
+  }
+
+  test("invalid tau is rejected loudly") {
+    val t = toks(1L -> "a")
+    intercept[IllegalArgumentException] {
+      SetSimilarity.jaccardJoinExact(t, "id", "token", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      SetSimilarity.jaccardJoinExact(t, "id", "token", 1000001L)
+    }
+  }
+}
