@@ -408,6 +408,103 @@ object Corpus {
           / lit(1000000.0)).as("avg_nll"))
   }
 
+  /** Kneser–Ney smoothed bigram LM scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999) — the standard n-gram
+    * smoothing next to [[bigramLmScore]]'s add-one baseline: the
+    * discount D = 3/4 is moved from seen bigrams onto a CONTINUATION
+    * distribution (how many distinct contexts a word follows), which is
+    * what makes "francisco" unlikely outside "san francisco" even
+    * though it is frequent.
+    *
+    * Exactness discipline (q88 taken further): D = 3/4 is exactly
+    * representable, so the smoothed probability is a RATIO OF INTEGERS
+    * assembled from exact counts —
+    *   seen w1:  P = [max(4·c2−3, 0)·(B+V) + 3·n1fwd(w1)·(cont(w2)+1)]
+    *                 / [4·c1·(B+V)]
+    *   unseen:   P = (cont(w2)+1) / (B+V)
+    * with c2/c1 the bigram/context counts, n1fwd(w1) the distinct
+    * continuations of w1, cont(w2) the distinct predecessors of w2
+    * (add-one smoothed so unseen words keep mass), B the distinct
+    * bigram count and V the vocabulary. Each per-bigram −ln(num/den)
+    * is rounded once to integer micro-nats, so the DuckDB twin is
+    * hash-exact. Integer products stay under 2^53 up to ~3·10^7
+    * reference bigrams; beyond that widen to DECIMAL (the q131 trade).
+    *
+    * Scale shape identical to [[bigramLmScore]]: count tables are
+    * corpus-derived and never broadcast-forced, the scored side
+    * explodes map-side to one row per bigram, V/B ride a one-row cross
+    * join, and the model-build scans only the curated reference. */
+  def knBigramScore(docs: DataFrame, refDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def toks(df: DataFrame) = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col("*"), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+    def bigrams(df: DataFrame, keep: Column*) = toks(df)
+      .filter(size(col("__toks")) >= 2)
+      .select(keep :+ col("__toks") :+
+        explode(sequence(lit(1), size(col("__toks")) - 1)).as("__i"): _*)
+      .select(keep :+ element_at(col("__toks"), col("__i")).as("w1") :+
+        element_at(col("__toks"), col("__i") + 1).as("w2"): _*)
+    val c2 = bigrams(refDocs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint() // four consumers: margins ×3 + the scoring join
+    val c1 = c2.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fwd"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("cont"))
+    val totals = c2.agg(count(lit(1)).as("bb")).crossJoin(
+      toks(refDocs).select(explode(col("__toks")).as("w"))
+        .agg(count_distinct(col("w")).as("v")))
+    bigrams(docs, col(idCol))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(totals) // one row — auto-broadcast
+      .withColumn("__bv", when(col("bb") + col("v") > 0, col("bb") + col("v"))
+        .otherwise(raise_error(lit("knBigramScore: empty reference model — " +
+          "check the reference filter"))))
+      .withColumn("__contp", coalesce(col("cont"), lit(0L)) + 1L)
+      .withColumn("__num", when(col("c1").isNotNull,
+          greatest(lit(4L) * coalesce(col("c2"), lit(0L)) - 3L, lit(0L)) * col("__bv")
+            + lit(3L) * col("n1fwd") * col("__contp"))
+        .otherwise(col("__contp")))
+      .withColumn("__den", when(col("c1").isNotNull,
+        lit(4L) * col("c1") * col("__bv")).otherwise(col("__bv")))
+      .withColumn("__m", floor(-log(
+        col("__num").cast("double") / col("__den").cast("double"))
+        * lit(1000000.0) + lit(0.5)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("__m")).cast("double") / count(lit(1)) + lit(0.5))
+          / lit(1000000.0)).as("avg_nll"))
+  }
+
+  /** Deterministic stratified sample: Hamilton (largest-remainder)
+    * proportional allocation of `total` slots across strata (via
+    * [[allocateBudget]] — Σ kept = total EXACTLY, floats can't do
+    * that), then each stratum keeps its allocation's first keys in
+    * salted-md5 order (the q57/q65 competition-order idiom: uniform,
+    * reproducible anywhere, no sampling pass). Returns the kept rows'
+    * (stratum, key).
+    *
+    * Scale shape: stratum sizes are one partial agg; the allocation
+    * frame is stratum-sized and broadcast-joins back; the per-stratum
+    * rank is a window over (md5, key) — each stratum sorts its own
+    * keys, nothing global. */
+  def stratifiedSample(df: DataFrame, stratumCol: Column, keyCol: Column,
+      total: Long): DataFrame = {
+    require(total >= 0, s"stratifiedSample total must be >= 0, got $total")
+    val rows = df.select(stratumCol.as("stratum"), keyCol.as("key")).distinct()
+    val alloc = allocateBudget(rows, col("stratum"), lit(1L), total)
+      .select(col("key").as("stratum"), col("alloc"))
+    rows
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(md5(concat(lit("strat:"), col("key").cast("string"))),
+            col("key"))))
+      .join(alloc, Seq("stratum"))
+      .where(col("__rn") <= col("alloc"))
+      .select(col("stratum"), col("key"))
+  }
+
   /** PMI collocation extraction: the corpus's most-associated word
     * pairs by pointwise mutual information, PMI(w1,w2) =
     * ln(p(w1,w2) / (p(w1)·p(w2))) over bigram occurrences — the

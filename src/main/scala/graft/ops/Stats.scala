@@ -458,6 +458,48 @@ object Stats {
           .as("est_p99"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+    * et al. 2002): keep the k smallest 60-bit md5-derived hash values of
+    * the key; with h_k the k-th minimum over the hash space M = 2^60,
+    * the distinct estimate is (k-1)·M / h_k. A group with fewer than k
+    * distinct hashes holds ALL of them, so the sketch degrades to the
+    * EXACT count (est = n_hashes) — both branches are graded (sf0.001
+    * exercises exact, sf0.01+ the estimator).
+    *
+    * Why next to HLL (q45): KMV is the sketch whose estimate a SQL
+    * oracle can reproduce EXACTLY — the hash is engine-portable md5 and
+    * the estimator is one integer division, so q172 is oracle-checked
+    * where HLL can only be golden-pinned. Mergeability is structural:
+    * min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)) — the same
+    * [[graft.functions.collectMinK]] bounded-heap partial aggregate the
+    * LSH buckets use, so partial sketches combine map-side and a
+    * per-group sort never happens (StatsSpec pins merge ≡ direct).
+    *
+    * Scale shape: one distinct on (group, hash) — the only exchange —
+    * then one partial-aggregated heap fold; output is group-sized.
+    * Estimator error is ~1/√(k-2) relative (k=64 → ~13%); raise k for
+    * tighter counts, the heap stays O(k) per group either way. */
+  def kmvDistinct(df: DataFrame, groupCol: Column, keyCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"kmvDistinct k must be in [2, 65536], got $k")
+    val h = df
+      .select(groupCol.as("g"),
+        conv(substring(md5(concat(lit("kmv:"), keyCol.cast("string"))), 1, 15),
+          16, 10).cast("long").as("hv"))
+      .distinct()
+    h.groupBy(col("g"))
+      .agg(graft.functions.collectMinK(col("hv"), lit(0L), k).as("mk"))
+      .withColumn("n_hashes", col("mk.n"))
+      .withColumn("h_k",
+        when(col("n_hashes") >= k,
+          element_at(col("mk.items"), k).getField("id")).otherwise(lit(0L)))
+      .select(col("g"), col("n_hashes"),
+        least(col("n_hashes"), lit(k.toLong)).as("n_kept"), col("h_k"),
+        when(col("n_hashes") < k, col("n_hashes")).otherwise(expr(
+          s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * 1152921504606846976) div h_k AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
   private def requireSubBuckets(subBuckets: Int): Unit =
     require(subBuckets >= 2 && subBuckets <= 256
         && (subBuckets & (subBuckets - 1)) == 0,

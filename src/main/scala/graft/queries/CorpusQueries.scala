@@ -330,6 +330,26 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Kneser–Ney smoothed bigram LM over the same reference slice as
+    // q88 — D = 3/4 keeps the smoothed probability a ratio of integers,
+    // so the continuation-distribution math is oracle-exact, not just
+    // the add-one baseline
+    "q173_kneser_ney" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.knBigramScore(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sample: Hamilton-allocated 400 slots
+    // across market segments, each stratum keeping its first keys in
+    // salted-md5 competition order — Σ kept = 400 exactly
+    "q174_stratified_sample" -> ((s, dir) => {
+      Corpus.stratifiedSample(t(s, dir, "customer"),
+        col("c_mktsegment"), col("c_custkey"), total = 400L)
+        .orderBy(col("stratum"), col("key"))
+    }),
+
     // Cross-source overlap matrix: exact word-3-gram Jaccard between
     // every source pair — the data-mixing diagnostic behind mixture
     // weights and per-source dedup ordering. Sources are
@@ -782,6 +802,66 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_grams,
         |  floor(CAST(sum(m) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_logw
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // KN numerators/denominators mirror the Scala branch structure
+    // token-for-token; every count is BIGINT and the only float op is
+    // the single -ln(num/den) before micro-rounding
+    "q173_kneser_ney" ->
+      """WITH reftok AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |c2 AS (SELECT l[i] AS w1, l[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c2
+        |       FROM reftok, unnest(generate_series(1, len(l) - 1)) AS t(i)
+        |       GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |         CAST(count(*) AS BIGINT) AS n1fwd FROM c2 GROUP BY 1),
+        |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont FROM c2 GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c2)
+        |             + (SELECT CAST(count(DISTINCT w) AS BIGINT)
+        |                FROM (SELECT unnest(l) AS w FROM reftok)) AS bv),
+        |doctok AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |big AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        |        FROM doctok, unnest(generate_series(1, len(l) - 1)) AS t(i)),
+        |nll AS (
+        |  SELECT doc_id,
+        |    CAST(floor(-ln(
+        |      CAST(CASE WHEN c1.c1 IS NOT NULL
+        |        THEN greatest(4 * coalesce(c2.c2, 0) - 3, 0) * tot.bv
+        |             + 3 * c1.n1fwd * (coalesce(ct.cont, 0) + 1)
+        |        ELSE coalesce(ct.cont, 0) + 1 END AS DOUBLE)
+        |      / CAST(CASE WHEN c1.c1 IS NOT NULL THEN 4 * c1.c1 * tot.bv
+        |             ELSE tot.bv END AS DOUBLE))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS m
+        |  FROM big LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+        |       LEFT JOIN ct USING (w2) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(CAST(sum(m) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_nll
+        |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Hamilton allocation in SQL (the q163 discipline) + per-stratum
+    // md5 competition order — the sample SET is deterministic, so the
+    // whole sample is hash-compared, not just its size
+    "q174_stratified_sample" ->
+      """WITH r AS (SELECT DISTINCT c_mktsegment AS stratum,
+        |    c_custkey AS key FROM customer),
+        |w AS (SELECT stratum, CAST(count(*) AS BIGINT) AS w FROM r GROUP BY 1),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS bigw FROM w),
+        |based AS (SELECT stratum, w,
+        |    CAST(w::HUGEINT * 400 // bigw AS BIGINT) AS base,
+        |    CAST(w::HUGEINT * 400 % bigw AS BIGINT) AS rem
+        |  FROM w CROSS JOIN tot),
+        |lo AS (SELECT 400 - CAST(sum(base) AS BIGINT) AS leftover FROM based),
+        |alloc AS (SELECT stratum,
+        |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+        |                     <= leftover THEN 1 ELSE 0 END AS alloc
+        |  FROM based CROSS JOIN lo),
+        |rk AS (SELECT stratum, key,
+        |    row_number() OVER (PARTITION BY stratum
+        |      ORDER BY md5('strat:' || key), key) AS rn
+        |  FROM r)
+        |SELECT rk.stratum, rk.key FROM rk JOIN alloc USING (stratum)
+        |WHERE rn <= alloc ORDER BY stratum, key""".stripMargin,
     "q88_bigram_lm" ->
       """WITH reftok AS (
         |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l

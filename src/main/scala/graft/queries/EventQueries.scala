@@ -390,6 +390,23 @@ object EventQueries {
     // states — a 70%/30% id-split stands in for yesterday's state +
     // today's delta, and the ORACLE is the full recompute, so the hash
     // compare IS the maintained-view ≡ recompute proof
+    // KMV distinct-user sketch per event type vs the exact count — the
+    // oracle-checkable sketch next to q45's golden-only HLL: md5 hashes
+    // are engine-portable and the (k-1)·2^60/h_k estimator is one
+    // integer division. sf0.001 has <k distinct users (exact branch);
+    // sf0.01+ exercises the estimator branch
+    "q172_kmv_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sk = graft.ops.Stats.kmvDistinct(ev, col("event_type"),
+        col("user_id"), k = 64)
+      val ex = ev.groupBy(col("event_type").as("g"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      sk.join(ex, "g")
+        .select(col("g").as("event_type"), col("n_exact"), col("n_hashes"),
+          col("n_kept"), col("h_k"), col("est_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     "q161_incremental_agg" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
@@ -1088,6 +1105,32 @@ object EventQueries {
         |    / (CAST(count(*) AS DOUBLE) * CAST(max(bign) AS DOUBLE)) + 0.5)
         |    AS BIGINT) AS cuped_mean_micro
         |FROM adj GROUP BY arm ORDER BY arm""".stripMargin,
+
+    // min-k over the same md5-derived 60-bit hashes; the estimator is
+    // one HUGEINT division, so sketch AND estimate are hash-compared
+    "q172_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS hv
+        |  FROM events),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM h),
+        |kth AS (SELECT event_type, CAST(max(nh) AS BIGINT) AS n_hashes,
+        |    CAST(coalesce(max(CASE WHEN rn = 64 THEN hv END), 0) AS BIGINT)
+        |      AS h_k
+        |  FROM r GROUP BY event_type),
+        |ex AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, e.n_exact, k.n_hashes,
+        |  CAST(least(k.n_hashes, 64) AS BIGINT) AS n_kept, k.h_k,
+        |  CAST(CASE WHEN k.n_hashes < 64 THEN k.n_hashes
+        |       ELSE (63::HUGEINT * 1152921504606846976) // k.h_k
+        |       END AS BIGINT) AS est_distinct
+        |FROM ex e JOIN kth k USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // the oracle RECOMPUTES from scratch — hash equality proves the
     // merged incremental states reconstruct it exactly
