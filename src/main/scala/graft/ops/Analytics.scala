@@ -663,4 +663,34 @@ object Analytics {
           .otherwise(floor(exp(col("lnS_nano").cast("double") / lit(1e9))
             * lit(1e6) + lit(0.5)).cast("long")).as("surv_micro"))
   }
+
+  /** 2-D Pareto front (skyline, Börzsönyi et al. 2001): every row whose
+    * (x, y) is not dominated — no other point has x' ≤ x AND y' ≥ y
+    * with at least one strict. MINIMIZES `xName`, MAXIMIZES `yName`
+    * (negate a column to flip either sense). Returns the input rows
+    * whose point lies on the front (equal undominated points all
+    * survive — neither dominates the other).
+    *
+    * Scale shape — the value-histogram discipline, not a raw sort: only
+    * the per-x MAXIMUM y can ever be on the front, so the first stage
+    * is a partial-aggregated groupBy(x).max(y) — raw rows never sort.
+    * The front test is then one running-max window over the distinct-x
+    * histogram (bounded by x-cardinality — for a price column, the
+    * number of distinct cents, not the table size), and survivors
+    * semi-join back. Exact integer comparisons end to end; the DuckDB
+    * NOT EXISTS brute-force twin (q178) is the dominance-semantics
+    * proof. */
+  def skyline2d(df: DataFrame, xName: String, yName: String): DataFrame = {
+    val perX = df.groupBy(col(xName).cast("long").as("__x"))
+      .agg(max(col(yName).cast("long")).as("__y"))
+    val prevMax = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = perX
+      .withColumn("__pm", max(col("__y")).over(prevMax))
+      .where(col("__pm").isNull || col("__pm") < col("__y"))
+      .select(col("__x"), col("__y"))
+    df.join(front,
+      df(xName).cast("long") === front("__x")
+        && df(yName).cast("long") === front("__y"), "left_semi")
+  }
 }

@@ -107,4 +107,42 @@ object Monitoring {
       .select(col("dim"), col("ref_mean_micro"), col("cur_mean_micro"),
         col("shift_micro"), col("z_milli"))
   }
+
+  /** One-sided CUSUM level-shift detector (Page 1954) over an already
+    * bucketed series — the persistent-drift complement to
+    * [[rateSpikes]]' single-bucket z-score: a +20% volume step too
+    * small to trip a spike gate accumulates in the CUSUM until it
+    * crosses. Per group: the allowance k = the group's own mean (so the
+    * statistic drifts only on above-mean runs), S_i = max(0,
+    * S_{i-1} + (x_i − k)), flagged when S_i ≥ thresholdPct% of mean.
+    *
+    * The recursion is computed CLOSED-FORM: S_i = C_i − min(0,
+    * min_{j≤i} C_j) with C the running deviation sum — two window
+    * functions, no iterative fold, so it is one exchange per group and
+    * DuckDB-oracle-exact (all arithmetic in integer micro-units; the
+    * mean is an integer division).
+    *
+    * Scale shape: input is the bucketed rollup (dimension × buckets),
+    * already tiny relative to raw events; the windows partition by
+    * group, so series process independently. */
+  def cusumShift(buckets: DataFrame, groupCol: Column, orderCol: Column,
+      valueCol: Column, thresholdPct: Int = 200): DataFrame = {
+    require(thresholdPct >= 1, s"thresholdPct must be >= 1, got $thresholdPct")
+    val base = buckets.select(groupCol.as("g"), orderCol.as("b"),
+      valueCol.cast("long").as("v"))
+    val stats = base.groupBy(col("g"))
+      .agg(sum(col("v")).as("__tot"), count(lit(1)).as("__nb"))
+      .select(col("g"), expr("(__tot * 1000000) div __nb").as("mean_micro"))
+    val wcum = Window.partitionBy(col("g")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(stats, Seq("g"))
+      .withColumn("__dev", col("v") * 1000000L - col("mean_micro"))
+      .withColumn("__cum", sum(col("__dev")).over(wcum))
+      .withColumn("cusum_micro",
+        col("__cum") - least(min(col("__cum")).over(wcum), lit(0L)))
+      .withColumn("flagged", col("cusum_micro") * 100L >=
+        col("mean_micro") * thresholdPct)
+      .select(col("g"), col("b"), col("v"), col("mean_micro"),
+        col("cusum_micro"), col("flagged"))
+  }
 }

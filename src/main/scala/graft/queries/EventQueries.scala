@@ -395,6 +395,22 @@ object EventQueries {
     // are engine-portable and the (k-1)·2^60/h_k estimator is one
     // integer division. sf0.001 has <k distinct users (exact branch);
     // sf0.01+ exercises the estimator branch
+    // One-sided CUSUM level-shift detection over per-type daily counts
+    // (Page 1954) — the persistent-drift complement to q90's z-score
+    // spikes; the max(0, S+dev) recursion is computed closed-form as
+    // two windows, so it is oracle-exact integer micro arithmetic
+    "q175_cusum_shift" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Monitoring.cusumShift(daily, col("event_type"), col("day"),
+        col("n"), thresholdPct = 50)
+        .select(col("g").as("event_type"), col("b").as("day"),
+          col("v").as("n"), col("mean_micro"), col("cusum_micro"),
+          col("flagged"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "q172_kmv_distinct" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val sk = graft.ops.Stats.kmvDistinct(ev, col("event_type"),
@@ -1108,6 +1124,31 @@ object EventQueries {
 
     // min-k over the same md5-derived 60-bit hashes; the estimator is
     // one HUGEINT division, so sketch AND estimate are hash-compared
+    // the same closed form in SQL: running deviation sum minus its
+    // running minimum (floored at 0); every intermediate is CAST back
+    // to BIGINT because DuckDB widens window sums to HUGEINT
+    "q175_cusum_shift" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS mean_micro
+        |  FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, day, n, mean_micro,
+        |    CAST(sum(n * 1000000 - mean_micro) OVER (
+        |      PARTITION BY d.event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d JOIN m USING (event_type)),
+        |s AS (SELECT event_type, day, n, mean_micro,
+        |    CAST(cum - least(min(cum) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cusum_micro
+        |  FROM c)
+        |SELECT event_type, day, n, mean_micro, cusum_micro,
+        |  cusum_micro * 100 >= mean_micro * 50 AS flagged
+        |FROM s ORDER BY event_type, day""".stripMargin,
+
     "q172_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,

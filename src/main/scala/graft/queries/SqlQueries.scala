@@ -348,6 +348,38 @@ object SqlQueries {
 
     // UNPIVOT via the stack generator — wide metrics to long
     // (metric, val) rows, the reshape the warehouse surface was missing
+    // Benford first-digit audit over order totals — the classic
+    // fabricated-numbers screen as a data-quality gauge: observed
+    // first-significant-digit shares vs the log10(1 + 1/d) law, all in
+    // integer micro-units (one ln per digit constant, micro-rounded)
+    "q176_benford" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .select(substring(
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+        .filter(col("digit") >= 1)
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      d.crossJoin(d.agg(sum("n_obs").as("n")))
+        .select(col("digit"), col("n_obs"),
+          expr("(n_obs * 1000000) div n").as("obs_micro"),
+          floor(log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+            * 1000000 + 0.5).cast("long").as("exp_micro"))
+        .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+        .orderBy("digit")
+    }),
+
+    // 2-D Pareto front (skyline): cheapest-for-the-size parts —
+    // minimize retail price, maximize size (ops/Analytics.skyline2d:
+    // per-price max-size histogram + one running-max window; the
+    // NOT EXISTS oracle brute-forces dominance)
+    "q177_skyline" -> ((s, dir) => {
+      val parts = t(s, dir, "part").withColumn("price_cents",
+        expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"))
+      graft.ops.Analytics.skyline2d(parts, "price_cents", "p_size")
+        .select(col("p_partkey"), col("price_cents"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    }),
+
     "q159_unpivot" -> ((s, dir) => {
       t(s, dir, "part").select(col("p_partkey"),
           floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
@@ -717,8 +749,39 @@ object SqlQueries {
          |ORDER BY layout""".stripMargin
     },
 
+    "q176_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      AS VARCHAR), 1, 1)::INT AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM d WHERE digit >= 1 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+        |SELECT digit, n_obs,
+        |  CAST(n_obs * 1000000 // n AS BIGINT) AS obs_micro,
+        |  CAST(floor(ln(1 + 1.0 / digit) / ln(10) * 1000000 + 0.5) AS BIGINT)
+        |    AS exp_micro,
+        |  CAST(abs(n_obs * 1000000 // n
+        |    - CAST(floor(ln(1 + 1.0 / digit) / ln(10) * 1000000 + 0.5)
+        |        AS BIGINT)) AS BIGINT) AS dev_micro
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // brute-force dominance: a part survives iff nothing is
+    // cheaper-or-equal AND larger-or-equal with one strict
+    "q177_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    p_size
+        |  FROM part)
+        |SELECT p_partkey, price_cents, p_size FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
     "q159_unpivot" ->
-      """WITH b AS (SELECT p_partkey,
+"""WITH b AS (SELECT p_partkey,
         |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS retail_cents,
         |    CAST(p_size AS BIGINT) AS sz,
         |    CAST(length(p_name) AS BIGINT) AS name_len
