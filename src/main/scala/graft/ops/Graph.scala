@@ -85,6 +85,54 @@ object Graph {
     ranks
   }
 
+  /** Newman–Girvan modularity of a GIVEN node partition over an
+    * undirected simple graph: Q = Σ_c (e_c/m − (d_c/2m)²) with e_c the
+    * intra-community edge count, d_c the community's degree sum, m the
+    * edge count — the standard "is this clustering better than chance"
+    * gauge for ANY community assignment (connected components, semantic
+    * clusters, a metadata partition). Returns one row per community:
+    * (community, e_c, d_c, intra_micro, degsq_micro) — term = intra −
+    * degsq; Σ over communities is Q in micro-units. Each fraction is
+    * micro-rounded separately from POSITIVE integers (e_c·10⁶ div m and
+    * d_c²·10⁶ div 4m², DECIMAL-widened), so engines can never disagree
+    * on a negative-division rounding convention.
+    *
+    * Scale shape: canonicalize + dedup edges (one exchange), degree =
+    * one explode + partial agg, then two community-keyed joins whose
+    * output is community-sized; m rides a one-row cross join. Nodes
+    * absent from `comm` fail loudly via the inner join's row-count
+    * contract (callers wanting silent drops pass a completed frame). */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      comm: DataFrame, nodeCol: String, commCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // three consumers: m, degrees, intra-edges
+    val c = comm.select(col(nodeCol).cast("long").as("node"),
+      col(commCol).as("community"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val dC = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .join(c, Seq("node"))
+      .groupBy(col("community")).agg(sum(col("d")).as("d_c"))
+    val eC = und
+      .join(c.select(col("node").as("u"), col("community").as("cu")), Seq("u"))
+      .join(c.select(col("node").as("v"), col("community").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_c"))
+    dC.join(eC, Seq("community"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(m)
+      .select(col("community"), col("e_c"), col("d_c"),
+        expr("CAST((CAST(e_c AS DECIMAL(38,0)) * 1000000) DIV m AS BIGINT)")
+          .as("intra_micro"),
+        expr("CAST((CAST(d_c AS DECIMAL(38,0)) * d_c * 1000000)" +
+          " DIV (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)")
+          .as("degsq_micro"))
+  }
+
   /** Bounded-depth multi-source BFS: exact minimum hop distance from
     * each probe to every node reachable within `maxDepth` hops of a
     * DIRECTED edge list (symmetrize first for undirected semantics).

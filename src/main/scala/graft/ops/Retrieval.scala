@@ -167,4 +167,39 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("topk")).as(Seq("r0", "nb")))
       .select(col("query_id"), (col("r0") + 1).cast("int").as("rank"),
         col("nb.id").as("doc_id"), col("nb.score").as("__score"))
+
+  /** Exact PHRASE search over positional postings — the operator BM25's
+    * bag-of-words scoring cannot express: "hash join" must match those
+    * two tokens ADJACENT and in order. Builds (id, pos, token) postings
+    * and intersects the per-term position lists with the classic
+    * pos+offset equi-join (each term joins at its phrase offset).
+    * Returns (id, n_matches) for documents containing the phrase, with
+    * n_matches = the number of distinct start positions.
+    *
+    * Scale shape: the postings frame is filtered to the phrase's terms
+    * BEFORE any join (term-selective scans of a corpus-derived posting
+    * table — never broadcast); each of the m−1 joins is an (id, pos)
+    * equi-join between position lists of single terms, so work is
+    * bounded by the rarest term's postings, the same reason inverted
+    * indexes intersect rarest-first. Semi-joins keep only start
+    * positions — no payload rides the intersections. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.trim.toLowerCase.split("\\s+").toSeq
+    require(terms.nonEmpty && terms.head.nonEmpty,
+      "phraseSearch needs a non-empty phrase")
+    val post = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "token")))
+    var starts = post.filter(col("token") === terms.head)
+      .select(col("id"), col("pos"))
+    for ((t, j) <- terms.tail.zipWithIndex) {
+      val atOffset = post.filter(col("token") === t)
+        .select(col("id"), (col("pos") - (j + 1)).as("pos"))
+      starts = starts.join(atOffset, Seq("id", "pos"), "left_semi")
+    }
+    starts.groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -116,6 +116,29 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Newman–Girvan modularity of the fam-div-100 partition over the
+    // q155 thresholded co-purchase graph — the "is this clustering
+    // better than chance" gauge for any community assignment (a
+    // deployment feeds CC or semantic-cluster output; the graded
+    // partition is a deterministic metadata grouping so the DuckDB
+    // twin can reproduce every term)
+    "q180_modularity" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 1000).as("fam"))
+      val (d, pairs) = graft.ops.Analytics.pairSupport(
+        baskets, col("l_orderkey"), col("fam"), minSupport = 2)
+      val nb = d.select(col("b")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val edges = pairs.crossJoin(nb)
+        .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
+        .select(col("item_a"), col("item_b"))
+      val nodes = edges.select(col("item_a").as("node"))
+        .unionByName(edges.select(col("item_b").as("node"))).distinct()
+      val comm = nodes.withColumn("community", expr("node DIV 100"))
+      Graph.modularity(edges, "item_a", "item_b", comm, "node", "community")
+        .orderBy(col("community"))
+    }),
+
     // Bounded-depth multi-source BFS over the symmetrized customer↔
     // supplier trade graph (q99's edge construction): exact min-hop
     // distance layers from the probe customers, depth ≤ 3. Oracle-exact
@@ -215,6 +238,33 @@ object GraphQueries {
          |$steps
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
     },
+    // the q155 edge CTEs + the two modularity fractions, each
+    // micro-rounded from POSITIVE integers so no engine disagrees on a
+    // negative-division convention
+    "q180_modularity" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
+        |  FROM lineitem),
+        |p AS (SELECT x.i AS u, y.i AS v, count(*) AS c_ab
+        |  FROM d x JOIN d y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM d),
+        |e AS (SELECT u, v FROM p CROSS JOIN nb
+        |  WHERE c_ab >= greatest(3, n_baskets // 25000)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY 1),
+        |dc AS (SELECT node // 100 AS community, CAST(sum(dg) AS BIGINT) AS d_c
+        |  FROM deg GROUP BY 1),
+        |ec AS (SELECT u // 100 AS community, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM e WHERE u // 100 = v // 100 GROUP BY 1)
+        |SELECT dc.community, coalesce(ec.e_c, 0) AS e_c, dc.d_c,
+        |  CAST(coalesce(ec.e_c, 0)::HUGEINT * 1000000 // m.m AS BIGINT)
+        |    AS intra_micro,
+        |  CAST(dc.d_c::HUGEINT * dc.d_c * 1000000
+        |    // (4::HUGEINT * m.m * m.m) AS BIGINT) AS degsq_micro
+        |FROM dc LEFT JOIN ec USING (community) CROSS JOIN m
+        |ORDER BY community""".stripMargin,
+
     // Recursive-CTE twin: UNION-dedup per (probe, node, dist) level keeps
     // the working table node-bounded; min(dist) collapses multi-path
     // reaches to the same first-reach layer the frontier BFS computes

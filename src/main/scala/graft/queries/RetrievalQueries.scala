@@ -26,6 +26,16 @@ object RetrievalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Exact phrase search over positional postings ("hash join",
+    // adjacent and in order — what bag-of-words BM25 cannot express):
+    // per-term position lists intersected at phrase offsets, postings
+    // filtered to the phrase's terms before any join
+    "q179_phrase_search" -> ((s, dir) => {
+      Retrieval.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        "hash join")
+        .orderBy(col("id"))
+    }),
+
     // Okapi BM25 top-5 per probe query (Lucene always-positive idf,
     // k1=1.2, b=0.75) — posting/df tables corpus-derived and never
     // broadcast; bounded-heap per-query ranking
@@ -104,6 +114,21 @@ object RetrievalQueries {
       |agg AS (SELECT query_id, doc_id, sum(m) AS sm FROM sc GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // positions are engine-internal (1-based here, 0-based in Spark) —
+    // only (doc, match-count) crosses the contract, so the twin is free
+    // to intersect with explicit pos+1 joins
+    "q179_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (SELECT doc_id, i AS pos, l[i] AS token
+        |  FROM t, unnest(generate_series(1, len(l))) AS u(i)),
+        |m0 AS (SELECT doc_id, pos FROM p WHERE token = 'hash'),
+        |m1 AS (SELECT m0.doc_id, m0.pos FROM m0
+        |  JOIN p ON p.doc_id = m0.doc_id AND p.pos = m0.pos + 1
+        |    AND p.token = 'join')
+        |SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM m1 GROUP BY 1 ORDER BY id""".stripMargin,
     "q93_bm25_retrieval" -> (bm25Ctes +
       """
         |SELECT query_id, rank, doc_id, score FROM (

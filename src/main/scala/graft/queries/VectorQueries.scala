@@ -105,6 +105,30 @@ object VectorQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // Array higher-order-function algebra, oracle-exact: per-vector
+    // stats via in-row aggregate() folds over per-element micro-rounded
+    // integers — map-only (no explode, no shuffle), while the DuckDB
+    // twin unnests and groups; integer sums are order-free, so both
+    // plans hash-match. The HOF surface q34/q35 use, proven exact
+    "q181_vector_algebra" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).as("n_dims"),
+        expr("aggregate(embedding, 0L, (acc, x) -> acc +" +
+          " CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("sum_micro"),
+        expr("aggregate(embedding, 0L, (acc, x) -> greatest(acc," +
+          " abs(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))))")
+          .as("max_abs_micro"),
+        expr("aggregate(embedding, 0L, (acc, x) -> acc +" +
+          " CASE WHEN x > CAST(0 AS FLOAT) THEN 1L ELSE 0L END)")
+          .as("n_pos"),
+        expr("aggregate(embedding, 0L, (acc, x) -> acc +" +
+          " CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)" +
+          " * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)" +
+          " DIV 1000000)").as("norm2_micro"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-vector int8 quantization profile — the 4× serving-memory path
     // an embedding store ships; exact-integer audit columns (per-element
     // fixed-point rounding BEFORE summation) make it oracle-exact
@@ -281,6 +305,20 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // unnest+group twin of the in-row folds; per-element micro ints
+    // make every aggregate order-free
+    "q181_vector_algebra" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS e,
+        |    CAST(x AS DOUBLE) AS xd
+        |  FROM embeddings, unnest(embedding) AS t(x))
+        |SELECT vec_id, CAST(count(*) AS INT) AS n_dims,
+        |  CAST(sum(e) AS BIGINT) AS sum_micro,
+        |  CAST(max(abs(e)) AS BIGINT) AS max_abs_micro,
+        |  CAST(sum(CASE WHEN xd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(e * e // 1000000) AS BIGINT) AS norm2_micro
+        |FROM u GROUP BY 1 ORDER BY vec_id""".stripMargin,
     // DuckDB: same double-precision cosine (embeddings cast to DOUBLE[]),
     // same round-then-rank tie-break on neighbor id
     "q19_ann_topk" ->
