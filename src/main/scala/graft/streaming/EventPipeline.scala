@@ -545,4 +545,34 @@ object EventPipeline {
       hourly, trailHours, minHistory, z)
       .filter(col("status") === "spike"))
   }
+
+  /** Streaming CUSUM drift monitor — the live twin of q175
+    * ([[graft.ops.Monitoring.cusumShift]]): per-batch (key, day) count
+    * slices accumulate in a (key, day, batch_id)-keyed store (the
+    * [[spikeMonitorSink]] replay discipline — a re-delivered batch
+    * OVERWRITES its own slice, so counts can never double), and the
+    * closed-form CUSUM recomputes over the merged daily series each
+    * batch. `alert` receives the currently-flagged (key, day) rows —
+    * the persistent level shifts a per-bucket spike gate misses.
+    *
+    * CUSUM state is deliberately NOT carried incrementally: S_i depends
+    * on the whole prefix, and late data rewriting an old day must
+    * re-propagate — recomputing from the (dimension × days)-sized store
+    * is both cheaper than it sounds and the only way replays stay
+    * exactly-once. */
+  def cusumMonitorSink(countsPath: String, keyCol: Column, tsCol: Column,
+      alert: DataFrame => Unit, thresholdPct: Int = 200)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val slice = batch
+      .groupBy(keyCol.as("key"), to_date(tsCol).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(batchId))
+    mergeBatchSink(countsPath, Seq("key", "day", "batch_id"))(slice, batchId)
+    val daily = spark.read.parquet(countsPath)
+      .groupBy(col("key"), col("day")).agg(sum(col("n")).as("n"))
+    alert(graft.ops.Monitoring.cusumShift(daily, col("key"), col("day"),
+      col("n"), thresholdPct)
+      .filter(col("flagged")))
+  }
 }

@@ -384,6 +384,37 @@ class PlanSpec extends SparkTestBase {
     assert(s.contains("Generate"), "small side not replicated via explode")
   }
 
+  test("q181 vector algebra is map-only: zero exchanges, one scan") {
+    val df = SparkEntry.queries("q181_vector_algebra")(spark, sf)
+    // the ORDER BY contributes the only allowed exchange (plus AQE's
+    // possible reuse marker); the folds themselves must add none
+    val p = plan(df)
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"HOF folds introduced exchanges beyond the sort: $exchanges")
+    val scans = p.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"vector algebra scans embeddings $scans times")
+  }
+
+  test("q170 setsim: candidate join is an equi-join on prefix tokens, no cartesian") {
+    val p = plan(SparkEntry.queries("q170_setsim_exact")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "set-sim planned a cartesian join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "set-sim planned a nested loop")
+  }
+
+  test("q177 skyline: front test runs over the per-x histogram, not raw rows") {
+    val p = plan(SparkEntry.queries("q177_skyline")(spark, sf))
+    assert(p.contains("partial_max") || p.contains("partial"),
+      "per-x max(y) not map-side partial")
+    assert(p.contains("LeftSemi"), "front membership must be a semi join")
+  }
+
+  test("q179 phrase search: postings filtered to phrase terms before the joins") {
+    val df = SparkEntry.queries("q179_phrase_search")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), "offset intersection must be a semi join")
+    assert(!p.contains("CartesianProduct"), "phrase search planned a cartesian")
+  }
+
   test("whole-stage codegen covers the scalar-function pipeline") {
     val df = SparkEntry.queries("q11_scalar_funcs")(spark, sf)
     val cg = df.queryExecution.explainString(

@@ -428,6 +428,43 @@ class StreamingSpec extends SparkTestBase {
     assert(postReplay == preReplay, "replay changed the accumulated counts")
   }
 
+  test("streaming cusum monitor flags a planted level shift; replay is exactly-once") {
+    implicit val sql = spark.sqlContext
+    val counts = Files.createTempDirectory("cusum").toString + "/counts"
+    var flagged: Set[(String, java.sql.Date)] = Set.empty
+    def alert(df: org.apache.spark.sql.DataFrame): Unit =
+      flagged = df.collect().map(r => (r.getString(0), r.getDate(1))).toSet
+    val stream = MemoryStream[(String, Timestamp)]
+    val q = stream.toDF().toDF("event_type", "ts")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventPipeline.cusumMonitorSink(counts, col("event_type"),
+        col("ts"), alert, thresholdPct = 100) _)
+      .start()
+    def day(d: Int, n: Int) = (0 until n).map(i =>
+      ("ingest", new Timestamp(86400000L * (20 + d) + i * 1000L)))
+    // 10 quiet days of 100, then 10 days at +40%: no single day spikes,
+    // the accumulated shift must flag
+    stream.addData((0 until 10).flatMap(day(_, 100)))
+    q.processAllAvailable()
+    assert(flagged.isEmpty, s"quiet days must not flag: $flagged")
+    stream.addData((10 until 20).flatMap(day(_, 140)))
+    q.processAllAvailable()
+    q.stop()
+    assert(flagged.nonEmpty, "accumulated +40% shift must flag")
+
+    // re-delivering batch 1's slice overwrites, never adds
+    val pre = spark.read.parquet(counts)
+      .groupBy("key", "day").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2))).toSet
+    EventPipeline.cusumMonitorSink(counts, col("event_type"), col("ts"),
+      alert, thresholdPct = 100)(
+      (10 until 20).flatMap(day(_, 140)).toDF("event_type", "ts"), 1L)
+    val post = spark.read.parquet(counts)
+      .groupBy("key", "day").agg(sum("n").as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2))).toSet
+    assert(post == pre, "replay changed the accumulated counts")
+  }
+
   test("streaming heavy hitters: mergeable summaries across batches, replay-safe") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("hh-sink").toString + "/summaries"
