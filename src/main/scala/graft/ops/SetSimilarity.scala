@@ -43,10 +43,21 @@ object SetSimilarity {
       tauMicro: Long): DataFrame = {
     require(tauMicro > 0 && tauMicro <= 1000000L,
       s"tauMicro must be in (0, 1e6], got $tauMicro")
+    // Token strings leave the pipeline immediately: every downstream
+    // join/group keys on a 64-bit xxhash of the token, not the string —
+    // narrow shuffles, long-keyed hash joins. A hash collision would
+    // merge two tokens corpus-WIDE (slightly overcounting some
+    // intersections); at 64 bits that needs ~10^9 distinct tokens to
+    // become likely — swap in the 128-bit md5 pair beyond that.
+    // Five consumers (sizes, freq, prefix build, both intersection
+    // sides) — materialize the distinct frame once or the whole
+    // tokenize+explode+distinct pipeline re-runs per consumer.
     val tok = tokens
       .select(col(idCol).cast("long").as("id"), col(tokenCol).as("token"))
       .where(col("token").isNotNull && length(col("token")) > 0)
+      .select(col("id"), xxhash64(col("token")).as("token"))
       .distinct()
+      .localCheckpoint()
 
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
@@ -56,33 +67,51 @@ object SetSimilarity {
       expr(s"(($tauMicro * sz + 999999) div 1000000)") + 1L
     val canonical = Window.partitionBy(col("id"))
       .orderBy(col("tf"), col("token"))
+    // two consumers (candidate join a/b sides): don't sort twice
     val prefixes = tok
       .join(freq, "token")
       .join(sizes, "id")
       .withColumn("pos", row_number().over(canonical))
       .where(col("pos") <= prefixLen)
-      .select(col("id"), col("token"), col("sz"))
+      .select(col("id"), col("token"), col("sz"), col("pos"))
+      .localCheckpoint()
 
     val a = prefixes.select(col("id").as("a_id"), col("token"),
-      col("sz").as("sa"))
+      col("sz").as("sa"), col("pos").as("pa"))
     val b = prefixes.select(col("id").as("b_id"), col("token"),
-      col("sz").as("sb"))
+      col("sz").as("sb"), col("pos").as("pb"))
+    // PPJoin's positional filter rides the candidate join: a pair's
+    // overlap can't exceed 1 + min(remaining tokens after the match on
+    // each side), and Jaccard >= tau needs overlap >= ceil(tau·(sa+sb)
+    // / (1+tau)). For the pair's FIRST shared prefix token the bound is
+    // tight-and-valid, so filtering per collision row then dedup loses
+    // nothing (the first-occurrence row always survives).
+    val alpha = expr(s"(($tauMicro * (sa + sb) + ${1000000L + tauMicro} - 1)" +
+      s" div ${1000000L + tauMicro})")
     val candidates = a.join(b, Seq("token"))
       .where(col("a_id") < col("b_id") &&
         lit(tauMicro) * greatest(col("sa"), col("sb")) <=
-          lit(1000000L) * least(col("sa"), col("sb")))
+          lit(1000000L) * least(col("sa"), col("sb")) &&
+        lit(1L) + least(col("sa") - col("pa"), col("sb") - col("pb")) >= alpha)
       .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
       .distinct()
 
-    // Exact intersection restricted to candidates: fan out by the a-side
-    // token list, then equi-join (b_id, token) — candidate-bounded work.
-    val aTok = tok.select(col("id").as("a_id"), col("token"))
-    val bTok = tok.select(col("id").as("b_id"), col("token"))
+    // Exact verification restricted to candidates, PPJoin-style: each
+    // doc's token-hash ARRAY rides two id-keyed joins onto the
+    // candidate pair and the intersection is computed IN-ROW — no
+    // row-per-shared-token fanout through an exchange. Work is
+    // |candidates| rows carrying two set-size arrays; for huge
+    // documents (arrays too wide for a row) fall back to the
+    // fanout-and-count join on (id, token).
+    val docArrs = tok.groupBy(col("id"))
+      .agg(collect_list(col("token")).as("toks"))
     val inter = candidates
-      .join(aTok, "a_id")
-      .join(bTok, Seq("b_id", "token"))
-      .groupBy(col("a_id"), col("b_id"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(docArrs.select(col("id").as("a_id"), col("toks").as("__ta")),
+        Seq("a_id"))
+      .join(docArrs.select(col("id").as("b_id"), col("toks").as("__tb")),
+        Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
 
     inter
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
