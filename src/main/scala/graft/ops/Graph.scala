@@ -153,10 +153,13 @@ object Graph {
       probes: DataFrame, probeCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 16,
       s"bfsDistances maxDepth must be in [1, 16], got $maxDepth")
+    // the edge list is consumed once per round — materialize its
+    // derivation (often a join+distinct upstream) exactly once
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .localCheckpoint()
     var visited = probes
       .select(col(probeCol).cast("long").as("probe"))
       .distinct()
@@ -168,10 +171,14 @@ object Graph {
         .join(e, frontier("node") === e("src"))
         .select(col("probe"), col("dst").as("node"), lit(d).as("dist"))
         .distinct()
+      // only the frontier needs a checkpoint: `visited` is a union of
+      // already-checkpointed frames, so re-consuming it recomputes
+      // nothing — checkpointing it too would serialize the whole
+      // visited set once per round
       frontier = next
         .join(visited, Seq("probe", "node"), "left_anti")
         .localCheckpoint()
-      visited = visited.unionByName(frontier).localCheckpoint()
+      visited = visited.unionByName(frontier)
     }
     visited
   }

@@ -188,11 +188,16 @@ object Retrieval {
     val terms = phrase.trim.toLowerCase.split("\\s+").toSeq
     require(terms.nonEmpty && terms.head.nonEmpty,
       "phraseSearch needs a non-empty phrase")
+    // one consumer per phrase term — tokenize once, keep only the
+    // phrase's terms, and serve every per-term position list from the
+    // materialized slice instead of re-exploding the corpus per term
     val post = docs
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         posexplode(split(lower(trim(col(textCol))), "\\s+"))
           .as(Seq("pos", "token")))
+      .filter(col("token").isin(terms.distinct: _*))
+      .localCheckpoint()
     var starts = post.filter(col("token") === terms.head)
       .select(col("id"), col("pos"))
     for ((t, j) <- terms.tail.zipWithIndex) {
