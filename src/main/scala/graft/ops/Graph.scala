@@ -85,6 +85,47 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * DETERMINISTIC argmax: each iteration every node adopts the label
+    * most frequent among its neighbors, ties broken by the SMALLEST
+    * label — the nondeterministic-update folklore version is useless
+    * under replay, and determinism is what lets q182's DuckDB twin
+    * unroll the same iterations and hash-match the full assignment.
+    * Fixed iteration count (communities stabilize in a few rounds;
+    * convergence detection would cost a count() action per round).
+    *
+    * Scale shape per iteration: one edge⋈label hash join (labels are
+    * node-sized), one partial-aggregated (node, label) count, and one
+    * argmax partial agg — max(struct(count, −label)) so no window sort
+    * ever sees the edge list. Labels localCheckpoint each round (the
+    * next round consumes them once, but lineage would otherwise stack
+    * joins maxIter deep). */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"labelPropagation iterations must be in [1, 20], got $iterations")
+    val dir = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(edges
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint() // one consumer per iteration
+    var labels = dir.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to iterations) {
+      labels = dir
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      if (i < iterations) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** Newman–Girvan modularity of a GIVEN node partition over an
     * undirected simple graph: Q = Σ_c (e_c/m − (d_c/2m)²) with e_c the
     * intra-community edge count, d_c the community's degree sum, m the

@@ -395,6 +395,65 @@ object EventQueries {
     // are engine-portable and the (k-1)·2^60/h_k estimator is one
     // integer division. sf0.001 has <k distinct users (exact branch);
     // sf0.01+ exercises the estimator branch
+    // Day-of-week seasonality profile: per-type dow means and the
+    // seasonal index (dow mean / overall mean), each a SINGLE integer
+    // division so both engines round identically
+    "q183_seasonality" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val dow = daily
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      val overall = daily.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("days_tot"))
+      dow.join(overall, "event_type")
+        .select(col("event_type"), col("dow"), col("n_events"), col("n_days"),
+          expr("(n_events * 1000000) div n_days").as("mean_micro"),
+          expr("(n_events * days_tot * 1000000) div (n_days * tot)")
+            .as("index_micro"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // Telemetry debounce with gaps-and-islands semantics: bursts of
+    // same-(user, type) events chained within 300 s collapse to one
+    // keeper — the batch twin of client-side event throttling; exact
+    // micros arithmetic, island starts counted per key
+    "q184_event_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("tus", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .withColumn("iskeep", when(col("prev").isNull
+          || col("tus") - col("prev") > 300000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("iskeep")).as("n_kept"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Watermark-delay advisor: per-type event-time lateness vs the
+    // running max at arrival (arrival order = event_id), summarized by
+    // exact p50/p95/p99 (ops/Stats.quantilesDisc) — "choose your
+    // watermark from the data, not folklore"; seconds via integer
+    // micros division
+    "q185_lateness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withMax = t(s, dir, "events")
+        .withColumn("tus", unix_micros(col("ts")))
+        .withColumn("maxprev", max(col("tus")).over(w))
+        .withColumn("late_sec", greatest(lit(0L),
+          expr("(coalesce(maxprev, tus) - tus) div 1000000")))
+      graft.ops.Stats.quantilesDisc(withMax, col("event_type"),
+        col("late_sec"), Seq(50, 95, 99))
+        .select(col("g").as("event_type"), col("n"),
+          col("p50").as("p50_late_sec"), col("p95").as("p95_late_sec"),
+          col("p99").as("p99_late_sec"))
+        .orderBy(col("event_type"))
+    }),
+
     // One-sided CUSUM level-shift detection over per-type daily counts
     // (Page 1954) — the persistent-drift complement to q90's z-score
     // spikes; the max(0, S+dev) recursion is computed closed-form as
@@ -1124,6 +1183,65 @@ object EventQueries {
 
     // min-k over the same md5-derived 60-bit hashes; the estimator is
     // one HUGEINT division, so sketch AND estimate are hash-compared
+    // DuckDB dayofweek is already Sunday=0; Spark's is Sunday=1, so the
+    // Spark side subtracts 1 — pinned by the hash compare
+    "q183_seasonality" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, CAST(dayofweek(day) AS INT) AS dow,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1, 2),
+        |o AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS days_tot FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.dow, d.n_events, d.n_days,
+        |  CAST(n_events * 1000000 // n_days AS BIGINT) AS mean_micro,
+        |  CAST(n_events * days_tot * 1000000 // (n_days * tot) AS BIGINT)
+        |    AS index_micro
+        |FROM dw d JOIN o USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    "q184_event_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |f AS (SELECT user_id, event_type,
+        |    CASE WHEN lag(tus) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY tus, event_id) IS NULL
+        |      OR tus - lag(tus) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY tus, event_id) > 300000000 THEN 1 ELSE 0 END
+        |      AS iskeep
+        |  FROM e)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(iskeep) AS BIGINT) AS n_kept
+        |FROM f GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
+    // lateness vs the running max at arrival, then the q142 exact
+    // percentile_disc construction per type
+    "q185_lateness" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        |l AS (SELECT event_type,
+        |    greatest(0, (coalesce(max(tus) OVER (PARTITION BY event_type
+        |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), tus) - tus) // 1000000) AS late_sec
+        |  FROM e),
+        |h AS (SELECT event_type, late_sec, count(*) AS c
+        |  FROM l GROUP BY 1, 2),
+        |c AS (SELECT event_type, late_sec,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY late_sec
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100
+        |    THEN late_sec END) AS BIGINT) AS p50_late_sec,
+        |  CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100
+        |    THEN late_sec END) AS BIGINT) AS p95_late_sec,
+        |  CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100
+        |    THEN late_sec END) AS BIGINT) AS p99_late_sec
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the same closed form in SQL: running deviation sum minus its
     // running minimum (floored at 0); every intermediate is CAST back
     // to BIGINT because DuckDB widens window sums to HUGEINT

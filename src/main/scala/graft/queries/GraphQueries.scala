@@ -116,6 +116,24 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Deterministic synchronous label propagation (3 iterations,
+    // most-frequent-neighbor label, min-label ties) over the q155
+    // thresholded co-purchase graph — oracle-exact because the argmax
+    // is deterministic and the DuckDB twin unrolls the same rounds
+    "q182_label_prop" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 1000).as("fam"))
+      val (d, pairs) = graft.ops.Analytics.pairSupport(
+        baskets, col("l_orderkey"), col("fam"), minSupport = 2)
+      val nb = d.select(col("b")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val edges = pairs.crossJoin(nb)
+        .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
+        .select(col("item_a"), col("item_b"))
+      Graph.labelPropagation(edges, "item_a", "item_b", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // Newman–Girvan modularity of the fam-div-100 partition over the
     // q155 thresholded co-purchase graph — the "is this clustering
     // better than chance" gauge for any community assignment (a
@@ -238,6 +256,32 @@ object GraphQueries {
          |$steps
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
     },
+    // the q155 edge CTEs + three unrolled rounds; the argmax is a
+    // row_number window ordered (count desc, label) — the same
+    // (most-frequent, min-label) rule as the Spark struct-max
+    "q182_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+           |  FROM dir e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY c DESC, label) AS rn FROM c$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
+         |  FROM lineitem),
+         |p AS (SELECT x.i AS u, y.i AS v, count(*) AS c_ab
+         |  FROM d x JOIN d y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+         |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM d),
+         |e AS (SELECT u, v FROM p CROSS JOIN nb
+         |  WHERE c_ab >= greatest(3, n_baskets // 25000)),
+         |dir AS (SELECT u AS src, v AS dst FROM e
+         |  UNION SELECT v AS src, u AS dst FROM e),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM dir),
+         |$rounds
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+    },
+
     // the q155 edge CTEs + the two modularity fractions, each
     // micro-rounded from POSITIVE integers so no engine disagrees on a
     // negative-division convention
