@@ -395,6 +395,70 @@ object EventQueries {
     // are engine-portable and the (k-1)·2^60/h_k estimator is one
     // integer division. sf0.001 has <k distinct users (exact branch);
     // sf0.01+ exercises the estimator branch
+    // Date-spine gap fill: the per-type daily series completed over the
+    // full calendar span (generated spine × types), missing days
+    // zero-filled for counts and FORWARD-FILLED for the running total —
+    // the shape every reporting layer needs before charting a series.
+    // The synthetic feed has no gaps, so every 5th day is dropped
+    // upstream to make the fill paths real, not vacuous
+    "q187_gap_fill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(dayofmonth(to_date(col("ts"))) % 5 =!= 0)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+      val span = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = span
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+        .crossJoin(daily.select(col("event_type")).distinct())
+      val wff = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("cents"))
+        .withColumn("cents_ff",
+          coalesce(last(col("cents"), ignoreNulls = true).over(wff), lit(0L)))
+        .drop("cents")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Rolling 7-day Pearson correlation between the click and purchase
+    // daily series — integer window moments (the q162 discipline made
+    // rolling), one sqrt+rounding at the end; days without a complete
+    // 7-day history emit null corr rather than a short-window artifact
+    "q188_rolling_corr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val two = daily.groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "click", col("n"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", col("n"))
+            .otherwise(0L)).as("y"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      two
+        .withColumn("k", count(lit(1)).over(w7))
+        .withColumn("sx", sum(col("x")).over(w7))
+        .withColumn("sy", sum(col("y")).over(w7))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w7))
+        .withColumn("syy", sum(col("y") * col("y")).over(w7))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w7))
+        .withColumn("corr_milli", when(col("k") < 7, lit(null).cast("long"))
+          .otherwise({
+            val cov = col("k") * col("sxy") - col("sx") * col("sy")
+            val vx = col("k") * col("sxx") - col("sx") * col("sx")
+            val vy = col("k") * col("syy") - col("sy") * col("sy")
+            when(vx === 0L || vy === 0L, lit(null).cast("long"))
+              .otherwise(floor(cov.cast("double")
+                / sqrt(vx.cast("double") * vy.cast("double"))
+                * 1000 + lit(0.5)).cast("long"))
+          }))
+        .select(col("day"), col("x"), col("y"), col("corr_milli"))
+        .orderBy(col("day"))
+    }),
+
     // Day-of-week seasonality profile: per-type dow means and the
     // seasonal index (dow mean / overall mean), each a SINGLE integer
     // division so both engines round identically
@@ -1183,6 +1247,57 @@ object EventQueries {
 
     // min-k over the same md5-derived 60-bit hashes; the estimator is
     // one HUGEINT division, so sketch AND estimate are hash-compared
+    "q187_gap_fill" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events
+        |  WHERE day(CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 5 <> 0
+        |  GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT t.event_type, CAST(u.d AS DATE) AS day
+        |  FROM (SELECT DISTINCT event_type FROM daily) t,
+        |       span, unnest(generate_series(span.lo, span.hi,
+        |         INTERVAL 1 DAY)) AS u(d))
+        |SELECT s.event_type, s.day, coalesce(d.n, 0) AS n,
+        |  coalesce(last_value(d.cents IGNORE NULLS) OVER (
+        |    PARTITION BY s.event_type ORDER BY s.day
+        |    ROWS UNBOUNDED PRECEDING), 0) AS cents_ff
+        |FROM spine s LEFT JOIN daily d USING (event_type, day)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q188_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |two AS (SELECT day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN n ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN n ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM daily GROUP BY 1),
+        |w AS (SELECT day, x, y,
+        |    CAST(count(*) OVER r AS BIGINT) AS k,
+        |    CAST(sum(x) OVER r AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER r AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER r AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER r AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER r AS BIGINT) AS sxy
+        |  FROM two
+        |  WINDOW r AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT day, x, y,
+        |  CASE WHEN k < 7 THEN NULL
+        |       WHEN k * sxx - sx * sx = 0 OR k * syy - sy * sy = 0 THEN NULL
+        |       ELSE CAST(floor(CAST(k * sxy - sx * sy AS DOUBLE)
+        |         / sqrt(CAST(k * sxx - sx * sx AS DOUBLE)
+        |              * CAST(k * syy - sy * sy AS DOUBLE))
+        |         * 1000 + 0.5) AS BIGINT) END AS corr_milli
+        |FROM w ORDER BY day""".stripMargin,
+
     // DuckDB dayofweek is already Sunday=0; Spark's is Sunday=1, so the
     // Spark side subtracts 1 — pinned by the hash compare
     "q183_seasonality" ->

@@ -116,6 +116,26 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Connected components ORACLE-CHECKED: the pointer-jumping CC the
+    // dedup stack runs everywhere (q47/q50/q75...) was rows-only until
+    // now — on the thresholded co-purchase graph the DuckDB recursive
+    // CTE computes min-reachable-label to fixpoint and the hash compare
+    // proves component = min id EXACTLY, closing the loop on the one
+    // iterative kernel the oracle couldn't previously reach
+    "q186_cc_exact" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 1000).as("fam"))
+      val (d, pairs) = graft.ops.Analytics.pairSupport(
+        baskets, col("l_orderkey"), col("fam"), minSupport = 2)
+      val nb = d.select(col("b")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val edges = pairs.crossJoin(nb)
+        .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
+        .select(col("item_a").as("a_id"), col("item_b").as("b_id"))
+      graft.ops.Dedup.connectedComponents(edges)
+        .orderBy(col("id"))
+    }),
+
     // Deterministic synchronous label propagation (3 iterations,
     // most-frequent-neighbor label, min-label ties) over the q155
     // thresholded co-purchase graph — oracle-exact because the argmax
@@ -256,6 +276,26 @@ object GraphQueries {
          |$steps
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
     },
+    // transitive-closure min-label to FIXPOINT: the recursive UNION
+    // carries (node, reachable-label) pairs — row count bounded by
+    // Σ|component|², fine at oracle scale; min per node = component
+    "q186_cc_exact" ->
+      """WITH RECURSIVE d AS (SELECT DISTINCT l_orderkey AS b,
+        |    l_partkey % 1000 AS i FROM lineitem),
+        |p AS (SELECT x.i AS u, y.i AS v, count(*) AS c_ab
+        |  FROM d x JOIN d y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM d),
+        |e AS (SELECT u, v FROM p CROSS JOIN nb
+        |  WHERE c_ab >= greatest(3, n_baskets // 25000)),
+        |dir AS (SELECT u AS src, v AS dst FROM e
+        |  UNION SELECT v AS src, u AS dst FROM e),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT src, src FROM dir
+        |  UNION
+        |  SELECT dir.dst, w.label FROM walk w JOIN dir ON w.node = dir.src)
+        |SELECT node AS id, CAST(min(label) AS BIGINT) AS component
+        |FROM walk GROUP BY 1 ORDER BY id""".stripMargin,
+
     // the q155 edge CTEs + three unrolled rounds; the argmax is a
     // row_number window ordered (count desc, label) — the same
     // (most-frequent, min-label) rule as the Spark struct-max
