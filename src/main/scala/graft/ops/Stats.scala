@@ -555,6 +555,68 @@ object Stats {
           .as("est_inter"))
   }
 
+  /** Cross-group QUANTILE NORMALIZATION (the Bolstad et al. 2003
+    * preprocessing classic): each group's value is replaced by the
+    * POOLED distribution's value at the same relative rank, so every
+    * group ends up with an identical marginal distribution — the
+    * source-debiasing step before comparing quality scores across
+    * crawls whose scales drifted. The rank map is pure integer
+    * arithmetic, `mapped = (rk−1)(n_pool−1) div (n_group−1) + 1`
+    * (singleton groups map to the pooled median), so both engines land
+    * on the same pooled order statistic and q189 is hash-exact.
+    *
+    * Scale note: the pooled ranking here is one global sort of the
+    * input rows; beyond memory-of-a-sort scale, swap the pooled side
+    * for the [[quantilesDisc]] histogram construction (distinct-value
+    * prefix ranks) — the mapped-rank lookup becomes a histogram range
+    * probe instead of an equi-join on row_number. */
+  def quantileNormalize(df: DataFrame, groupCol: Column, idCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), idCol.as("id"),
+      valueCol.cast("long").as("v"))
+      .localCheckpoint() // three consumers: group ranks, pool ranks, sizes
+    val ns = base.groupBy(col("g")).agg(count(lit(1)).as("ns"))
+    val np = base.agg(count(lit(1)).as("np"))
+    val ranked = base.withColumn("rk", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
+    val pooled = base.withColumn("prk", row_number().over(
+        Window.orderBy(col("v"), col("g"), col("id"))))
+      .select(col("prk"), col("v").as("norm_v"))
+    ranked.join(ns, Seq("g")).crossJoin(np)
+      .withColumn("mapped", when(col("ns") === 1, expr("(np + 1) div 2"))
+        .otherwise(expr("((rk - 1) * (np - 1)) div (ns - 1) + 1")))
+      .join(pooled, col("mapped") === col("prk"))
+      .select(col("g"), col("id"), col("v"), col("norm_v"))
+  }
+
+  /** Exact per-group GINI coefficient via the rank-sum identity
+    * G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    * non-negative values — the standard inequality index ("is this
+    * source three mega-docs in a trenchcoat", quantified to one
+    * number; q166's Pareto curve is the graphical cousin). Ties
+    * contribute identically under any tie order, so the per-group
+    * rank window is deterministic where it matters; one DECIMAL
+    * division micro-rounds the result.
+    *
+    * Scale shape: one per-group sort (the rank window) + one partial
+    * agg; groups process independently. */
+  def gini(df: DataFrame, groupCol: Column, idCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), idCol.as("id"),
+      valueCol.cast("long").as("v"))
+    val ranked = base.withColumn("rk", row_number().over(
+      Window.partitionBy(col("g")).orderBy(col("v"), col("id"))).cast("long"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        sum(col("rk") * col("v")).as("t"))
+      .withColumn("__ok", when(col("sum_v") > 0, col("sum_v"))
+        .otherwise(raise_error(lit("gini needs a positive value sum"))))
+      .select(col("g"), col("n"), col("sum_v"),
+        expr("CAST(((2 * CAST(t AS DECIMAL(38,0)) - (n + 1) * sum_v)" +
+          " * 1000000) DIV (CAST(n AS DECIMAL(38,0)) * __ok) AS BIGINT)")
+          .as("gini_micro"))
+  }
+
   private def requireSubBuckets(subBuckets: Int): Unit =
     require(subBuckets >= 2 && subBuckets <= 256
         && (subBuckets & (subBuckets - 1)) == 0,

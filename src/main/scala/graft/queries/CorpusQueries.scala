@@ -330,6 +330,24 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quantile normalization of per-source doc lengths onto the pooled
+    // distribution (Bolstad 2003) — the source-debiasing step before
+    // comparing quality scores across crawls with drifted scales;
+    // integer rank map, hash-exact
+    "q189_quantile_norm" -> ((s, dir) => {
+      graft.ops.Stats.quantileNormalize(t(s, dir, "documents"),
+        col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("g"), col("id"))
+    }),
+
+    // Exact per-source Gini coefficient of document lengths — the
+    // one-number inequality gauge next to q166's Pareto curve
+    "q190_gini" -> ((s, dir) => {
+      graft.ops.Stats.gini(t(s, dir, "documents"),
+        col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("g"))
+    }),
+
     // Kneser–Ney smoothed bigram LM over the same reference slice as
     // q88 — D = 3/4 keeps the smoothed probability a ratio of integers,
     // so the continuation-distribution math is oracle-exact, not just
@@ -802,6 +820,37 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_grams,
         |  floor(CAST(sum(m) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_logw
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q189_quantile_norm" ->
+      """WITH base AS (SELECT source AS g, doc_id AS id,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents),
+        |ns AS (SELECT g, CAST(count(*) AS BIGINT) AS ns FROM base GROUP BY 1),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM base),
+        |ranked AS (SELECT g, id, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+        |      AS BIGINT) AS rk FROM base),
+        |pooled AS (SELECT CAST(row_number() OVER (ORDER BY v, g, id)
+        |      AS BIGINT) AS prk, v AS norm_v FROM base)
+        |SELECT r.g, r.id, r.v, p.norm_v
+        |FROM ranked r JOIN ns USING (g) CROSS JOIN np
+        |JOIN pooled p ON p.prk = CASE WHEN ns.ns = 1 THEN (np.np + 1) // 2
+        |  ELSE (r.rk - 1) * (np.np - 1) // (ns.ns - 1) + 1 END
+        |ORDER BY g, id""".stripMargin,
+
+    "q190_gini" ->
+      """WITH base AS (SELECT source AS g, doc_id AS id,
+        |    CAST(n_chars AS BIGINT) AS v FROM documents),
+        |ranked AS (SELECT g, v,
+        |    CAST(row_number() OVER (PARTITION BY g ORDER BY v, id)
+        |      AS BIGINT) AS rk FROM base),
+        |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sum_v,
+        |    CAST(sum(rk * v) AS HUGEINT) AS t
+        |  FROM ranked GROUP BY 1)
+        |SELECT g, n, sum_v,
+        |  CAST((2 * t - (n + 1)::HUGEINT * sum_v) * 1000000
+        |    // (n::HUGEINT * sum_v) AS BIGINT) AS gini_micro
+        |FROM agg ORDER BY g""".stripMargin,
+
     // KN numerators/denominators mirror the Scala branch structure
     // token-for-token; every count is BIGINT and the only float op is
     // the single -ln(num/den) before micro-rounding
