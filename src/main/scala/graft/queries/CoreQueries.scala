@@ -250,6 +250,28 @@ object CoreQueries {
         .orderBy(col("key"))
     }),
 
+    // Bitemporal point lookup: "as of transaction cutoff T, what did we
+    // believe each key's state was at valid time V" — the two-axis
+    // as-of every corrections-bearing warehouse needs (SCD2/q168 track
+    // valid time only). Restrict to tx <= cutoff (what was known),
+    // then argmax (valid_from, tx) within the valid horizon
+    "q192_bitemporal" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val log = o.select((col("o_orderkey") % 3000).as("key"),
+        col("o_orderdate").as("valid_from"),
+        col("o_orderkey").as("tx"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      val txCut = o.agg(expr("max(o_orderkey) div 2").as("tx_cut"))
+      log.crossJoin(txCut)
+        .filter(col("tx") <= col("tx_cut")
+          && col("valid_from") <= lit("1999-01-01").cast("timestamp"))
+        .groupBy(col("key"))
+        .agg(max(struct(col("valid_from"), col("tx"), col("cents"))).as("m"))
+        .select(col("key"), col("m.valid_from").as("valid_from"),
+          col("m.tx").as("tx"), col("m.cents").as("cents"))
+        .orderBy(col("key"))
+    }),
+
     // Join-cardinality estimation from KMV sketches (Beyer 2007): how
     // many distinct custkeys would the orders⋈customer join touch,
     // WITHOUT joining — the optimizer-grade use of q172's sketch, with
@@ -265,6 +287,20 @@ object CoreQueries {
   ) ++ asOfQueries
 
   val oracle: Map[String, String] = Map(
+    "q192_bitemporal" ->
+      """WITH log AS (SELECT o_orderkey % 3000 AS key,
+        |    o_orderdate AS valid_from, o_orderkey AS tx,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT max(o_orderkey) // 2 AS tx_cut FROM orders),
+        |f AS (SELECT key, valid_from, tx, cents FROM log CROSS JOIN c
+        |  WHERE tx <= tx_cut AND valid_from <= TIMESTAMP '1999-01-01'),
+        |r AS (SELECT key, valid_from, tx, cents,
+        |    row_number() OVER (PARTITION BY key
+        |      ORDER BY valid_from DESC, tx DESC) AS rn
+        |  FROM f)
+        |SELECT key, valid_from, tx, cents FROM r WHERE rn = 1
+        |ORDER BY key""".stripMargin,
     // the whole estimator in SQL: min-k per side via row_number, the
     // union sketch re-ranked, scalar-subquery facts, HUGEINT divisions
     "q178_kmv_join_est" ->

@@ -137,6 +137,37 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // LSH self-audit: q15's MinHash pair list scored against q170's
+    // EXACT Jaccard truth on the same corpus — precision/recall of the
+    // banding config, the gauge that says whether 32×8 bands are
+    // actually catching the near-dups the exact join proves exist
+    // (thresholds differ by design: LSH candidates at 0.5 vs exact
+    // truth at 0.6 word-3-gram Jaccard). Deterministic both sides —
+    // golden-pinned at both SFs
+    "q191_lsh_eval" -> ((s, dir) => {
+      val corpus = corpusWithNearDups(s, dir)
+      val truth = SetSimilarity.jaccardJoinExact(
+        SetSimilarity.shingleTokens(corpus, "doc_id", "text", n = 3),
+        "id", "token", tauMicro = 600000L)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val lsh = Dedup.minHashPairs(corpus, "doc_id", "text",
+        k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val tp = lsh.join(truth, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      tp.crossJoin(nL).crossJoin(nT)
+        .select(col("n_truth"), col("n_lsh"), col("tp"),
+          (col("n_lsh") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          expr("CASE WHEN n_lsh = 0 THEN 0 ELSE (tp * 1000000) div n_lsh END")
+            .as("precision_micro"),
+          expr("CASE WHEN n_truth = 0 THEN 0 ELSE (tp * 1000000) div n_truth END")
+            .as("recall_micro"))
+        .orderBy(col("n_truth"))
+    }),
+
     "q100_semdedup" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
