@@ -82,6 +82,69 @@ object Profile {
     * was clean at ingest N"). Each violation frame keeps its own
     * optimal plan (anti-join / partial agg); the union is rows =
     * checks. */
+  /** Functional-dependency DISCOVERY over candidate column pairs (the
+    * data-profiling classic behind schema normalization and key
+    * detection — Metanome/TANE family, restricted to unary FDs): A → B
+    * holds iff every A value maps to exactly one B value, i.e. the
+    * (A, B)-distinct count equals the A-distinct count. Reports both
+    * counts plus the violation margin so "almost-FDs" (dirty data) are
+    * visible, not just booleans.
+    *
+    * Scale shape: one partial-aggregated distinct per pair on
+    * (A, B) — count_distinct(A) falls out of the same rollup via a
+    * second aggregation over it; no row-level data leaves the
+    * histograms. Pairs are checked independently and unioned
+    * (candidate lists are schema-sized, not data-sized). */
+  def functionalDependencies(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "functionalDependencies needs candidate pairs")
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a).as("__a"), col(b).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("__a"))
+        .agg(count(lit(1)).as("__nb"))
+        .agg(count(lit(1)).as("n_lhs"), sum(col("__nb")).as("n_pairs"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"),
+          col("n_lhs"), col("n_pairs"),
+          (col("n_pairs") - col("n_lhs")).as("violations"),
+          (col("n_pairs") === col("n_lhs")).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Inclusion-dependency DISCOVERY (FK-candidate detection): for each
+    * (child column ⊆ parent column) candidate, the exact containment —
+    * distinct child values, how many appear in the parent, and the
+    * containment fraction in micro units. A declared-FK audit
+    * ([[orphans]]) checks constraints you claim; this FINDS the ones
+    * the schema forgot to declare (containment 1.0) and quantifies the
+    * near-misses.
+    *
+    * Scale shape per candidate: two distinct projections + one
+    * left-semi join on the value — value histograms, never rows. */
+  def inclusionDependencies(
+      candidates: Seq[(String, DataFrame, String, String, DataFrame, String)])
+      : DataFrame = {
+    require(candidates.nonEmpty, "inclusionDependencies needs candidates")
+    candidates.map { case (childName, child, childCol,
+        parentName, parent, parentCol) =>
+      val cv = child.select(col(childCol).as("__v"))
+        .where(col("__v").isNotNull).distinct()
+      val pv = parent.select(col(parentCol).as("__v"))
+        .where(col("__v").isNotNull).distinct()
+      val nC = cv.agg(count(lit(1)).as("n_child"))
+      val nIn = cv.join(pv, Seq("__v"), "left_semi")
+        .agg(count(lit(1)).as("n_contained"))
+      nC.crossJoin(nIn)
+        .select(lit(s"$childName.$childCol").as("child"),
+          lit(s"$parentName.$parentCol").as("parent"),
+          col("n_child"), col("n_contained"),
+          expr("CASE WHEN n_child = 0 THEN 1000000" +
+            " ELSE (n_contained * 1000000) div n_child END")
+            .as("containment_micro"),
+          (col("n_contained") === col("n_child")).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
   def integrityAudit(checks: Seq[(String, DataFrame)]): DataFrame = {
     require(checks.nonEmpty && checks.map(_._1).distinct.size == checks.size,
       s"integrityAudit needs uniquely-named checks, got ${checks.map(_._1)}")

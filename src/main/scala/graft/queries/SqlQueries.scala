@@ -348,6 +348,37 @@ object SqlQueries {
 
     // UNPIVOT via the stack generator — wide metrics to long
     // (metric, val) rows, the reshape the warehouse surface was missing
+    // Functional-dependency discovery (TANE-family unary FDs): which
+    // column determines which — with violation margins so dirty
+    // almost-FDs are visible. nation→region holds; the reverse cannot
+    "q193_fd_discovery" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val joined = cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      graft.ops.Profile.functionalDependencies(joined, Seq(
+        ("c_custkey", "c_name"), ("c_nationkey", "n_name"),
+        ("n_name", "n_regionkey"), ("n_regionkey", "n_name"),
+        ("c_mktsegment", "c_nationkey")))
+        .orderBy(col("lhs"), col("rhs"))
+    }),
+
+    // Inclusion-dependency discovery (FK-candidate detection): exact
+    // containment of child key columns in parent key columns — finds
+    // the FKs the schema never declared, quantifies the near-misses
+    "q194_fk_discovery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      graft.ops.Profile.inclusionDependencies(Seq(
+        ("lineitem", li, "l_orderkey", "orders", orders, "o_orderkey"),
+        ("orders", orders, "o_custkey", "customer", cust, "c_custkey"),
+        ("lineitem", li, "l_suppkey", "supplier", supp, "s_suppkey"),
+        ("orders", orders, "o_orderkey", "lineitem", li, "l_orderkey"),
+        ("customer", cust, "c_custkey", "orders", orders, "o_custkey")))
+        .orderBy(col("child"), col("parent"))
+    }),
+
     // Benford first-digit audit over order totals — the classic
     // fabricated-numbers screen as a data-quality gauge: observed
     // first-significant-digit shares vs the log10(1 + 1/d) law, all in
@@ -747,6 +778,52 @@ object SqlQueries {
          |  UNION ALL
          |  ${layout("zf", "doc_id", "linear")})
          |ORDER BY layout""".stripMargin
+    },
+
+    "q193_fd_discovery" -> {
+      def fd(a: String, b: String) =
+        s"""SELECT '$a' AS lhs, '$b' AS rhs,
+           |  CAST(count(DISTINCT $a) AS BIGINT) AS n_lhs,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(*) - count(DISTINCT $a) AS BIGINT) AS violations,
+           |  count(*) = count(DISTINCT $a) AS holds
+           |FROM (SELECT DISTINCT $a, $b FROM j)""".stripMargin
+      s"""WITH j AS (SELECT * FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey)
+         |SELECT * FROM (
+         |${Seq(("c_custkey", "c_name"), ("c_nationkey", "n_name"),
+             ("n_name", "n_regionkey"), ("n_regionkey", "n_name"),
+             ("c_mktsegment", "c_nationkey"))
+             .map { case (a, b) => fd(a, b) }
+             .mkString("(", ")\nUNION ALL\n(", ")")})
+         |ORDER BY lhs, rhs""".stripMargin
+    },
+
+    "q194_fk_discovery" -> {
+      def ind(cn: String, ct: String, cc: String,
+          pn: String, pt: String, pc: String) =
+        s"""SELECT '$cn.$cc' AS child, '$pn.$pc' AS parent,
+           |  (SELECT CAST(count(DISTINCT $cc) AS BIGINT) FROM $ct
+           |     WHERE $cc IS NOT NULL) AS n_child,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM
+           |     (SELECT DISTINCT $cc AS v FROM $ct WHERE $cc IS NOT NULL)
+           |     WHERE v IN (SELECT $pc FROM $pt WHERE $pc IS NOT NULL))
+           |    AS n_contained""".stripMargin
+      val rows = Seq(
+        ("lineitem", "lineitem", "l_orderkey", "orders", "orders", "o_orderkey"),
+        ("orders", "orders", "o_custkey", "customer", "customer", "c_custkey"),
+        ("lineitem", "lineitem", "l_suppkey", "supplier", "supplier", "s_suppkey"),
+        ("orders", "orders", "o_orderkey", "lineitem", "lineitem", "l_orderkey"),
+        ("customer", "customer", "c_custkey", "orders", "orders", "o_custkey"))
+        .map { case (cn, ct, cc, pn, pt, pc) => ind(cn, ct, cc, pn, pt, pc) }
+        .mkString("(", ")\nUNION ALL\n(", ")")
+      s"""SELECT child, parent, n_child, n_contained,
+         |  CASE WHEN n_child = 0 THEN 1000000
+         |    ELSE CAST(n_contained * 1000000 // n_child AS BIGINT)
+         |    END AS containment_micro,
+         |  n_contained = n_child AS holds
+         |FROM ($rows)
+         |ORDER BY child, parent""".stripMargin
     },
 
     "q176_benford" ->

@@ -199,6 +199,30 @@ object EventPipeline {
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
   }
 
+  /** LEFT OUTER [[eventTimeJoin]]: the unmatched-left rows (an
+    * impression that never converted) are EMITTED WITH NULL right
+    * columns once the watermark passes the end of their join window —
+    * the semantics a "did-not-convert" audit stream needs, and the
+    * corner where stream-stream state cleanup actually shows:
+    * without the time-bound + watermark, Spark would have to hold
+    * every left row forever and could never emit a null match.
+    * Output timing is therefore watermark-delayed by design; the
+    * StreamingSpec drives a second batch past the watermark to flush
+    * the null-match rows. */
+  def eventTimeJoinLeftOuter(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      withinSeconds: Long, watermark: String): DataFrame = {
+    require(withinSeconds > 0, s"withinSeconds must be positive: $withinSeconds")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"),
+      "left_outer")
+  }
+
   /** foreachBatch body factory: enrich each micro-batch against a
     * slowly-refreshed DIMENSION table and hand the result to `sink` —
     * the streaming form of the J5 broadcast lookup join (reference:

@@ -245,4 +245,33 @@ class SourcesSpec extends SparkTestBase {
     val e2 = intercept[IllegalStateException](IncrementalIngest.newFiles(spark, in, ledger))
     assert(e2.getMessage.contains("immutable"), e2.getMessage)
   }
+
+  test("ORC / CSV / JSON round-trip the documents slice losslessly") {
+    // format breadth beyond parquet: the same frame written and read
+    // back through each built-in columnar/text source must agree
+    // row-for-row (CSV needs an explicit schema on read; header=true
+    // preserves column names). spark-avro is not on this classpath —
+    // parquet/orc are the columnar pair shipped here.
+    val docs = graft.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").limit(50)
+    val base = java.nio.file.Files.createTempDirectory("fmt").toString
+    val expected = docs.collect().toSeq
+
+    docs.write.mode("overwrite").orc(s"$base/o")
+    val orc = spark.read.orc(s"$base/o").orderBy("doc_id").collect().toSeq
+    assert(orc == expected, "orc round-trip drifted")
+
+    docs.write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(s"$base/c")
+    val csv = spark.read.schema(docs.schema).option("header", "true")
+      .option("escape", "\"").csv(s"$base/c")
+      .orderBy("doc_id").collect().toSeq
+    assert(csv == expected, "csv round-trip drifted")
+
+    docs.write.mode("overwrite").json(s"$base/j")
+    val json = spark.read.schema(docs.schema).json(s"$base/j")
+      .orderBy("doc_id").collect().toSeq
+    assert(json == expected, "json round-trip drifted")
+  }
 }

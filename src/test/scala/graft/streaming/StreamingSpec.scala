@@ -428,6 +428,37 @@ class StreamingSpec extends SparkTestBase {
     assert(postReplay == preReplay, "replay changed the accumulated counts")
   }
 
+  test("stream-stream left outer join emits null matches after the watermark passes") {
+    implicit val sql = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val out = EventPipeline.eventTimeJoinLeftOuter(
+      imps.toDF().toDF("user_id", "imp_ts"),
+      clks.toDF().toDF("cuser", "click_ts"),
+      "user_id", "cuser", "imp_ts", "click_ts", 600, "10 seconds")
+    val q = out.writeStream.format("memory").queryName("loj")
+      .outputMode("append").start()
+    imps.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+    clks.addData((1L, t("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // push both watermarks far past user 2's join window, twice — state
+    // eviction happens a batch after the watermark moves
+    for (h <- Seq("12", "13")) {
+      imps.addData((99L, t(s"2024-01-01 $h:00:00")))
+      clks.addData((99L, t(s"2024-01-01 $h:00:00")))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("loj")
+      .select("user_id", "click_ts").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(rows.contains((1L, Some(t("2024-01-01 10:05:00")))),
+      s"matched pair missing: $rows")
+    assert(rows.contains((2L, None)),
+      s"unmatched left row never emitted with null match: $rows")
+  }
+
   test("streaming cusum monitor flags a planted level shift; replay is exactly-once") {
     implicit val sql = spark.sqlContext
     val counts = Files.createTempDirectory("cusum").toString + "/counts"
