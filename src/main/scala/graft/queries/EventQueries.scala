@@ -395,6 +395,67 @@ object EventQueries {
     // are engine-portable and the (k-1)·2^60/h_k estimator is one
     // integer division. sf0.001 has <k distinct users (exact branch);
     // sf0.01+ exercises the estimator branch
+    // Experiment power analysis from observed arms: with the q132 md5
+    // split's observed conversion rates as (p1, p2), the per-arm sample
+    // size needed to detect that lift at alpha=0.05 / power=0.80 —
+    // n = (z_a + z_b)^2 (p1(1-p1) + p2(1-p2)) / (p1-p2)^2, constants
+    // fixed, doubles micro-rounded once (the q90 discipline)
+    "q195_power_analysis" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val arms = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm", when(
+          substring(md5(concat(lit("ab:"), col("user_id").cast("string"))), 1, 1)
+            < lit("8"), "A").otherwise("B"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val wide = arms.groupBy()
+        .agg(sum(when(col("arm") === "A", col("n"))).as("n1"),
+          sum(when(col("arm") === "A", col("conv"))).as("c1"),
+          sum(when(col("arm") === "B", col("n"))).as("n2"),
+          sum(when(col("arm") === "B", col("conv"))).as("c2"))
+      wide.select(col("n1"), col("c1"), col("n2"), col("c2"),
+          (col("c1").cast("double") / col("n1")).as("p1"),
+          (col("c2").cast("double") / col("n2")).as("p2"))
+        .withColumn("zz", lit((1.959964 + 0.841621) * (1.959964 + 0.841621)))
+        .withColumn("n_required", when(abs(col("p1") - col("p2")) < 1e-12,
+            lit(null).cast("long"))
+          .otherwise(ceil((col("zz")
+            * (col("p1") * (lit(1.0) - col("p1"))
+              + col("p2") * (lit(1.0) - col("p2"))))
+            / ((col("p1") - col("p2")) * (col("p1") - col("p2"))))
+            .cast("long")))
+        .select(col("n1"), col("c1"), col("n2"), col("c2"),
+          floor(col("p1") * 1000000 + 0.5).cast("long").as("p1_micro"),
+          floor(col("p2") * 1000000 + 0.5).cast("long").as("p2_micro"),
+          col("n_required"))
+        .orderBy(col("n1"))
+    }),
+
+    // Per-type winsorized mean of event values: values clamped at the
+    // exact p01/p99 (q142 percentile_disc construction), then an exact
+    // integer-cents mean — the robust-mean preprocessing that tames a
+    // fat-tailed metric before dashboards average it
+    "q196_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      val cuts = graft.ops.Stats.quantilesDisc(ev, col("event_type"),
+        col("cents"), Seq(1, 99))
+        .select(col("g").as("event_type"), col("p1"), col("p99"))
+      ev.join(cuts, "event_type")
+        .withColumn("w", least(greatest(col("cents"), col("p1")), col("p99")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("p1")).as("lo_cents"), max(col("p99")).as("hi_cents"),
+          sum(col("cents")).as("raw_sum"), sum(col("w")).as("win_sum"))
+        .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+          expr("(raw_sum * 100) div n").as("raw_mean_milli"),
+          expr("(win_sum * 100) div n").as("win_mean_milli"))
+        .orderBy(col("event_type"))
+    }),
+
     // Date-spine gap fill: the per-type daily series completed over the
     // full calendar span (generated spine × types), missing days
     // zero-filled for counts and FORWARD-FILLED for the running total —
@@ -1247,6 +1308,56 @@ object EventQueries {
 
     // min-k over the same md5-derived 60-bit hashes; the estimator is
     // one HUGEINT division, so sketch AND estimate are hash-compared
+    "q195_power_analysis" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT CASE WHEN substr(md5('ab:' || user_id), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS conv
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS c2
+        |  FROM a),
+        |p AS (SELECT n1, c1, n2, c2,
+        |    CAST(c1 AS DOUBLE) / n1 AS p1,
+        |    CAST(c2 AS DOUBLE) / n2 AS p2 FROM w)
+        |SELECT n1, c1, n2, c2,
+        |  CAST(floor(p1 * 1000000 + 0.5) AS BIGINT) AS p1_micro,
+        |  CAST(floor(p2 * 1000000 + 0.5) AS BIGINT) AS p2_micro,
+        |  CASE WHEN abs(p1 - p2) < 1e-12 THEN NULL
+        |    ELSE CAST(ceil(((1.959964 + 0.841621) * (1.959964 + 0.841621)
+        |      * (p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+        |      / ((p1 - p2) * (p1 - p2))) AS BIGINT) END AS n_required
+        |FROM p ORDER BY n1""".stripMargin,
+
+    "q196_winsorize" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |h AS (SELECT event_type, cents, count(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, cents,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |cuts AS (SELECT event_type,
+        |    CAST(min(CASE WHEN cum >= (n * 1 + 99) // 100 THEN cents END)
+        |      AS BIGINT) AS p1,
+        |    CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cents END)
+        |      AS BIGINT) AS p99
+        |  FROM cum GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(p1) AS BIGINT) AS lo_cents,
+        |  CAST(max(p99) AS BIGINT) AS hi_cents,
+        |  CAST(sum(e.cents) * 100 // count(*) AS BIGINT) AS raw_mean_milli,
+        |  CAST(sum(least(greatest(e.cents, p1), p99)) * 100 // count(*)
+        |    AS BIGINT) AS win_mean_milli
+        |FROM ev e JOIN cuts USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "q187_gap_fill" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
