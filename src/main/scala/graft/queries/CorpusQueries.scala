@@ -330,6 +330,29 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Zipf-law fit per source: OLS slope of ln(freq) on ln(rank) over
+    // the token frequency table (healthy natural text slopes near −1;
+    // template/boilerplate corpora flatten) — q131's integer-exact
+    // moment machinery applied to corpus statistics
+    "q197_zipf_fit" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      val freq = tok.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val ranked = freq.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(col("c").desc, col("w"))))
+        .select(col("source"),
+          floor(log(col("rk").cast("double")) * 1000000 + 0.5)
+            .cast("long").as("x"),
+          floor(log(col("c").cast("double")) * 1000000 + 0.5)
+            .cast("long").as("y"))
+      graft.ops.Analytics.linearTrend(ranked, "source", col("x"), col("y"))
+        .orderBy(col("source"))
+    }),
+
     // Quantile normalization of per-source doc lengths onto the pooled
     // distribution (Bolstad 2003) — the source-debiasing step before
     // comparing quality scores across crawls with drifted scales;
@@ -820,6 +843,45 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_grams,
         |  floor(CAST(sum(m) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS avg_logw
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q131's closed form over (ln rank, ln freq) micro points
+    "q197_zipf_fit" ->
+      """WITH tok AS (SELECT source, t AS w FROM
+        |    (SELECT source, regexp_split_to_array(lower(trim(text)), '\s+')
+        |       AS l FROM documents WHERE length(trim(text)) > 0),
+        |    unnest(l) AS u(t)),
+        |f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source,
+        |    CAST(floor(ln(CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY c DESC, w) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+        |      AS y
+        |  FROM f),
+        |m AS (SELECT source, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM r GROUP BY 1)
+        |SELECT source, n,
+        |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE NULL END AS slope,
+        |  CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+        |    THEN floor((CAST(sy AS DOUBLE)
+        |          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |        * 1000000.0 + 0.5) / 1000000.0
+        |  ELSE NULL END AS intercept
+        |FROM m ORDER BY source""".stripMargin,
+
     "q189_quantile_norm" ->
       """WITH base AS (SELECT source AS g, doc_id AS id,
         |    CAST(n_chars AS BIGINT) AS v FROM documents),

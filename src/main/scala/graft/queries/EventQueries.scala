@@ -395,6 +395,23 @@ object EventQueries {
     // are engine-portable and the (k-1)·2^60/h_k estimator is one
     // integer division. sf0.001 has <k distinct users (exact branch);
     // sf0.01+ exercises the estimator branch
+    // New-vs-returning daily split: per day, active users whose FIRST
+    // event ever is that day vs returning — the growth-accounting twin
+    // of q114's cohort retention, one first-seen argmin + one rollup
+    "q198_new_vs_returning" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      ev.distinct()
+        .join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("new_users"),
+          sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+            .as("returning_users"))
+        .orderBy(col("day"))
+    }),
+
     // Experiment power analysis from observed arms: with the q132 md5
     // split's observed conversion rates as (p1, p2), the per-arm sample
     // size needed to detect that lift at alpha=0.05 / power=0.80 —
@@ -1308,6 +1325,18 @@ object EventQueries {
 
     // min-k over the same md5-derived 60-bit hashes; the estimator is
     // one HUGEINT division, so sketch AND estimate are hash-compared
+    "q198_new_vs_returning" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
     "q195_power_analysis" ->
       """WITH u AS (SELECT user_id,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
