@@ -250,6 +250,18 @@ object CoreQueries {
         .orderBy(col("key"))
     }),
 
+    // Warehouse catalog self-audit: one row per table with row and
+    // column counts — the inventory check a nightly health job runs
+    // before anything else trusts the warehouse
+    "q200_catalog_audit" -> ((s, dir) => {
+      graft.Tables.Names.map { name =>
+        val df = t(s, dir, name)
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            lit(df.schema.fields.length.toLong).as("n_cols"))
+      }.reduce(_ unionByName _).orderBy(col("table_name"))
+    }),
+
     // Bitemporal point lookup: "as of transaction cutoff T, what did we
     // believe each key's state was at valid time V" — the two-axis
     // as-of every corrections-bearing warehouse needs (SCD2/q168 track
@@ -287,6 +299,17 @@ object CoreQueries {
   ) ++ asOfQueries
 
   val oracle: Map[String, String] = Map(
+    // pragma_table_info counts the view's columns — no hardcoded
+    // schema widths to drift out of date
+    "q200_catalog_audit" -> {
+      val rows = graft.Tables.Names.map { n =>
+        s"""SELECT '$n' AS table_name,
+           |  CAST((SELECT count(*) FROM $n) AS BIGINT) AS n_rows,
+           |  CAST((SELECT count(*) FROM pragma_table_info('$n')) AS BIGINT)
+           |    AS n_cols""".stripMargin
+      }.mkString("(", ")\nUNION ALL\n(", ")")
+      s"SELECT * FROM (\n$rows)\nORDER BY table_name"
+    },
     "q192_bitemporal" ->
       """WITH log AS (SELECT o_orderkey % 3000 AS key,
         |    o_orderdate AS valid_from, o_orderkey AS tx,

@@ -168,6 +168,29 @@ object DedupQueries {
         .orderBy(col("n_truth"))
     }),
 
+    // Dedup yield curve: exact near-dup pair counts as a function of
+    // the Jaccard threshold (0.5→0.95 bands over q170's exact join at
+    // τ=0.5) — the knob-tuning gauge for "how much do we lose at τ";
+    // cumulative from the top so each row IS the pair count at that cut
+    "q199_dedup_curve" -> ((s, dir) => {
+      val pairs = SetSimilarity.jaccardJoinExact(
+        SetSimilarity.shingleTokens(corpusWithNearDups(s, dir),
+          "doc_id", "text", n = 3),
+        "id", "token", tauMicro = 500000L)
+      val bands = pairs
+        .withColumn("band", least(expr("(jac_micro div 50000) * 50000"),
+          lit(950000L)))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_band"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("band").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      bands
+        .withColumn("n_pairs_at_tau", sum(col("n_band")).over(w))
+        .select(col("band").as("tau_micro"), col("n_band"),
+          col("n_pairs_at_tau"))
+        .orderBy(col("tau_micro"))
+    }),
+
     "q100_semdedup" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
@@ -179,6 +202,37 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the q170 brute force re-thresholded at 0.5 then banded — the
+    // curve itself is hash-compared, band by band
+    "q199_dedup_curve" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' xq' FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[s:s+2], ' ') AS token
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM corpus),
+        |       unnest(generate_series(1, len(t) - 2)) AS u(s)),
+        |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT CAST(inter * 1000000 // (sa.s + sb.s - inter) AS BIGINT)
+        |    AS jac_micro
+        |  FROM i JOIN sz sa ON i.a_id = sa.doc_id
+        |         JOIN sz sb ON i.b_id = sb.doc_id
+        |  WHERE inter * 1000000 >= 500000 * (sa.s + sb.s - inter)),
+        |b AS (SELECT least((jac_micro // 50000) * 50000, 950000) AS band,
+        |    CAST(count(*) AS BIGINT) AS n_band
+        |  FROM p GROUP BY 1)
+        |SELECT band AS tau_micro, n_band,
+        |  CAST(sum(n_band) OVER (ORDER BY band DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_at_tau
+        |FROM b ORDER BY tau_micro""".stripMargin,
     // Brute force: every token-sharing pair's exact intersection — no
     // prefix filter — then the same integer-micro Jaccard gate. Matching
     // hashes = empirical losslessness proof for the prefix filter.
