@@ -43,6 +43,41 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Frame-sampling manifest, ORACLE-checked: the strided FrameSample
+    // codegen kernel's output (count, sampled bytes, first/last frame)
+    // reproduced independently by DuckDB blob slicing — the video
+    // frame-extract plumbing proven byte-exact, not just rows-only
+    "q201_frame_manifest" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("frames", Multimodal.frameSample(col("payload"), 64, 16))
+        .select(col("doc_id"),
+          size(col("frames")).as("n_frames"),
+          expr("aggregate(frames, 0L, (a, f) -> a + CAST(length(f) AS BIGINT))")
+            .as("sampled_bytes"),
+          hex(element_at(col("frames"), 1)).as("first_hex"),
+          hex(element_at(col("frames"), size(col("frames")))).as("last_hex"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Chunked-storage manifest: fixed 256-byte chunk rows per payload —
+    // the multipart-upload shape a blob store ingests; dynamic-offset
+    // binary substring both sides, chunk set hash-compared
+    "q202_chunk_manifest" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("n", length(col("payload")))
+        .select(col("doc_id"), col("payload"),
+          explode(expr("sequence(0, CAST((n + 255) div 256 AS INT) - 1)"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(expr("substring(payload, chunk_idx * 256 + 1, 256)"))
+            .as("chunk_bytes"),
+          hex(expr("substring(payload, chunk_idx * 256 + 1, 8)"))
+            .as("chunk_head_hex"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Binary near-dup by exact shared strided frames (the multimodal
     // dedup member): planted twins = payload + 2 trailing bytes share
     // almost every frame; unrelated payloads share ~none (16-byte exact
@@ -62,6 +97,36 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // DuckDB cannot slice BLOBs — the twin slices the HEX string
+    // (2 chars per byte, 1-based inclusive [a:b]) instead
+    "q201_frame_manifest" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, h, n, (n + 63) // 64 AS n_frames FROM p),
+        |s AS (SELECT doc_id,
+        |    CAST(sum(least(16, n - i * 64)) AS BIGINT) AS sampled_bytes
+        |  FROM f, unnest(generate_series(0, n_frames - 1)) AS u(i)
+        |  GROUP BY 1)
+        |SELECT f.doc_id, CAST(f.n_frames AS INT) AS n_frames,
+        |  s.sampled_bytes,
+        |  h[1:32] AS first_hex,
+        |  h[CAST((n_frames - 1) * 64 * 2 + 1 AS INT)
+        |    : CAST((n_frames - 1) * 64 * 2
+        |        + 2 * least(16, n - (n_frames - 1) * 64) AS INT)]
+        |    AS last_hex
+        |FROM f JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q202_chunk_manifest" ->
+      """WITH p AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(least(256, n - i * 256) AS INT) AS chunk_bytes,
+        |  h[CAST(i * 512 + 1 AS INT)
+        |    : CAST(i * 512 + 2 * least(8, n - i * 256) AS INT)]
+        |    AS chunk_head_hex
+        |FROM p, unnest(generate_series(0, (n + 255) // 256 - 1)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q34_multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,
