@@ -250,6 +250,45 @@ object CoreQueries {
         .orderBy(col("key"))
     }),
 
+    // Hierarchical share-of-parent rollup: nation revenue as a share of
+    // its region, region as a share of the total — the percent-of-
+    // parent drill path every BI layer renders; exact cents, single
+    // integer divisions
+    "q204_share_of_parent" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+          .as("cents"))
+      rev
+        .withColumn("region_cents",
+          sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+        .withColumn("total_cents", sum(col("cents")).over(Window.partitionBy()))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("(cents * 1000000) div region_cents").as("share_of_region_micro"),
+          expr("(region_cents * 1000000) div total_cents")
+            .as("region_share_micro"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Forward as-of with tolerance: each order's NEXT order by the same
+    // customer within 30 days (pandas merge_asof direction='forward'
+    // semantics) — repeat-purchase gap analysis; null past tolerance
+    "q205_next_order_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+        .withColumn("gap", datediff(col("next_date"), col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          when(col("gap") <= 30, col("next_key")).as("next_within_30d"),
+          when(col("gap") <= 30, col("gap")).as("gap_days"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Warehouse catalog self-audit: one row per table with row and
     // column counts — the inventory check a nightly health job runs
     // before anything else trusts the warehouse
@@ -299,6 +338,44 @@ object CoreQueries {
   ) ++ asOfQueries
 
   val oracle: Map[String, String] = Map(
+    "q204_share_of_parent" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT r_name, n_name, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |      AS region_cents,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        |  FROM rev)
+        |SELECT r_name, n_name, cents,
+        |  CAST(cents * 1000000 // region_cents AS BIGINT)
+        |    AS share_of_region_micro,
+        |  CAST(region_cents * 1000000 // total_cents AS BIGINT)
+        |    AS region_share_micro
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
+
+    "q205_next_order_gap" ->
+      """WITH w AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |    lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS next_key,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS next_date
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(next_date AS DATE)) <= 30 THEN next_key END
+        |    AS next_within_30d,
+        |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(next_date AS DATE)) <= 30
+        |    THEN CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(next_date AS DATE)) AS INT) END AS gap_days
+        |FROM w ORDER BY o_orderkey""".stripMargin,
+
     // pragma_table_info counts the view's columns — no hardcoded
     // schema widths to drift out of date
     "q200_catalog_audit" -> {

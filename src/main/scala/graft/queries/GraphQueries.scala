@@ -116,6 +116,40 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Apriori level-3: frequent item triples over the co-purchase
+    // baskets — items below support are dropped BEFORE the in-row
+    // triple comprehension (the Apriori property doing its job), so
+    // the explode is bounded by frequent-item basket sizes
+    "q203_frequent_triples" -> ((s, dir) => {
+      val d = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("b"), (col("l_partkey") % 1000).as("i"))
+        .distinct()
+      val nb = d.select(col("b")).distinct().agg(count(lit(1)).as("n_baskets"))
+      // support 2 — triples repeat far more rarely than pairs, so the
+      // q154 pair threshold of 3 would return an empty level-3 set at
+      // small SFs; the total-ordered LIMIT bounds the output instead
+      val thr = greatest(lit(2L), expr("n_baskets DIV 25000"))
+      val freqItems = d.groupBy(col("i")).agg(count(lit(1)).as("ci"))
+        .crossJoin(nb).filter(col("ci") >= thr).select(col("i"))
+      val triples = d.join(freqItems, Seq("i"), "left_semi")
+        .groupBy(col("b"))
+        .agg(sort_array(collect_set(col("i"))).as("items"))
+        .select(explode(expr(
+          "flatten(transform(items, (x, ix) -> flatten(" +
+            "transform(slice(items, ix + 2, size(items)), (y, iy) ->" +
+            " transform(slice(items, ix + iy + 3, size(items))," +
+            " z -> struct(x AS item_a, y AS item_b, z AS item_c))))))"))
+          .as("t"))
+        .groupBy(col("t.item_a").as("item_a"), col("t.item_b").as("item_b"),
+          col("t.item_c").as("item_c"))
+        .agg(count(lit(1)).as("c_abc"))
+      triples.crossJoin(nb)
+        .filter(col("c_abc") >= thr)
+        .select(col("item_a"), col("item_b"), col("item_c"), col("c_abc"))
+        .orderBy(col("c_abc").desc, col("item_a"), col("item_b"), col("item_c"))
+        .limit(100)
+    }),
+
     // Connected components ORACLE-CHECKED: the pointer-jumping CC the
     // dedup stack runs everywhere (q47/q50/q75...) was rows-only until
     // now — on the thresholded co-purchase graph the DuckDB recursive
@@ -276,6 +310,25 @@ object GraphQueries {
          |$steps
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
     },
+    // brute-force 3-way basket self-join with the same item-support
+    // prefilter; LIMIT's tie zone is closed by the full total order
+    "q203_frequent_triples" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
+        |  FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM d),
+        |thr AS (SELECT greatest(2, n_baskets // 25000) AS t FROM nb),
+        |fi AS (SELECT i FROM d CROSS JOIN thr
+        |  GROUP BY i, t HAVING count(*) >= t),
+        |df AS (SELECT b, i FROM d WHERE i IN (SELECT i FROM fi)),
+        |tr AS (SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c,
+        |    CAST(count(*) AS BIGINT) AS c_abc
+        |  FROM df x JOIN df y ON x.b = y.b AND x.i < y.i
+        |       JOIN df z ON y.b = z.b AND y.i < z.i
+        |  GROUP BY 1, 2, 3)
+        |SELECT item_a, item_b, item_c, c_abc
+        |FROM tr CROSS JOIN thr WHERE c_abc >= t
+        |ORDER BY c_abc DESC, item_a, item_b, item_c LIMIT 100""".stripMargin,
+
     // transitive-closure min-label to FIXPOINT: the recursive UNION
     // carries (node, reachable-label) pairs — row count bounded by
     // Σ|component|², fine at oracle scale; min per node = component
