@@ -395,6 +395,74 @@ object EventQueries {
     // are engine-portable and the (k-1)·2^60/h_k estimator is one
     // integer division. sf0.001 has <k distinct users (exact branch);
     // sf0.01+ exercises the estimator branch
+    // Decision-stump induction: the single best threshold split of the
+    // value column for predicting "is this a purchase event" by
+    // information gain — computed entirely over the value HISTOGRAM
+    // (running class counts via one window), entropies in nano-nats
+    // from exact integer counts, one rounding per side sum
+    "q206_best_split" -> ((s, dir) => {
+      val pts = t(s, dir, "events")
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val hist = pts.groupBy(col("v"))
+        .agg(count(lit(1)).as("nv"), sum(col("y")).as("pv"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = pts.agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      def sideE(p: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(p === 0L || p === n, lit(0.0))
+          .otherwise(-(p.cast("double") * log(p.cast("double") / n.cast("double"))
+            + (n - p).cast("double")
+              * log((n - p).cast("double") / n.cast("double"))))
+      val splits = hist
+        .withColumn("nl", sum(col("nv")).over(w))
+        .withColumn("pl", sum(col("pv")).over(w))
+        .crossJoin(tot)
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("pr", col("p") - col("pl"))
+        .filter(col("nr") > 0)
+        .withColumn("weighted_nano",
+          floor((sideE(col("pl"), col("nl")) + sideE(col("pr"), col("nr")))
+            / col("n").cast("double") * 1e9 + lit(0.5)).cast("long"))
+        .withColumn("h0_nano",
+          floor(sideE(col("p"), col("n")) / col("n").cast("double") * 1e9
+            + lit(0.5)).cast("long"))
+      splits
+        .select(col("v").as("split_cents"), col("nl"), col("pl"),
+          col("nr"), col("pr"), col("weighted_nano"),
+          (col("h0_nano") - col("weighted_nano")).as("gain_nano"))
+        .orderBy(col("weighted_nano"), col("split_cents"))
+        .limit(1)
+    }),
+
+    // Session bounce/entry analytics over the q124 gap sessionization:
+    // per entry event-type, sessions started there, bounce share
+    // (single-event sessions), and mean session length in events
+    "q207_bounce_rate" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s", when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >
+            1800L * 1000000L, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("len"),
+          min(struct(unix_micros(col("ts")).as("tus"), col("event_id"),
+            col("event_type").as("et"))).as("first"))
+      sess.groupBy(col("first.et").as("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("len") === 1L, 1L).otherwise(0L)).as("n_bounces"),
+          sum(col("len")).as("n_events"))
+        .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+          expr("(n_bounces * 1000000) div n_sessions").as("bounce_micro"),
+          expr("(n_events * 1000) div n_sessions").as("mean_len_milli"))
+        .orderBy(col("entry_type"))
+    }),
+
     // New-vs-returning daily split: per day, active users whose FIRST
     // event ever is that day vs returning — the growth-accounting twin
     // of q114's cohort retention, one first-seen argmin + one rollup
@@ -1325,6 +1393,79 @@ object EventQueries {
 
     // min-k over the same md5-derived 60-bit hashes; the estimator is
     // one HUGEINT division, so sketch AND estimate are hash-compared
+    // same histogram + one cumulative window; the entropy expression
+    // mirrors the Scala operand order term for term
+    "q206_best_split" ->
+      """WITH pts AS (SELECT
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |hist AS (SELECT v, CAST(count(*) AS BIGINT) AS nv,
+        |    CAST(sum(y) AS BIGINT) AS pv FROM pts GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS p FROM pts),
+        |c AS (SELECT v,
+        |    CAST(sum(nv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS nl,
+        |    CAST(sum(pv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS pl
+        |  FROM hist),
+        |s AS (SELECT v, nl, pl, n - nl AS nr, p - pl AS pr, n, p
+        |  FROM c CROSS JOIN tot WHERE n - nl > 0),
+        |e AS (SELECT v, nl, pl, nr, pr,
+        |    CAST(floor((
+        |      (CASE WHEN pl = 0 OR pl = nl THEN 0.0
+        |        ELSE -(CAST(pl AS DOUBLE)
+        |            * ln(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+        |          + CAST(nl - pl AS DOUBLE)
+        |            * ln(CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+        |        END)
+        |      + (CASE WHEN pr = 0 OR pr = nr THEN 0.0
+        |        ELSE -(CAST(pr AS DOUBLE)
+        |            * ln(CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE))
+        |          + CAST(nr - pr AS DOUBLE)
+        |            * ln(CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE)))
+        |        END))
+        |      / CAST(n AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS weighted_nano,
+        |    CAST(floor((CASE WHEN p = 0 OR p = n THEN 0.0
+        |        ELSE -(CAST(p AS DOUBLE)
+        |            * ln(CAST(p AS DOUBLE) / CAST(n AS DOUBLE))
+        |          + CAST(n - p AS DOUBLE)
+        |            * ln(CAST(n - p AS DOUBLE) / CAST(n AS DOUBLE)))
+        |        END)
+        |      / CAST(n AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS h0_nano
+        |  FROM s)
+        |SELECT v AS split_cents, nl, pl, nr, pr, weighted_nano,
+        |  h0_nano - weighted_nano AS gain_nano
+        |FROM e ORDER BY weighted_nano, split_cents LIMIT 1""".stripMargin,
+
+    "q207_bounce_rate" ->
+      """WITH s AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP))
+        |        - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+        |        > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |sid AS (SELECT user_id, event_id, event_type, tus,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS len,
+        |    min(struct_pack(tus := tus, event_id := event_id,
+        |      event_type := event_type)) AS first
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT first.event_type AS entry_type,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS bounce_micro,
+        |  CAST(sum(len) * 1000 // count(*) AS BIGINT) AS mean_len_milli
+        |FROM sess GROUP BY 1 ORDER BY entry_type""".stripMargin,
+
     "q198_new_vs_returning" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
