@@ -85,6 +85,94 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (teleport mass concentrated on a probe set
+    * instead of spread uniformly — the recommendation/expansion form:
+    * "rank everything by relevance to THESE nodes"). Same all-integer
+    * fixed point as [[pageRank]] (nano-unit ranks, BIGINT arithmetic
+    * end to end), so the q208 DuckDB twin unrolls identically; probe
+    * nodes get the teleport term, everyone else only inbound mass.
+    * Scale shape identical to [[pageRank]]; the probe set rides a
+    * broadcast-sized join. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      probes: DataFrame, probeCol: String, iterations: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"personalizedPageRank iterations must be in [1, 100], got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"personalizedPageRank dampingPct must be in [0, 100], got $dampingPct")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    val e = e0.join(deg, Seq("src")).localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node")))
+      .distinct()
+      .join(probes.select(col(probeCol).cast("long").as("node"))
+          .distinct().withColumn("__probe", lit(1L)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__probe"), lit(0L)).as("is_probe"))
+      .localCheckpoint()
+    val teleportNano = (100L - dampingPct) * 10000000L
+    var ranks = nodes.withColumn("rank_nano",
+      col("is_probe") * lit(1000000000L))
+    for (i <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank_nano")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank_nano div __outdeg").as("__contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("__contrib")).as("__c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("is_probe"), expr(
+          s"is_probe * $teleportNano + ($dampingPct *" +
+            " coalesce(__c, CAST(0 AS BIGINT))) div 100").as("rank_nano"))
+      if (i % 8 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank_nano"))
+  }
+
+  /** Degree ASSORTATIVITY of an undirected simple graph: the Pearson
+    * correlation of endpoint degrees over the edge list (Newman 2002)
+    * — positive in social graphs (hubs befriend hubs), negative in
+    * web/biology. Exact integer moments over BOTH edge orientations
+    * (the standard symmetrized estimator), one sqrt + milli rounding
+    * at the end, so q209 is oracle-exact. */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val dirDeg = und
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("du").as("dx"), col("dv").as("dy"))
+      .unionByName(und
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+        .select(col("dv").as("dx"), col("du").as("dy")))
+    val m = dirDeg.agg(count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    m.select(col("n"),
+      when((col("n") * col("sxx") - col("sx") * col("sx")) === 0L
+          || (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
+        lit(null).cast("long"))
+        .otherwise(floor(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+            * 1000 + lit(0.5)).cast("long"))
+        .as("assortativity_milli"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) with a
     * DETERMINISTIC argmax: each iteration every node adopts the label
     * most frequent among its neighbors, ties broken by the SMALLEST

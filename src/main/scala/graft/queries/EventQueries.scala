@@ -390,6 +390,44 @@ object EventQueries {
     // states — a 70%/30% id-split stands in for yesterday's state +
     // today's delta, and the ORACLE is the full recompute, so the hash
     // compare IS the maintained-view ≡ recompute proof
+    // Sketch-MERGE in action: per-day KMV min-k summaries merged over a
+    // rolling 7-day window (in-row k-bounded union — the mergeability
+    // q172 promises, exercised across window frames) next to the exact
+    // rolling distinct; both estimate and truth are hash-compared
+    "q210_rolling_kmv" -> ((s, dir) => {
+      val k = 64
+      val dd = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct().localCheckpoint() // three consumers below
+      val hv = dd.select(col("day"),
+        conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("hv"))
+        .distinct()
+      val daily = hv.groupBy(col("day"))
+        .agg(graft.functions.collectMinK(col("hv"), lit(0L), k).as("mk"))
+        .select(col("day"), col("mk.items.id").as("ks"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      val est = daily
+        .withColumn("lists", collect_list(col("ks")).over(w7))
+        .withColumn("ku",
+          expr(s"slice(array_sort(array_distinct(flatten(lists))), 1, $k)"))
+        .select(col("day"), size(col("ku")).as("n_kept"),
+          when(size(col("ku")) < k, size(col("ku")).cast("long"))
+            .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0))" +
+              s" * 1152921504606846976) div element_at(ku, $k) AS BIGINT)"))
+            .as("est_7d"))
+      val days = dd.select(col("day")).distinct()
+      val exact = dd
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6))")).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(count_distinct(col("user_id")).as("exact_7d"))
+      est.join(exact, "day")
+        .select(col("day"), col("exact_7d"), col("n_kept"), col("est_7d"))
+        .orderBy(col("day"))
+    }),
+
     // KMV distinct-user sketch per event type vs the exact count — the
     // oracle-checkable sketch next to q45's golden-only HLL: md5 hashes
     // are engine-portable and the (k-1)·2^60/h_k estimator is one
@@ -1662,6 +1700,36 @@ object EventQueries {
         |SELECT event_type, day, n, mean_micro, cusum_micro,
         |  cusum_micro * 100 >= mean_micro * 50 AS flagged
         |FROM s ORDER BY event_type, day""".stripMargin,
+
+    // per-day min-k lists merged by a window list-of-lists flatten —
+    // the same k-bounded union the Spark side does in-row
+    "q210_rolling_kmv" ->
+      """WITH dd AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |hv AS (SELECT DISTINCT day,
+        |    ('0x' || substr(md5('kmv:' || user_id), 1, 15))::BIGINT AS hv
+        |  FROM dd),
+        |rk AS (SELECT day, hv,
+        |    row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM hv),
+        |dk AS (SELECT day, list(hv ORDER BY hv) AS ks
+        |  FROM rk WHERE rn <= 64 GROUP BY day),
+        |mg AS (SELECT day,
+        |    flatten(list(ks) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fl
+        |  FROM dk),
+        |ku AS (SELECT day, list_sort(list_distinct(fl))[:64] AS ku FROM mg),
+        |est AS (SELECT day, CAST(len(ku) AS INT) AS n_kept,
+        |    CAST(CASE WHEN len(ku) < 64 THEN len(ku)
+        |      ELSE (63::HUGEINT * 1152921504606846976) // ku[64]
+        |      END AS BIGINT) AS est_7d
+        |  FROM ku),
+        |ex AS (SELECT d.day,
+        |    CAST(count(DISTINCT dd.user_id) AS BIGINT) AS exact_7d
+        |  FROM (SELECT DISTINCT day FROM dd) d
+        |  JOIN dd ON dd.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY 1)
+        |SELECT day, exact_7d, n_kept, est_7d
+        |FROM est JOIN ex USING (day) ORDER BY day""".stripMargin,
 
     "q172_kmv_distinct" ->
       """WITH h AS (

@@ -116,6 +116,44 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Personalized PageRank from the probe customers over the q99
+    // trade graph — "rank suppliers/customers by relevance to THESE
+    // accounts"; all-integer fixed point, 5 unrolled oracle rounds
+    "q208_ppr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val base = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val edges = base
+        .select(col("cust").as("src"), (col("supp") + 1000000).as("dst"))
+        .unionByName(base
+          .select((col("supp") + 1000000).as("src"), col("cust").as("dst")))
+      val probes = edges.filter(col("src") < 20)
+        .select(col("src").as("probe")).distinct()
+      Graph.personalizedPageRank(edges, "src", "dst", probes, "probe",
+        iterations = 5)
+        .filter(col("rank_nano") > 0)
+        .orderBy(col("node"))
+    }),
+
+    // Degree assortativity of the thresholded co-purchase graph
+    // (Newman 2002): do high-degree product families co-occur with
+    // each other — one exact-moment row, milli-rounded
+    "q209_assortativity" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 1000).as("fam"))
+      val (d, pairs) = graft.ops.Analytics.pairSupport(
+        baskets, col("l_orderkey"), col("fam"), minSupport = 2)
+      val nb = d.select(col("b")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val edges = pairs.crossJoin(nb)
+        .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
+        .select(col("item_a"), col("item_b"))
+      Graph.degreeAssortativity(edges, "item_a", "item_b")
+        .orderBy(col("n"))
+    }),
+
     // Apriori level-3: frequent item triples over the co-purchase
     // baskets — items below support are dropped BEFORE the in-row
     // triple comprehension (the Apriori property doing its job), so
@@ -310,6 +348,75 @@ object GraphQueries {
          |$steps
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
     },
+    // q99's unrolled-CTE discipline with a probe-seeded teleport: only
+    // probe rows carry the (100-d)% term, everyone else pure inbound
+    "q208_ppr" -> {
+      val steps = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT n.node, n.is_probe,
+           |    n.is_probe * CAST(150000000 AS BIGINT)
+           |      + (85 * coalesce(s.c, 0)) // 100 AS rank_nano
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum(r.rank_nano // d.outdeg) AS BIGINT) AS c
+           |    FROM edges e
+           |    JOIN r${i - 1} r ON e.src = r.node
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT CAST(cust AS BIGINT) AS src,
+         |    CAST(supp + 1000000 AS BIGINT) AS dst FROM base
+         |  UNION ALL
+         |  SELECT CAST(supp + 1000000 AS BIGINT) AS src,
+         |    CAST(cust AS BIGINT) AS dst FROM base),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS (SELECT node,
+         |    CAST(CASE WHEN node < 20 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS is_probe
+         |  FROM (SELECT src AS node FROM edges
+         |        UNION SELECT dst FROM edges)),
+         |r0 AS (SELECT node, is_probe,
+         |    is_probe * CAST(1000000000 AS BIGINT) AS rank_nano FROM nodes),
+         |$steps
+         |SELECT node, rank_nano FROM r5 WHERE rank_nano > 0
+         |ORDER BY node""".stripMargin
+    },
+
+    // both orientations feed the exact moments; one sqrt then milli
+    "q209_assortativity" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
+        |  FROM lineitem),
+        |p AS (SELECT x.i AS u, y.i AS v, count(*) AS c_ab
+        |  FROM d x JOIN d y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM d),
+        |e AS (SELECT u, v FROM p CROSS JOIN nb
+        |  WHERE c_ab >= greatest(3, n_baskets // 25000)),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS dg
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY 1),
+        |dd AS (SELECT du.dg AS dx, dv.dg AS dy
+        |  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x
+        |  UNION ALL
+        |  SELECT dv.dg AS dx, du.dg AS dy
+        |  FROM e JOIN deg du ON e.u = du.x JOIN deg dv ON e.v = dv.x),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(sum(dy * dy) AS BIGINT) AS syy
+        |  FROM dd)
+        |SELECT n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |    ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n * syy - sy * sy AS DOUBLE))
+        |      * 1000 + 0.5) AS BIGINT) END AS assortativity_milli
+        |FROM m ORDER BY n""".stripMargin,
+
     // brute-force 3-way basket self-join with the same item-support
     // prefilter; LIMIT's tie zone is closed by the full total order
     "q203_frequent_triples" ->
