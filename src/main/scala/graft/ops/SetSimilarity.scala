@@ -120,6 +120,64 @@ object SetSimilarity {
         expr("(inter * 1000000 div uni)").as("jac_micro"))
   }
 
+  /** EXACT containment join: pairs where C(A→B) = |A∩B| / |A| >= tau —
+    * the ASYMMETRIC near-dup relation Jaccard misses (a paragraph
+    * quoted inside a much larger document has high containment and
+    * negligible Jaccard). Directed output: (a_id, b_id, inter, sa,
+    * cont_micro) with a_id ≠ b_id, A the contained side.
+    *
+    * Losslessness: C >= tau means A misses at most (1−tau)·|A| of its
+    * tokens in B, so of A's floor((1−tau)|A|)+1 rarest tokens (its
+    * containment prefix) at least one is in B — candidates come from
+    * prefix(A) ⋈ ALL tokens(B). The B side is deliberately
+    * unrestricted (that is what makes small-in-big detectable); the
+    * prefix side's tokens are globally rare, which is what keeps the
+    * probe join hub-safe. Verification is the same in-row
+    * array-intersect as [[jaccardJoinExact]]. The q211 brute-force
+    * oracle is the empirical proof. */
+  def containmentJoinExact(tokens: DataFrame, idCol: String, tokenCol: String,
+      tauMicro: Long): DataFrame = {
+    require(tauMicro > 0 && tauMicro <= 1000000L,
+      s"tauMicro must be in (0, 1e6], got $tauMicro")
+    val tok = tokens
+      .select(col(idCol).cast("long").as("id"), col(tokenCol).as("token"))
+      .where(col("token").isNotNull && length(col("token")) > 0)
+      .select(col("id"), xxhash64(col("token")).as("token"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    // containment prefix: floor((1-tau)*sz) + 1 rarest tokens
+    val prefixLen =
+      expr(s"((${1000000L - tauMicro} * sz) div 1000000)") + 1L
+    val canonical = Window.partitionBy(col("id"))
+      .orderBy(col("tf"), col("token"))
+    val prefixes = tok
+      .join(freq, "token")
+      .join(sizes, "id")
+      .withColumn("pos", row_number().over(canonical))
+      .where(col("pos") <= prefixLen)
+      .select(col("id"), col("token"), col("sz"))
+    val candidates = prefixes
+      .select(col("id").as("a_id"), col("token"), col("sz").as("sa"))
+      .join(tok.select(col("id").as("b_id"), col("token")), Seq("token"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("sa"))
+      .distinct()
+    val docArrs = tok.groupBy(col("id"))
+      .agg(collect_list(col("token")).as("toks"))
+    candidates
+      .join(docArrs.select(col("id").as("a_id"), col("toks").as("__ta")),
+        Seq("a_id"))
+      .join(docArrs.select(col("id").as("b_id"), col("toks").as("__tb")),
+        Seq("b_id"))
+      .withColumn("inter",
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .where(col("inter") * 1000000L >= lit(tauMicro) * col("sa"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("sa"),
+        expr("(inter * 1000000 div sa)").as("cont_micro"))
+  }
+
   /** Word-token view of a text column: distinct lowercase alphanumeric
     * runs per id — mirrored in SQL with DuckDB's string_split_regex. */
   def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -250,6 +250,36 @@ object CoreQueries {
         .orderBy(col("key"))
     }),
 
+    // Sorted-neighborhood record linkage (Hernández & Stolfo 1995): a
+    // deterministically OCR-noised copy of every customer name (last
+    // '0'/'1' → 'O'/'I') is re-linked by sorting the union and
+    // comparing each record to its 5 successors with levenshtein <= 2 —
+    // the classic blocking method next to q14's token-blocked fuzzy ER
+    "q212_sorted_neighborhood" -> ((s, dir) => {
+      val clean = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      val dirty = clean
+        .withColumn("id", col("id") + 1000000)
+        .withColumn("name", expr(
+          "concat(substring(name, 1, length(name) - 1)," +
+            " translate(substring(name, length(name), 1), '01', 'OI'))"))
+      val all = clean.unionByName(dirty)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("name"), col("id"))))
+      val a = all.select(col("rn").as("ra"), col("id").as("a_id"),
+        col("name").as("a_name"))
+      val b = all.select(col("rn").as("rb"), col("id").as("b_id"),
+        col("name").as("b_name"))
+      a.join(b, col("rb") > col("ra") && col("rb") <= col("ra") + 5)
+        .where(levenshtein(col("a_name"), col("b_name")) <= 2
+          && col("a_id") =!= col("b_id"))
+        .select(least(col("a_id"), col("b_id")).as("id_lo"),
+          greatest(col("a_id"), col("b_id")).as("id_hi"),
+          levenshtein(col("a_name"), col("b_name")).as("dist"))
+        .distinct()
+        .orderBy(col("id_lo"), col("id_hi"))
+    }),
+
     // Hierarchical share-of-parent rollup: nation revenue as a share of
     // its region, region as a share of the total — the percent-of-
     // parent drill path every BI layer renders; exact cents, single
@@ -338,6 +368,23 @@ object CoreQueries {
   ) ++ asOfQueries
 
   val oracle: Map[String, String] = Map(
+    "q212_sorted_neighborhood" ->
+      """WITH clean AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |dirty AS (SELECT id + 1000000 AS id,
+        |    substring(name, 1, length(name) - 1)
+        |      || translate(substring(name, length(name), 1), '01', 'OI')
+        |      AS name
+        |  FROM clean),
+        |a AS (SELECT id, name,
+        |    row_number() OVER (ORDER BY name, id) AS rn
+        |  FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty))
+        |SELECT DISTINCT least(x.id, y.id) AS id_lo,
+        |  greatest(x.id, y.id) AS id_hi,
+        |  CAST(levenshtein(x.name, y.name) AS INT) AS dist
+        |FROM a x JOIN a y ON y.rn > x.rn AND y.rn <= x.rn + 5
+        |WHERE levenshtein(x.name, y.name) <= 2 AND x.id <> y.id
+        |ORDER BY id_lo, id_hi""".stripMargin,
+
     "q204_share_of_parent" ->
       """WITH rev AS (SELECT r_name, n_name,
         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

@@ -168,6 +168,24 @@ object DedupQueries {
         .orderBy(col("n_truth"))
     }),
 
+    // EXACT containment join: fragments (each doc's first 15 words)
+    // planted into the corpus are found inside their originals at
+    // C(A→B) >= 0.9 — the asymmetric quote-inclusion relation Jaccard
+    // misses entirely; brute-force oracle proves the containment
+    // prefix filter lossless
+    "q211_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val frags = docs
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text",
+          expr("concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, 15))"))
+      val tokens = SetSimilarity.shingleTokens(
+        docs.unionByName(frags), "doc_id", "text", n = 3)
+      SetSimilarity.containmentJoinExact(tokens, "id", "token",
+        tauMicro = 900000L)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Dedup yield curve: exact near-dup pair counts as a function of
     // the Jaccard threshold (0.5→0.95 bands over q170's exact join at
     // τ=0.5) — the knob-tuning gauge for "how much do we lose at τ";
@@ -202,6 +220,35 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // DIRECTED brute force: every token-sharing ordered pair's exact
+    // intersection over |A| — a hash match proves no contained set
+    // escaped the prefix probe
+    "q211_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:15],
+        |      ' ')
+        |  FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[s:s+2], ' ') AS token
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |        FROM corpus),
+        |       unnest(generate_series(1, len(t) - 2)) AS u(s)),
+        |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter, CAST(sa.s AS BIGINT) AS sa,
+        |  CAST(inter * 1000000 // sa.s AS BIGINT) AS cont_micro
+        |FROM i JOIN sz sa ON i.a_id = sa.doc_id
+        |WHERE inter * 1000000 >= 900000 * sa.s
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // the q170 brute force re-thresholded at 0.5 then banded — the
     // curve itself is hash-compared, band by band
     "q199_dedup_curve" ->

@@ -88,6 +88,40 @@ class SetSimilaritySpec extends SparkTestBase {
     assert(SetSimilarity.shingleTokens(df, "doc_id", "text", 3).count() === 0L)
   }
 
+  test("containment: a subset is found inside its superset, not vice versa") {
+    // A = {a,b,c} ⊂ B = {a,b,c,d,e,f}: C(A→B)=1, C(B→A)=0.5
+    val t = toks(1L -> "a", 1L -> "b", 1L -> "c",
+      2L -> "a", 2L -> "b", 2L -> "c", 2L -> "d", 2L -> "e", 2L -> "f")
+    val out = SetSimilarity.containmentJoinExact(t, "id", "token", 900000L)
+      .select("a_id", "b_id", "cont_micro").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out === Set((1L, 2L, 1000000L)))
+  }
+
+  test("containment: lossless vs brute force on a randomized corpus") {
+    val base = (1L to 40L).flatMap { i =>
+      (1 to 10).map { j =>
+        (i, s"t${math.abs((i * 2654435761L + j * 40503L) % 60)}")
+      }
+    }
+    // planted fragments: first 4 tokens of docs 1..8 as new ids
+    val sets = base.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val frags = (1L to 8L).flatMap(i => sets(i).take(4).map(t => (i + 100L, t)))
+    val all = base ++ frags
+    val fast = SetSimilarity.containmentJoinExact(
+      toks(all: _*), "id", "token", 800000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val fullSets = all.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val slow = (for {
+      a <- fullSets.keys; b <- fullSets.keys if a != b
+      inter = (fullSets(a) & fullSets(b)).size
+      if inter.toLong * 1000000L >= 800000L * fullSets(a).size
+    } yield (a, b)).toSet
+    assert(fast === slow)
+    assert(fast.exists { case (a, b) => a > 100L && b == a - 100L },
+      "planted fragments must be found in their originals")
+  }
+
   test("invalid tau is rejected loudly") {
     val t = toks(1L -> "a")
     intercept[IllegalArgumentException] {
