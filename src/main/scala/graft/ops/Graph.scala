@@ -105,7 +105,7 @@ object Graph {
         col(dstCol).cast("long").as("dst"))
       .distinct()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val e = e0.join(deg, Seq("src")).localCheckpoint()
+    val e = e0.join(deg, Seq("src"))
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
@@ -113,7 +113,6 @@ object Graph {
           .distinct().withColumn("__probe", lit(1L)),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__probe"), lit(0L)).as("is_probe"))
-      .localCheckpoint()
     val teleportNano = (100L - dampingPct) * 10000000L
     var ranks = nodes.withColumn("rank_nano",
       col("is_probe") * lit(1000000000L))

@@ -266,11 +266,16 @@ object CoreQueries {
       val all = clean.unionByName(dirty)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("name"), col("id"))))
+      // the window offsets EXPLODE into an equi-join key — a bare
+      // `rb BETWEEN ra+1 AND ra+5` range predicate plans as a nested
+      // loop (900M comparisons at sf0.1); five shifted equi-join rows
+      // per record keep it a hash join
       val a = all.select(col("rn").as("ra"), col("id").as("a_id"),
-        col("name").as("a_name"))
+          col("name").as("a_name"))
+        .withColumn("rb", explode(expr("sequence(ra + 1, ra + 5)")))
       val b = all.select(col("rn").as("rb"), col("id").as("b_id"),
         col("name").as("b_name"))
-      a.join(b, col("rb") > col("ra") && col("rb") <= col("ra") + 5)
+      a.join(b, Seq("rb"))
         .where(levenshtein(col("a_name"), col("b_name")) <= 2
           && col("a_id") =!= col("b_id"))
         .select(least(col("a_id"), col("b_id")).as("id_lo"),

