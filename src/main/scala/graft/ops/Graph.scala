@@ -132,6 +132,57 @@ object Graph {
     ranks.select(col("node"), col("rank_nano"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) with INTEGER
+    * max-normalization: each round a(v) = Σ h(u) over in-edges,
+    * h(u) = Σ a(v) over out-edges, then both vectors rescale to
+    * max = 10⁶ via `x·10⁶ div max` — the all-integer stand-in for the
+    * usual L2 normalization (same ranking, deterministic, and the
+    * q213 DuckDB twin unrolls it exactly). Returns (node, hub_micro,
+    * auth_micro).
+    *
+    * Scale shape per round: two edge⋈score hash joins + two
+    * partial-aggregated sums + two one-row max frames riding cross
+    * joins. The same exchange-reuse discipline as [[pageRank]]: no
+    * mid-loop filters, lazy frames, so Spark reuses the edge shuffles
+    * across rounds. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 20,
+      s"hits iterations must be in [1, 20], got $iterations")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    var scores = nodes
+      .withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val auth0 = e
+        .join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("a0"))
+      val authMax = auth0.agg(max(col("a0")).as("am"))
+      val auth = nodes.join(auth0, Seq("node"), "left").crossJoin(authMax)
+        .select(col("node"),
+          expr("(coalesce(a0, CAST(0 AS BIGINT)) * 1000000) div am")
+            .as("auth"))
+      val hub0 = e
+        .join(auth.select(col("node").as("dst"), col("auth").as("a1")),
+          Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a1")).as("h0"))
+      val hubMax = hub0.agg(max(col("h0")).as("hm"))
+      scores = nodes.join(hub0, Seq("node"), "left").crossJoin(hubMax)
+        .join(auth, Seq("node"))
+        .select(col("node"),
+          expr("(coalesce(h0, CAST(0 AS BIGINT)) * 1000000) div hm")
+            .as("hub"),
+          col("auth"))
+    }
+    scores.select(col("node"), col("hub").as("hub_micro"),
+      col("auth").as("auth_micro"))
+  }
+
   /** Degree ASSORTATIVITY of an undirected simple graph: the Pearson
     * correlation of endpoint degrees over the edge list (Newman 2002)
     * — positive in social graphs (hubs befriend hubs), negative in

@@ -390,6 +390,46 @@ object EventQueries {
     // states — a 70%/30% id-split stands in for yesterday's state +
     // today's delta, and the ORACLE is the full recompute, so the hash
     // compare IS the maintained-view ≡ recompute proof
+    // Burstiness (Fano factor / index of dispersion) of daily volumes
+    // per type: variance-to-mean entirely in integer arithmetic —
+    // (nΣx²−(Σx)²)·10⁶ div (n·Σx); ≈1e6 means Poisson-like, higher
+    // means bursty — the traffic-shape gauge behind capacity planning
+    "q214_burstiness" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("n_days"), col("total"),
+          expr("(total * 1000) div n_days").as("mean_milli"),
+          expr("((n_days * sxx - total * total) * 1000000)" +
+            " div (n_days * total)").as("fano_micro"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Churn by acquisition type: users grouped by their FIRST event's
+    // type, churned = no activity in the trailing 14 days of the
+    // window — the retention readout marketing actually asks for
+    "q215_churn" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"), col("event_id"))
+      val cutoff = ev.agg(date_sub(max(col("day")), 14).as("cut"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(struct(col("day"), col("event_id"),
+          col("event_type").as("et"))).as("first"),
+          max(col("day")).as("last_day"))
+      users.crossJoin(cutoff)
+        .groupBy(col("first.et").as("first_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("last_day") <= col("cut"), 1L).otherwise(0L))
+            .as("n_churned"))
+        .select(col("first_type"), col("n_users"), col("n_churned"),
+          expr("(n_churned * 1000000) div n_users").as("churn_micro"))
+        .orderBy(col("first_type"))
+    }),
+
     // Sketch-MERGE in action: per-day KMV min-k summaries merged over a
     // rolling 7-day window (in-row k-bounded union — the mergeability
     // q172 promises, exercised across window frames) next to the exact
@@ -1700,6 +1740,37 @@ object EventQueries {
         |SELECT event_type, day, n, mean_micro, cusum_micro,
         |  cusum_micro * 100 >= mean_micro * 50 AS flagged
         |FROM s ORDER BY event_type, day""".stripMargin,
+
+    "q214_burstiness" ->
+      """WITH d AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n_days, total,
+        |  CAST(total * 1000 // n_days AS BIGINT) AS mean_milli,
+        |  CAST((n_days * sxx - total * total) * 1000000
+        |    // (n_days * total) AS BIGINT) AS fano_micro
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    "q215_churn" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |c AS (SELECT max(day) - 14 AS cut FROM ev),
+        |u AS (SELECT user_id,
+        |    min(struct_pack(day := day, event_id := event_id,
+        |      et := event_type)) AS first,
+        |    max(day) AS last_day
+        |  FROM ev GROUP BY 1)
+        |SELECT first.et AS first_type, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN last_day <= cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_churned,
+        |  CAST(sum(CASE WHEN last_day <= cut THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS churn_micro
+        |FROM u CROSS JOIN c GROUP BY 1 ORDER BY first_type""".stripMargin,
 
     // per-day min-k lists merged by a window list-of-lists flatten —
     // the same k-bounded union the Spark side does in-row

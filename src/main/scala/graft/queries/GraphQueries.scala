@@ -144,6 +144,21 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // HITS hubs-and-authorities over the DIRECTED customer→supplier
+    // trade graph — buyers are hubs, suppliers are authorities, the
+    // semantic fit Kleinberg's algorithm was built for; integer
+    // max-normalization keeps every round oracle-exact
+    "q213_hits" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val edges = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000).as("dst"))
+        .distinct()
+      Graph.hits(edges, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // Degree assortativity of the thresholded co-purchase graph
     // (Newman 2002): do high-degree product families co-occur with
     // each other — one exact-moment row, milli-rounded
@@ -390,6 +405,46 @@ object GraphQueries {
          |    is_probe * CAST(1000000000 AS BIGINT) AS rank_nano FROM nodes),
          |$steps
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
+    },
+
+    // three unrolled (auth, hub) rounds; max-normalization via scalar
+    // subquery CTEs, all-BIGINT
+    "q213_hits" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""a$i AS (SELECT n.node,
+           |    (coalesce(s.a0, 0) * 1000000) //
+           |      (SELECT max(a0) FROM (
+           |        SELECT e.dst, CAST(sum(h.hub) AS BIGINT) AS a0
+           |        FROM e JOIN s${i - 1} h ON e.src = h.node
+           |        GROUP BY e.dst)) AS auth
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS a0
+           |    FROM e JOIN s${i - 1} h ON e.src = h.node
+           |    GROUP BY e.dst) s ON n.node = s.node),
+           |s$i AS (SELECT n.node,
+           |    (coalesce(s.h0, 0) * 1000000) //
+           |      (SELECT max(h0) FROM (
+           |        SELECT e.src, CAST(sum(a.auth) AS BIGINT) AS h0
+           |        FROM e JOIN a$i a ON e.dst = a.node
+           |        GROUP BY e.src)) AS hub,
+           |    coalesce(a2.auth, 0) AS auth
+           |  FROM nodes n
+           |  LEFT JOIN (
+           |    SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS h0
+           |    FROM e JOIN a$i a ON e.dst = a.node
+           |    GROUP BY e.src) s ON n.node = s.node
+           |  LEFT JOIN a$i a2 ON n.node = a2.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         |    CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub,
+         |    CAST(1000000 AS BIGINT) AS auth FROM nodes),
+         |$rounds
+         |SELECT node, CAST(hub AS BIGINT) AS hub_micro,
+         |  CAST(auth AS BIGINT) AS auth_micro
+         |FROM s3 ORDER BY node""".stripMargin
     },
 
     // both orientations feed the exact moments; one sqrt then milli
