@@ -132,6 +132,42 @@ object Graph {
     ranks.select(col("node"), col("rank_nano"))
   }
 
+  /** Bounded k-core peeling: `rounds` synchronous iterations of
+    * "remove every node with degree < k" over an undirected simple
+    * graph — each round recomputes degrees over the SURVIVING edge set
+    * and drops the under-k nodes. Full k-core decomposition iterates
+    * to fixpoint; the bounded form is what an oracle can unroll
+    * (q216), and in practice cores stabilize in a few rounds. Returns
+    * (node, degree) for survivors after the last round, with the
+    * post-round degree.
+    *
+    * Scale shape per round: one degree partial-agg + two semi-joins to
+    * restrict the edge set; frames checkpoint per round (eager loop —
+    * the edge input materializes once, the q213 lesson). */
+  def kCorePeel(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 16,
+      s"kCorePeel needs k >= 1 and rounds in [1, 16], got k=$k rounds=$rounds")
+    var und = edges
+      .select(least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val keep = deg.filter(col("degree") >= k).select(col("node"))
+      und = und
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    }
+    deg
+  }
+
   /** HITS hubs-and-authorities (Kleinberg 1999) with INTEGER
     * max-normalization: each round a(v) = Σ h(u) over in-edges,
     * h(u) = Σ a(v) over out-edges, then both vectors rescale to

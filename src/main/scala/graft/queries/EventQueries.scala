@@ -390,6 +390,28 @@ object EventQueries {
     // states — a 70%/30% id-split stands in for yesterday's state +
     // today's delta, and the ORACLE is the full recompute, so the hash
     // compare IS the maintained-view ≡ recompute proof
+    // Duplicate-payment detection: a purchase repeating the SAME
+    // (user, whole-dollar amount) within a day of the previous one —
+    // the double-submit/fraud screen every payment pipeline runs;
+    // exact gap carried for triage
+    "q217_dup_payments" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("dollars"))
+        .orderBy(col("tus"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(floor(value + 0.5) AS BIGINT)").as("dollars"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .withColumn("gap_sec",
+          expr("(tus - lag(tus, 1) OVER (PARTITION BY user_id, dollars" +
+            " ORDER BY tus, event_id)) div 1000000"))
+        .where(col("prev_id").isNotNull && col("gap_sec") <= 86400)
+        .select(col("user_id"), col("dollars"), col("event_id"),
+          col("prev_id"), col("gap_sec"))
+        .orderBy(col("user_id"), col("dollars"), col("event_id"))
+    }),
+
     // Burstiness (Fano factor / index of dispersion) of daily volumes
     // per type: variance-to-mean entirely in integer arithmetic —
     // (nΣx²−(Σx)²)·10⁶ div (n·Σx); ≈1e6 means Poisson-like, higher
@@ -1740,6 +1762,22 @@ object EventQueries {
         |SELECT event_type, day, n, mean_micro, cusum_micro,
         |  cusum_micro * 100 >= mean_micro * 50 AS flagged
         |FROM s ORDER BY event_type, day""".stripMargin,
+
+    "q217_dup_payments" ->
+      """WITH p AS (SELECT user_id, event_id,
+        |    CAST(floor(value + 0.5) AS BIGINT) AS dollars,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT user_id, dollars, event_id,
+        |    lag(event_id) OVER win AS prev_id,
+        |    (tus - lag(tus) OVER win) // 1000000 AS gap_sec
+        |  FROM p
+        |  WINDOW win AS (PARTITION BY user_id, dollars
+        |    ORDER BY tus, event_id))
+        |SELECT user_id, dollars, event_id, prev_id,
+        |  CAST(gap_sec AS BIGINT) AS gap_sec
+        |FROM w WHERE prev_id IS NOT NULL AND gap_sec <= 86400
+        |ORDER BY user_id, dollars, event_id""".stripMargin,
 
     "q214_burstiness" ->
       """WITH d AS (SELECT event_type,

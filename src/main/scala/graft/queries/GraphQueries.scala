@@ -144,6 +144,24 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // Bounded k-core peeling (3 rounds toward the 3-core) over the
+    // thresholded co-purchase graph — the dense-backbone extraction
+    // the full decomposition iterates to fixpoint; bounded so the
+    // oracle can unroll the identical rounds
+    "q216_kcore" -> ((s, dir) => {
+      val baskets = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_partkey") % 1000).as("fam"))
+      val (d, pairs) = graft.ops.Analytics.pairSupport(
+        baskets, col("l_orderkey"), col("fam"), minSupport = 2)
+      val nb = d.select(col("b")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val edges = pairs.crossJoin(nb)
+        .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
+        .select(col("item_a"), col("item_b"))
+      Graph.kCorePeel(edges, "item_a", "item_b", k = 3, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     // HITS hubs-and-authorities over the DIRECTED customer→supplier
     // trade graph — buyers are hubs, suppliers are authorities, the
     // semantic fit Kleinberg's algorithm was built for; integer
@@ -405,6 +423,32 @@ object GraphQueries {
          |    is_probe * CAST(1000000000 AS BIGINT) AS rank_nano FROM nodes),
          |$steps
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
+    },
+
+    // the identical three peels unrolled; degrees recomputed from each
+    // surviving edge set
+    "q216_kcore" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""e$i AS (SELECT u, v FROM e${i - 1}
+           |  WHERE u IN (SELECT node FROM d${i - 1} WHERE degree >= 3)
+           |    AND v IN (SELECT node FROM d${i - 1} WHERE degree >= 3)),
+           |d$i AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+           |  FROM (SELECT u AS x FROM e$i UNION ALL SELECT v FROM e$i)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dd AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
+         |  FROM lineitem),
+         |p AS (SELECT x.i AS u, y.i AS v, count(*) AS c_ab
+         |  FROM dd x JOIN dd y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+         |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets
+         |  FROM dd),
+         |e0 AS (SELECT u, v FROM p CROSS JOIN nb
+         |  WHERE c_ab >= greatest(3, n_baskets // 25000)),
+         |d0 AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
+         |  GROUP BY 1),
+         |$rounds
+         |SELECT node, degree FROM d3 ORDER BY node""".stripMargin
     },
 
     // three unrolled (auth, hub) rounds; max-normalization via scalar
