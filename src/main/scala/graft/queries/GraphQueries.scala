@@ -425,65 +425,71 @@ object GraphQueries {
          |SELECT node, rank_nano FROM r5 ORDER BY node""".stripMargin
     },
 
-    // the identical three peels unrolled; degrees recomputed from each
-    // surviving edge set
+    // the identical three peels unrolled; AS MATERIALIZED throughout —
+    // each round references its predecessor three times and DuckDB's
+    // default CTE inlining would re-evaluate the whole prefix
+    // exponentially (the q213 lesson)
     "q216_kcore" -> {
       val rounds = (1 to 3).map { i =>
-        s"""e$i AS (SELECT u, v FROM e${i - 1}
+        s"""e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
            |  WHERE u IN (SELECT node FROM d${i - 1} WHERE degree >= 3)
            |    AND v IN (SELECT node FROM d${i - 1} WHERE degree >= 3)),
-           |d$i AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+           |d$i AS MATERIALIZED (
+           |  SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
            |  FROM (SELECT u AS x FROM e$i UNION ALL SELECT v FROM e$i)
            |  GROUP BY 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH dd AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
+      s"""WITH dd AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS b, l_partkey % 1000 AS i
          |  FROM lineitem),
-         |p AS (SELECT x.i AS u, y.i AS v, count(*) AS c_ab
+         |p AS MATERIALIZED (SELECT x.i AS u, y.i AS v, count(*) AS c_ab
          |  FROM dd x JOIN dd y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
          |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets
          |  FROM dd),
-         |e0 AS (SELECT u, v FROM p CROSS JOIN nb
+         |e0 AS MATERIALIZED (SELECT u, v FROM p CROSS JOIN nb
          |  WHERE c_ab >= greatest(3, n_baskets // 25000)),
-         |d0 AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+         |d0 AS MATERIALIZED (
+         |  SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
          |  FROM (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0)
          |  GROUP BY 1),
          |$rounds
          |SELECT node, degree FROM d3 ORDER BY node""".stripMargin
     },
 
-    // three unrolled (auth, hub) rounds; max-normalization via scalar
-    // subquery CTEs, all-BIGINT
+    // three unrolled (auth, hub) rounds. Every per-round CTE is
+    // AS MATERIALIZED: DuckDB inlines plain CTEs, and with each round
+    // referencing the previous one several times the inlined plan
+    // grows EXPONENTIALLY across rounds (the first cut never finished
+    // at sf0.1); materialization pins each round to one evaluation
     "q213_hits" -> {
       val rounds = (1 to 3).map { i =>
-        s"""a$i AS (SELECT n.node,
+        s"""ag$i AS MATERIALIZED (
+           |  SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS a0
+           |  FROM e JOIN s${i - 1} h ON e.src = h.node GROUP BY e.dst),
+           |a$i AS MATERIALIZED (
+           |  SELECT n.node,
            |    (coalesce(s.a0, 0) * 1000000) //
-           |      (SELECT max(a0) FROM (
-           |        SELECT e.dst, CAST(sum(h.hub) AS BIGINT) AS a0
-           |        FROM e JOIN s${i - 1} h ON e.src = h.node
-           |        GROUP BY e.dst)) AS auth
-           |  FROM nodes n LEFT JOIN (
-           |    SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS a0
-           |    FROM e JOIN s${i - 1} h ON e.src = h.node
-           |    GROUP BY e.dst) s ON n.node = s.node),
-           |s$i AS (SELECT n.node,
+           |      (SELECT max(a0) FROM ag$i) AS auth
+           |  FROM nodes n LEFT JOIN ag$i s ON n.node = s.node),
+           |hg$i AS MATERIALIZED (
+           |  SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS h0
+           |  FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+           |s$i AS MATERIALIZED (
+           |  SELECT n.node,
            |    (coalesce(s.h0, 0) * 1000000) //
-           |      (SELECT max(h0) FROM (
-           |        SELECT e.src, CAST(sum(a.auth) AS BIGINT) AS h0
-           |        FROM e JOIN a$i a ON e.dst = a.node
-           |        GROUP BY e.src)) AS hub,
+           |      (SELECT max(h0) FROM hg$i) AS hub,
            |    coalesce(a2.auth, 0) AS auth
            |  FROM nodes n
-           |  LEFT JOIN (
-           |    SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS h0
-           |    FROM e JOIN a$i a ON e.dst = a.node
-           |    GROUP BY e.src) s ON n.node = s.node
+           |  LEFT JOIN hg$i s ON n.node = s.node
            |  LEFT JOIN a$i a2 ON n.node = a2.node)""".stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
          |    CAST(l_suppkey + 1000000 AS BIGINT) AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-         |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub,
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |s0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS hub,
          |    CAST(1000000 AS BIGINT) AS auth FROM nodes),
          |$rounds
          |SELECT node, CAST(hub AS BIGINT) AS hub_micro,
