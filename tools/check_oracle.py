@@ -35,6 +35,10 @@ def stringify(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Spill outside the repo: DuckDB's default temp_directory for an
+    # in-memory connection is ./.tmp, which once swept 46GB of spill
+    # files into a commit.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
