@@ -16,7 +16,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/Hadoop-FS init, not query work
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
     // optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_BENCH_ONLY=q16_simhash,q17_ngram_jaccard)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -32,7 +33,14 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // harness v2: materialize EVERY output column via a noop-format
+        // write. Under the old `count()`, Catalyst's ColumnPruning dropped
+        // unreferenced projections and EliminateSorts removed trailing
+        // ORDER BYs, so map-only expression-kernel queries were priced as
+        // parquet row-counts (q54 html-strip: 0.13s counted vs 1.08s real).
+        // The noop sink consumes each InternalRow and discards it — full
+        // query work, zero I/O cost in the measurement.
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
       } catch {
