@@ -652,22 +652,24 @@ object Analytics {
     val hist = df.groupBy(durationCol.cast("long").as("t"))
       .agg(sum(eventCol.cast("int")).cast("long").as("d"),
         count(lit(1)).as("m"))
-    val before = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // continuous durations make distinct-t ≈ subject count, so both
+    // running sums (at-risk prefix, log-survival accumulation) ride
+    // the range-partitioned prefix construction — never an
+    // unpartitioned window over the duration histogram
     val tot = hist.agg(sum(col("m")).as("__n"))
-    val risk = hist.crossJoin(tot)
-      .withColumn("n_risk",
-        col("__n") - coalesce(sum(col("m")).over(before), lit(0L)))
-    risk.filter(col("d") > 0)
+    val risk = graft.ops.Stats
+      .rangePrefixSums(hist, Seq("t"), Seq("m" -> "__cum_m"))
+      .crossJoin(tot)
+      .withColumn("n_risk", col("__n") - (col("__cum_m") - col("m")))
+    val terms = risk.filter(col("d") > 0)
       .withColumn("term_nano",
         when(col("d") === col("n_risk"), lit(null).cast("long"))
           .otherwise(floor(
             log((col("n_risk") - col("d")).cast("double")
               / col("n_risk").cast("double")) * lit(1e9) + lit(0.5))
             .cast("long")))
-      .withColumn("lnS_nano", sum(col("term_nano")).over(
-        Window.orderBy(col("t"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
+    graft.ops.Stats
+      .rangePrefixSums(terms, Seq("t"), Seq("term_nano" -> "lnS_nano"))
       .select(col("t"), col("n_risk"), col("d"), col("lnS_nano"),
         when(col("d") === col("n_risk"), lit(0L))
           .otherwise(floor(exp(col("lnS_nano").cast("double") / lit(1e9))

@@ -20,6 +20,60 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Range-partitioned global prefix sums over a DISTINCT-keyed
+    * histogram — the scale-safe replacement for `Window.orderBy(key)`
+    * running sums, which move EVERY histogram row to one partition and
+    * become the bottleneck exactly when the value domain is continuous
+    * (distinct cardinality ≈ row count: AUC scores, KS statistics,
+    * survival durations). Construction: range-shuffle on the key and
+    * pin the partition ids (localCheckpoint — the pid↔boundary pairing
+    * must come from ONE execution of the range exchange, or the local
+    * sums and the offsets could disagree on boundaries), per-partition
+    * running sums under a PARTITIONED window, per-partition totals
+    * (one row per partition) turned into exclusive offsets by a
+    * triangular self-join on the tiny partition axis — no
+    * unpartitioned window anywhere in the plan — and global inclusive
+    * prefix = offset + local sum.
+    *
+    * Null-aware exactly like window `sum`: a prefix whose addends so
+    * far are all null is null, not 0. Adds one INCLUSIVE running-sum
+    * column per requested (srcCol → outCol) under the key's ascending
+    * total order; exclusive prefixes follow at the call site as
+    * `incl − value`. Key values must be distinct per row (histogram
+    * frames are, by their groupBy construction). */
+  private[graft] def rangePrefixSums(hist: DataFrame, keys: Seq[String],
+      sums: Seq[(String, String)], numParts: Int = 32): DataFrame = {
+    require(sums.nonEmpty && sums.map(_._2).distinct.size == sums.size,
+      s"rangePrefixSums needs distinct output names, got ${sums.map(_._2)}")
+    val keyCols = keys.map(col)
+    val withPid = hist.repartitionByRange(numParts, keyCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withLoc = sums.foldLeft(withPid) { case (d, (src, out)) =>
+      d.withColumn(s"__loc_$out", sum(col(src)).over(local))
+    }
+    val totAggs = sums.map { case (src, out) => sum(col(src)).as(s"__t_$out") }
+    val totals = withPid.groupBy(col("__pid").as("__tp"))
+      .agg(totAggs.head, totAggs.tail: _*)
+    val offAggs = sums.map { case (_, out) =>
+      sum(col(s"b.__t_$out")).as(s"__off_$out") }
+    val offs = totals.as("a")
+      .join(totals.as("b"), col("b.__tp") < col("a.__tp"), "left")
+      .groupBy(col("a.__tp").as("__pid"))
+      .agg(offAggs.head, offAggs.tail: _*)
+    val joined = withLoc.join(broadcast(offs), Seq("__pid"))
+    sums.foldLeft(joined) { case (d, (_, out)) =>
+      d.withColumn(out,
+        when(col(s"__loc_$out").isNull && col(s"__off_$out").isNull,
+          lit(null))
+          .otherwise(coalesce(col(s"__loc_$out"), lit(0))
+            + coalesce(col(s"__off_$out"), lit(0))))
+    }.drop("__pid" +: sums.flatMap { case (_, o) =>
+      Seq(s"__loc_$o", s"__off_$o") }: _*)
+  }
+
   /** Exact discrete quantiles (SQL `percentile_disc` semantics: the
     * smallest value whose cumulative count reaches rank
     * ceil(p/100 × n), computed as the INTEGER `(n·p + 99) div 100`)
@@ -134,11 +188,11 @@ object Stats {
       .groupBy(valueCol.cast("long").as("v"))
       .agg(sum(labelCol.cast("int")).cast("long").as("c1"),
         sum(when(labelCol, 0).otherwise(1)).cast("long").as("c2"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = hist
-      .withColumn("cum1", sum(col("c1")).over(w))
-      .withColumn("cum2", sum(col("c2")).over(w))
+    // continuous scores make distinct-v ≈ row count, so the running
+    // sums ride the range-partitioned prefix construction — never an
+    // unpartitioned window over the score histogram
+    val cum = rangePrefixSums(hist, Seq("v"),
+      Seq("c1" -> "cum1", "c2" -> "cum2"))
     val totals = hist.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     cum.crossJoin(totals)
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
@@ -282,9 +336,12 @@ object Stats {
       .groupBy(scoreCol.cast("long").as("v"))
       .agg(count(lit(1)).as("c"),
         sum(labelCol.cast("int")).cast("long").as("cpos"))
-    val cum = hist.withColumn("cum_before",
-      coalesce(sum(col("c")).over(Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // continuous scores make distinct-v ≈ row count: the rank prefix
+    // rides the range-partitioned construction (exclusive prefix =
+    // inclusive − own count; c ≥ 1 everywhere so incl is never null)
+    val cum = rangePrefixSums(hist, Seq("v"), Seq("c" -> "__incl"))
+      .withColumn("cum_before", col("__incl") - col("c"))
+      .drop("__incl")
     // rank sums accumulate in DECIMAL(38,0) (the q131/q103 exact-moment
     // discipline): Σ2R grows as n·n and n²·10⁶ overflows BIGINT past
     // ~6M rows — decimal keeps the arithmetic exact to 38 digits

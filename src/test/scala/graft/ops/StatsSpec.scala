@@ -110,6 +110,48 @@ class StatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("both classes"))
   }
 
+  test("rangePrefixSums matches a sequential running sum across many partitions") {
+    // 100 distinct keys through 32 range partitions — the prefix must
+    // splice per-partition sums and offsets seamlessly at every boundary
+    val df = (1 to 100).map(i => (i.toLong, i.toLong * 3)).toDF("k", "c")
+    val out = Stats.rangePrefixSums(df, Seq("k"), Seq("c" -> "cum"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("cum")).toMap
+    for (i <- 1 to 100)
+      assert(out(i.toLong) == (1 to i).map(_ * 3L).sum, s"at k=$i")
+  }
+
+  test("rangePrefixSums is null-aware like window sum: all-null prefix stays null") {
+    val df = Seq((1L, null.asInstanceOf[java.lang.Long]),
+      (2L, null.asInstanceOf[java.lang.Long]),
+      (3L, java.lang.Long.valueOf(5L)),
+      (4L, null.asInstanceOf[java.lang.Long]),
+      (5L, java.lang.Long.valueOf(7L))).toDF("k", "c")
+    val out = Stats.rangePrefixSums(df, Seq("k"), Seq("c" -> "cum"), numParts = 4)
+      .collect().map(r => r.getAs[Long]("k") ->
+        Option(r.getAs[java.lang.Long]("cum"))).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L).contains(5L) && out(4L).contains(5L) && out(5L).contains(12L))
+  }
+
+  test("aucExact/ksTest2/kaplanMeier plans contain no unpartitioned window") {
+    // the round-6 verdict's scale finding: continuous value domains make
+    // distinct cardinality ≈ row count, so a Window.orderBy(v) running
+    // sum over the histogram collapses the frame to ONE partition. The
+    // range-partitioned prefix construction must keep every Window node
+    // partitioned — this pins the plan shape, not just the numbers.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def unpartitioned(df: org.apache.spark.sql.DataFrame): Seq[LWindow] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    val scored = (1 to 500).map(i => (i.toLong, i % 3 == 0)).toDF("s", "y")
+    assert(unpartitioned(Stats.aucExact(scored, col("s"), col("y"))).isEmpty)
+    assert(unpartitioned(Stats.ksTest2(scored, col("s"), col("y"))).isEmpty)
+    val durations = (1 to 500).map(i => (i.toLong, i % 4 != 0)).toDF("t", "e")
+    assert(unpartitioned(
+      Analytics.kaplanMeier(durations, col("t"), col("e"))).isEmpty)
+  }
+
   test("medianMadOutliers: hand-computed median, MAD, and outlier count") {
     // [10,12,14,16,100]: med=14 (rank 3), |d|=[4,2,0,2,86] → MAD=2
     // (sorted d: 0,2,2,4,86, rank 3 → 2); outliers d > 3·2=6 → {100}
