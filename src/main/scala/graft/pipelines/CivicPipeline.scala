@@ -108,9 +108,17 @@ object CivicPipeline {
       .join(withRole, Seq("id"))
     // constituent area: lower "TX-13" -> state tx cd 13 (at-large alias);
     // upper carries the full state name -> abbrev lookup
+    // try_element_at, NOT element_at: downstream joins infer an
+    // isnotnull(constituent_area_id) constraint and push it into this
+    // union branch, where it can be evaluated BEFORE the role_type
+    // conjunct — under ANSI a dash-less upper district ("Wisconsin")
+    // then throws INVALID_ARRAY_INDEX out of a row the filter was about
+    // to drop anyway. try_element_at keeps the parse null-safe under
+    // any conjunct order (a genuinely malformed lower district yields a
+    // null area id, the reference's skip behavior).
     val lower = people.filter(col("role_type") === "lower")
       .withColumn("st", lower_(element_at(split(col("district"), "-"), 1)))
-      .withColumn("dnum", atLargeAlias(element_at(split(col("district"), "-"), 2)))
+      .withColumn("dnum", atLargeAlias(try_element_at(split(col("district"), "-"), lit(2))))
       .withColumn("constituent_area_id",
         concat(lit("ocd-division/country:us/state:"), col("st"),
           lit("/cd:"), lower_(col("dnum"))))

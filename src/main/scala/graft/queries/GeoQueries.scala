@@ -47,7 +47,15 @@ object GeoQueries {
         .select(col("n_nationkey"),
           col("c").getItem(0).as("cx"), col("c").getItem(1).as("cy"), col("area"))
         .orderBy(col("n_nationkey"))
-    })
+    }),
+
+    // The reference's flagship composite — shapefile areas, YAML people,
+    // JSON bills + vote events (J1/J2), spatial person↔zip edges (J3),
+    // five-table warehouse upsert (K1/K2) — run end-to-end over packaged
+    // deterministic fixtures; one fingerprint row per table. Independent
+    // of the sfDir by design (the fixtures ARE the reference shapes);
+    // golden-pinned, so a regression anywhere in the chain moves a hash
+    "q219_civic_e2e" -> ((s, _) => graft.pipelines.CivicE2e.summary(s))
   )
 
   val oracle: Map[String, String] = Map(
