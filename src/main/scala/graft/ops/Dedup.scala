@@ -465,6 +465,26 @@ object Dedup {
     probe.join(dupes, Seq(idCol), "left_anti")
   }
 
+  /** EXACT all-unordered-pairs cosine truth — the audit-scale companion
+    * of [[embeddingNearDupsSrp]]/[[embeddingNearDupsIvf]], the q191
+    * pattern applied to the embedding side: every pair (a_id < b_id)
+    * whose exact cosine reaches the threshold, by brute force (one side
+    * broadcast through a nested-loop join, O(n²) verifies spread across
+    * partitions). This is the TRUTH generator for banding/blocking
+    * audits and small reference sets, not a production dedup path — at
+    * corpus scale run the banded variants and score them against this
+    * op on a bounded sample or reference slice. */
+  def exactCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    base.select(col("id").as("a_id"), col("v").as("a_v"))
+      .join(broadcast(base.select(col("id").as("b_id"), col("v").as("b_v"))),
+        col("a_id") < col("b_id"))
+      .withColumn("cosine", cosineSimilarity(col("a_v"), col("b_v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Shared verify tail of the embedding near-dup variants: rejoin the
     * candidate pair ids to their vectors, exact cosine, threshold, round. */
   private def verifyCosinePairs(candidates: DataFrame, base: DataFrame,

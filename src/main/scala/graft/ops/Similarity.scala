@@ -580,17 +580,43 @@ object Similarity {
     * traversal stops early. Returns (rank, vec_id, dist_micros) in
     * selection order — dist_micros is the squared-L2 coverage radius at
     * that step (0 for the seed), whose decay curve is the stopping
-    * diagnostic. */
+    * diagnostic.
+    *
+    * Driver pacing is BATCHED without changing the selection by one
+    * bit: each scan collects the top batch+1 frontier rows by
+    * (dmin desc, id), and the driver keeps picking exact greedy
+    * centers from that candidate pool — updating the pool's
+    * min-distances locally with the SAME floor(d²·1e6 + 0.5) integer
+    * arithmetic the codegen kernel computes — for as long as the
+    * pick's updated distance stays STRICTLY above the (batch+1)-th
+    * candidate's scanned distance. Every point outside the pool has
+    * current dmin ≤ that bound (dmin only ever decreases), so a
+    * strictly-above pick is the global argmax and no tie-break can be
+    * contested; the first pick after a fresh scan is exact
+    * unconditionally. Result: ~k/batch full scans instead of k, the
+    * selection order provably identical to the one-at-a-time
+    * traversal (SimilaritySpec pins the equivalence). */
   def kCenterGreedy(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
+      k: Int, scanBatch: Int = 16): DataFrame = {
     require(k >= 1 && k <= 256,
-      s"kCenterGreedy supports 1 <= k <= 256 (one argmax job per round), got $k")
+      s"kCenterGreedy supports 1 <= k <= 256 (one scan per ~scanBatch picks), got $k")
+    require(scanBatch >= 1 && scanBatch <= 256,
+      s"kCenterGreedy scanBatch must be in [1, 256], got $scanBatch")
     Guards.requireIntegralId(vecs, idCol, "kCenterGreedy seeding")
     val spark = vecs.sparkSession
     import spark.implicits._
     def distMicros(v: Column, center: Seq[Double]): Column =
       floor(graft.functions.l2DistanceSquared(v, typedLit(center))
         * lit(1000000.0) + lit(0.5)).cast("long")
+    // bit-identical driver twin of the codegen kernel + micro pinning:
+    // ascending-index fold, then floor(s·1e6 + 0.5)
+    def distMicrosLocal(a: Seq[Double], b: Seq[Double]): Long = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.floor(s * 1000000.0 + 0.5).toLong
+    }
     val base = vecs.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val seed = base.orderBy(col("id")).limit(1)
@@ -603,17 +629,60 @@ object Similarity {
     var r = 2
     var done = false
     while (r <= k && !done) {
-      val next = cur.orderBy(col("dmin").desc, col("id"))
-        .limit(1).as[(Long, Seq[Double], Long)].collect()
-      if (next.isEmpty || next(0)._3 == 0L) done = true
+      val cand = cur.orderBy(col("dmin").desc, col("id"))
+        .limit(scanBatch + 1).as[(Long, Seq[Double], Long)].collect()
+      if (cand.isEmpty || cand(0)._3 == 0L) done = true
       else {
-        selection ::= ((r, next(0)._1, next(0)._3))
-        val updated = cur.withColumn("dmin",
-          least(col("dmin"), distMicros(col("v"), next(0)._2)))
-          .localCheckpoint()
-        cur.unpersist()
-        cur = updated
-        r += 1
+        // everything outside the pool has dmin ≤ bound, now and for
+        // the rest of this batch; a short scan means the pool IS the
+        // whole frame and nothing is outside
+        val bound = if (cand.length == scanBatch + 1) cand.last._3 else -1L
+        val pool = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Long)]
+        pool ++= cand.take(scanBatch)
+        var newCenters = List.empty[Seq[Double]]
+        var first = true
+        var batchOpen = true
+        while (batchOpen && r <= k && !done) {
+          var bi = -1
+          var i = 0
+          while (i < pool.length) {
+            if (bi < 0 || pool(i)._3 > pool(bi)._3
+              || (pool(i)._3 == pool(bi)._3 && pool(i)._1 < pool(bi)._1)) bi = i
+            i += 1
+          }
+          if (bi < 0) batchOpen = false
+          else {
+            val (id, v, d) = pool(bi)
+            if (d == 0L) {
+              // pool exhausted at distance 0; with nothing (or only
+              // zeros) outside, the traversal is finished — otherwise
+              // rescan for the ≤-bound frontier
+              if (bound <= 0L) done = true
+              batchOpen = false
+            } else if (!first && d <= bound) batchOpen = false
+            else {
+              selection ::= ((r, id, d))
+              r += 1
+              newCenters ::= v
+              pool.remove(bi)
+              var j = 0
+              while (j < pool.length) {
+                val p = pool(j)
+                val nd = distMicrosLocal(p._2, v)
+                if (nd < p._3) pool(j) = (p._1, p._2, nd)
+                j += 1
+              }
+              first = false
+            }
+          }
+        }
+        if (newCenters.nonEmpty && r <= k && !done) {
+          val updated = newCenters.foldLeft(cur) { (df, c) =>
+            df.withColumn("dmin", least(col("dmin"), distMicros(col("v"), c)))
+          }.localCheckpoint()
+          cur.unpersist()
+          cur = updated
+        }
       }
     }
     cur.unpersist()

@@ -13,11 +13,14 @@ import graft.ops.{Dedup, SetSimilarity}
   */
 object DedupQueries {
 
-  /** documents ∪ near-duplicated documents (id + 1_000_000, text + " xq"). */
+  /** documents ∪ near-duplicated documents (id + 2^40, text + " xq").
+    * The namespace offset is 1L<<40, not a decimal million: TPC-H base
+    * keys pass 1e6 around sf7, and a colliding twin id silently corrupts
+    * every pair list downstream. 2^40 holds to ~sf7,000,000. */
   private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("source"))
     docs.unionByName(docs
-      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("doc_id", col("doc_id") + 1099511627776L)
       .withColumn("text", concat(col("text"), lit(" xq"))))
   }
 
@@ -26,7 +29,7 @@ object DedupQueries {
     // Exact dedup: hash-groupBy, min-id keeper
     "q13_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 1099511627776L))
       doubled.groupBy(md5(col("text").cast("binary")).as("h"))
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
         .orderBy(col("h"))
@@ -59,7 +62,7 @@ object DedupQueries {
     // scale-invariant, so each scaled twin shares its original's buckets)
     "q18_embedding_neardup" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
-      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
+      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1099511627776L)
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
       Dedup.embeddingNearDupsIvf(vecs.unionByName(scaled), "vec_id", "embedding",
         threshold = 0.999, centroidStride = 50, nProbe = 2)
@@ -73,7 +76,7 @@ object DedupQueries {
     "q67_incremental_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val batch = docs.filter(col("doc_id") % 2 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("doc_id", col("doc_id") + 1099511627776L)
         .withColumn("text", concat(col("text"), lit(" xq")))
       Dedup.minHashPairsBetween(docs, batch, "doc_id", "text", threshold = 0.5)
         .orderBy(col("corpus_id"), col("probe_id"))
@@ -88,7 +91,7 @@ object DedupQueries {
     // verify stage pays for
     "q53_embedding_srp" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
-      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
+      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1099511627776L)
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
       Dedup.embeddingNearDupsSrp(vecs.unionByName(scaled), "vec_id", "embedding",
         threshold = 0.999, bits = 32, bands = 4)
@@ -176,7 +179,7 @@ object DedupQueries {
     "q211_containment" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val frags = docs
-        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("doc_id", col("doc_id") + 2199023255552L)
         .withColumn("text",
           expr("concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, 15))"))
       val tokens = SetSimilarity.shingleTokens(
@@ -209,9 +212,48 @@ object DedupQueries {
         .orderBy(col("tau_micro"))
     }),
 
+    // Embedding-blocking self-audit — q191's discipline applied to the
+    // vector side: the SRP-banded (q53) and IVF-blocked (q18) near-dup
+    // pair lists are each scored against the EXACT brute-force cosine
+    // truth (Dedup.exactCosinePairs) on the same twin corpus.
+    // Precision/recall per method, golden-pinned at both SFs — the
+    // gauge that says whether 32×4 hyperplane bands and stride-50
+    // 2-probe IVF actually catch what exact cosine proves is there
+    "q218_embedding_eval" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1099511627776L)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
+      val corpus = vecs.unionByName(scaled)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // three consumers: truth + two candidate stacks
+      val truth = Dedup.exactCosinePairs(corpus, "vec_id", "embedding",
+        threshold = 0.999)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      def score(method: String, found: DataFrame): DataFrame = {
+        val f = found.select(col("a_id"), col("b_id")).localCheckpoint()
+        val tp = f.join(truth, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("tp"))
+        val nF = f.agg(count(lit(1)).as("n_found"))
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        tp.crossJoin(nF).crossJoin(nT)
+          .select(lit(method).as("method"), col("n_truth"), col("n_found"),
+            col("tp"), (col("n_found") - col("tp")).as("fp"),
+            (col("n_truth") - col("tp")).as("fn"),
+            expr("CASE WHEN n_found = 0 THEN 0 ELSE (tp * 1000000) div n_found END")
+              .as("precision_micro"),
+            expr("CASE WHEN n_truth = 0 THEN 0 ELSE (tp * 1000000) div n_truth END")
+              .as("recall_micro"))
+      }
+      score("ivf", Dedup.embeddingNearDupsIvf(corpus, "vec_id", "embedding",
+          threshold = 0.999, centroidStride = 50, nProbe = 2))
+        .unionByName(score("srp", Dedup.embeddingNearDupsSrp(corpus,
+          "vec_id", "embedding", threshold = 0.999, bits = 32, bands = 4)))
+        .orderBy(col("method"))
+    }),
+
     "q100_semdedup" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
-      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1000000)
+      val scaled = vecs.withColumn("vec_id", col("vec_id") + 1099511627776L)
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
       Dedup.semDedup(vecs.unionByName(scaled), "vec_id", "embedding",
         threshold = 0.999, centroidStride = 50, nProbe = 2)
@@ -227,7 +269,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 2000000,
+        |  SELECT doc_id + 2199023255552,
         |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:15],
         |      ' ')
         |  FROM documents),
@@ -255,7 +297,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' xq' FROM documents),
+        |  SELECT doc_id + 1099511627776, text || ' xq' FROM documents),
         |tok AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[s:s+2], ' ') AS token
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -287,7 +329,7 @@ object DedupQueries {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' xq' FROM documents),
+        |  SELECT doc_id + 1099511627776, text || ' xq' FROM documents),
         |tok AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[s:s+2], ' ') AS token
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -310,13 +352,13 @@ object DedupQueries {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n FROM (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents)
+        |  SELECT doc_id + 1099511627776, text FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q74_shared_windows" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' xq' FROM documents),
+        |  SELECT doc_id + 1099511627776, text || ' xq' FROM documents),
         |g AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[s:s+9], ' ') AS gram
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

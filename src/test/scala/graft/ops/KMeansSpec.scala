@@ -86,6 +86,17 @@ class KMeansSpec extends SparkTestBase {
       s"missing twins: ${(want -- pairs).take(5)} (found ${pairs.size})")
   }
 
+  test("exactCosinePairs: threshold gate, a<b ordering, scale invariance") {
+    // v1 ∥ v2 (cosine 1), v3 orthogonal to both; only the parallel pair
+    // survives 0.999, emitted once with a_id < b_id
+    val vecs = Seq(
+      (7L, Seq(1.0f, 0.0f)), (3L, Seq(2.5f, 0.0f)), (5L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.exactCosinePairs(vecs, "vec_id", "embedding", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((3L, 7L, 1.0)), out.mkString(", "))
+  }
+
   test("ivfTopK with k-means refinement: rank-1 neighbor of a corpus probe is itself") {
     val out = Similarity.ivfTopK(blobs, blobs.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 2, centroidStride = 25, kmeansIters = 2)
@@ -536,6 +547,22 @@ class KMeansSpec extends SparkTestBase {
     val out = Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 3)
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(out === Seq(1L, 3L), s"duplicates of centers must not be selected: $out")
+  }
+
+  test("kCenterGreedy batched scan is bit-identical to one-at-a-time traversal") {
+    // scanBatch=1 degenerates to the classic one-pick-per-scan loop;
+    // the bound-guarded batch must reproduce its selection EXACTLY —
+    // ranks, ids, and radii — on a corpus with repeated distances,
+    // duplicates, and enough points to force several rescans
+    val vecs = (1 to 60).map { i =>
+      (i.toLong, Seq(((i * 37) % 11).toFloat, ((i * 53) % 7).toFloat,
+        ((i * 29) % 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(b: Int) = Similarity
+      .kCenterGreedy(vecs, "vec_id", "embedding", k = 24, scanBatch = b)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(16) === run(1))
   }
 
   test("kCenterGreedy rejects k outside the one-job-per-round budget") {
