@@ -468,7 +468,12 @@ object EventQueries {
       val daily = hv.groupBy(col("day"))
         .agg(graft.functions.collectMinK(col("hv"), lit(0L), k).as("mk"))
         .select(col("day"), col("mk.items.id").as("ks"))
-      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      // CALENDAR-bounded frame (range over epoch days), not ROWS over
+      // present days: the two agree only while the feed is gapless, and
+      // the exact side below is calendar arithmetic — a gap would
+      // silently widen a ROWS frame past 7 calendar days
+      val w7 = Window.orderBy(datediff(col("day"), lit("1970-01-01")))
+        .rangeBetween(-6, 0)
       val est = daily
         .withColumn("lists", collect_list(col("ks")).over(w7))
         .withColumn("ku",
@@ -683,7 +688,12 @@ object EventQueries {
             .otherwise(0L)).as("x"),
           sum(when(col("event_type") === "purchase", col("n"))
             .otherwise(0L)).as("y"))
-      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      // calendar range frame, not ROWS over present days (the q210
+      // discipline): k then counts PRESENT days in the 7-calendar-day
+      // window, so a gap yields null corr instead of a frame that
+      // silently reaches further back in time
+      val w7 = Window.orderBy(datediff(col("day"), lit("1970-01-01")))
+        .rangeBetween(-6, 0)
       two
         .withColumn("k", count(lit(1)).over(w7))
         .withColumn("sx", sum(col("x")).over(w7))
@@ -1668,8 +1678,8 @@ object EventQueries {
         |    CAST(sum(y * y) OVER r AS BIGINT) AS syy,
         |    CAST(sum(x * y) OVER r AS BIGINT) AS sxy
         |  FROM two
-        |  WINDOW r AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
-        |    AND CURRENT ROW))
+        |  WINDOW r AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY
+        |    PRECEDING AND CURRENT ROW))
         |SELECT day, x, y,
         |  CASE WHEN k < 7 THEN NULL
         |       WHEN k * sxx - sx * sx = 0 OR k * syy - sy * sy = 0 THEN NULL
@@ -1824,7 +1834,7 @@ object EventQueries {
         |  FROM rk WHERE rn <= 64 GROUP BY day),
         |mg AS (SELECT day,
         |    flatten(list(ks) OVER (ORDER BY day
-        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fl
+        |      RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)) AS fl
         |  FROM dk),
         |ku AS (SELECT day, list_sort(list_distinct(fl))[:64] AS ku FROM mg),
         |est AS (SELECT day, CAST(len(ku) AS INT) AS n_kept,
