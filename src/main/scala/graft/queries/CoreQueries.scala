@@ -259,7 +259,7 @@ object CoreQueries {
       val clean = t(s, dir, "customer")
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
       val dirty = clean
-        .withColumn("id", col("id") + 1000000)
+        .withColumn("id", col("id") + 1099511627776L)
         .withColumn("name", expr(
           "concat(substring(name, 1, length(name) - 1)," +
             " translate(substring(name, length(name), 1), '01', 'OI'))"))
@@ -375,7 +375,7 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q212_sorted_neighborhood" ->
       """WITH clean AS (SELECT c_custkey AS id, c_name AS name FROM customer),
-        |dirty AS (SELECT id + 1000000 AS id,
+        |dirty AS (SELECT id + 1099511627776 AS id,
         |    substring(name, 1, length(name) - 1)
         |      || translate(substring(name, length(name), 1), '01', 'OI')
         |      AS name

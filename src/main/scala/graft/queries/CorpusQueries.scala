@@ -249,7 +249,7 @@ object CorpusQueries {
           when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")))
         .unionByName(docs.filter(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + 2000000))
+          .withColumn("doc_id", col("doc_id") + 2199023255552L))
       graft.warehouse.Warehouse.snapshotDiff(docs, newSnap, "doc_id",
         Seq("text", "lang", "source"))
         .orderBy(col("doc_id"))
@@ -730,7 +730,7 @@ object CorpusQueries {
         |    lang, source
         |  FROM documents WHERE doc_id % 17 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 2000000, text, lang, source
+        |  SELECT doc_id + 2199023255552, text, lang, source
         |  FROM documents WHERE doc_id < 50),
         |joined AS (
         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,

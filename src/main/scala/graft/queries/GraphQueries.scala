@@ -37,7 +37,7 @@ object GraphQueries {
     "q47_dedup_apply" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(docs
-        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("doc_id", col("doc_id") + 1099511627776L)
         .withColumn("text", concat(col("text"), lit(" xq"))))
       val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
         k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
@@ -52,7 +52,7 @@ object GraphQueries {
     "q50_leakage_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(docs
-        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("doc_id", col("doc_id") + 1099511627776L)
         .withColumn("text", concat(col("text"), lit(" xq"))))
       val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
         k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
@@ -69,12 +69,12 @@ object GraphQueries {
     "q87_merge_components" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(docs
-        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("doc_id", col("doc_id") + 1099511627776L)
         .withColumn("text", concat(col("text"), lit(" xq"))))
       val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
         k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
-      val batch1 = pairs.filter(col("b_id") < 1000000)
-      val batch2 = pairs.filter(col("b_id") >= 1000000)
+      val batch1 = pairs.filter(col("b_id") < 1099511627776L)
+      val batch2 = pairs.filter(col("b_id") >= 1099511627776L)
       val cc1 = Dedup.connectedComponents(batch1)
       val existing = corpus.select(col("doc_id").as("id"))
         .join(cc1, Seq("id"), "left")
@@ -90,7 +90,7 @@ object GraphQueries {
     "q84_cluster_histogram" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = docs.unionByName(docs
-        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("doc_id", col("doc_id") + 1099511627776L)
         .withColumn("text", concat(col("text"), lit(" xq"))))
       val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
         k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
@@ -109,9 +109,9 @@ object GraphQueries {
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
       val edges = base
-        .select(col("cust").as("src"), (col("supp") + 1000000).as("dst"))
+        .select(col("cust").as("src"), (col("supp") + 1099511627776L).as("dst"))
         .unionByName(base
-          .select((col("supp") + 1000000).as("src"), col("cust").as("dst")))
+          .select((col("supp") + 1099511627776L).as("src"), col("cust").as("dst")))
       Graph.pageRank(edges, "src", "dst", iterations = 5)
         .orderBy(col("node"))
     }),
@@ -126,9 +126,9 @@ object GraphQueries {
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
       val edges = base
-        .select(col("cust").as("src"), (col("supp") + 1000000).as("dst"))
+        .select(col("cust").as("src"), (col("supp") + 1099511627776L).as("dst"))
         .unionByName(base
-          .select((col("supp") + 1000000).as("src"), col("cust").as("dst")))
+          .select((col("supp") + 1099511627776L).as("src"), col("cust").as("dst")))
       // probe ids as a literal range — deriving them from the edge
       // frame would re-run the whole base join inside every rank
       // round's recursive plan (measured 3× slower); extras outside
@@ -171,7 +171,7 @@ object GraphQueries {
       val orders = t(s, dir, "orders")
       val edges = li.join(orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000).as("dst"))
+          (col("l_suppkey") + 1099511627776L).as("dst"))
         .distinct()
       Graph.hits(edges, "src", "dst", iterations = 3)
         .orderBy(col("node"))
@@ -301,9 +301,9 @@ object GraphQueries {
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
       val edges = base
-        .select(col("cust").as("src"), (col("supp") + 1000000).as("dst"))
+        .select(col("cust").as("src"), (col("supp") + 1099511627776L).as("dst"))
         .unionByName(base
-          .select((col("supp") + 1000000).as("src"), col("cust").as("dst")))
+          .select((col("supp") + 1099511627776L).as("src"), col("cust").as("dst")))
       val probes = edges.filter(col("src") < 20)
         .select(col("src").as("probe")).distinct()
       Graph.bfsDistances(edges, "src", "dst", probes, "probe", maxDepth = 3)
@@ -377,9 +377,9 @@ object GraphQueries {
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |edges AS (
          |  SELECT CAST(cust AS BIGINT) AS src,
-         |    CAST(supp + 1000000 AS BIGINT) AS dst FROM base
+         |    CAST(supp + 1099511627776 AS BIGINT) AS dst FROM base
          |  UNION ALL
-         |  SELECT CAST(supp + 1000000 AS BIGINT) AS src,
+         |  SELECT CAST(supp + 1099511627776 AS BIGINT) AS src,
          |    CAST(cust AS BIGINT) AS dst FROM base),
          |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
          |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
@@ -409,9 +409,9 @@ object GraphQueries {
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |edges AS (
          |  SELECT CAST(cust AS BIGINT) AS src,
-         |    CAST(supp + 1000000 AS BIGINT) AS dst FROM base
+         |    CAST(supp + 1099511627776 AS BIGINT) AS dst FROM base
          |  UNION ALL
-         |  SELECT CAST(supp + 1000000 AS BIGINT) AS src,
+         |  SELECT CAST(supp + 1099511627776 AS BIGINT) AS src,
          |    CAST(cust AS BIGINT) AS dst FROM base),
          |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
          |nodes AS (SELECT node,
@@ -485,7 +485,7 @@ object GraphQueries {
       }.mkString(",\n")
       s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
-         |    CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+         |    CAST(l_suppkey + 1099511627776 AS BIGINT) AS dst
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |nodes AS MATERIALIZED (
          |  SELECT src AS node FROM e UNION SELECT dst FROM e),
@@ -629,9 +629,9 @@ object GraphQueries {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |edges AS (
         |  SELECT CAST(cust AS BIGINT) AS src,
-        |    CAST(supp + 1000000 AS BIGINT) AS dst FROM base
+        |    CAST(supp + 1099511627776 AS BIGINT) AS dst FROM base
         |  UNION ALL
-        |  SELECT CAST(supp + 1000000 AS BIGINT) AS src,
+        |  SELECT CAST(supp + 1099511627776 AS BIGINT) AS src,
         |    CAST(cust AS BIGINT) AS dst FROM base),
         |probes AS (SELECT DISTINCT src AS probe FROM edges WHERE src < 20),
         |walk(probe, node, dist) AS (

@@ -88,7 +88,7 @@ object MultimodalQueries {
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .select(col("doc_id"), col("payload"))
       val twins = base
-        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("doc_id", col("doc_id") + 1099511627776L)
         .withColumn("payload", concat(col("payload"), encode(lit(" x"), "UTF-8")))
       Multimodal.binaryNearDups(base.unionByName(twins), "doc_id", "payload",
         stride = 32, frameLen = 16, minShared = 2)

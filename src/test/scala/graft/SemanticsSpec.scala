@@ -16,14 +16,14 @@ class SemanticsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0))
     // every doc must pair with its planted twin (id + 1_000_000)
     docIds.foreach { id =>
-      assert(pairs.contains((id, id + 1000000)), s"missing planted pair for doc $id")
+      assert(pairs.contains((id, id + 1099511627776L)), s"missing planted pair for doc $id")
     }
   }
 
   test("q18 embedding near-dup finds every scaled twin at cosine 1") {
     val rows = q("q18_embedding_neardup").collect()
     val n = Tables.t(spark, sf, "embeddings").count()
-    val twins = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000)
+    val twins = rows.filter(r => r.getLong(1) == r.getLong(0) + 1099511627776L)
     assert(twins.length == n, s"${twins.length} twins of $n")
     assert(twins.forall(_.getDouble(2) == 1.0))
   }
@@ -33,7 +33,7 @@ class SemanticsSpec extends SparkTestBase {
     val n = Tables.t(spark, sf, "embeddings").count()
     // SRP signatures are scale-invariant, so every twin shares ALL bands
     // with its original — recall for the planted pairs is deterministic
-    val twins = rows.filter(r => r.getLong(1) == r.getLong(0) + 1000000)
+    val twins = rows.filter(r => r.getLong(1) == r.getLong(0) + 1099511627776L)
     assert(twins.length == n, s"${twins.length} twins of $n")
     assert(twins.forall(_.getDouble(2) == 1.0))
   }
@@ -52,7 +52,7 @@ class SemanticsSpec extends SparkTestBase {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue())).toMap
     val docIds = Tables.t(spark, sf, "documents")
       .select("doc_id").collect().map(_.getLong(0))
-    val found = docIds.count(id => pairs.contains((id, id + 1000000)))
+    val found = docIds.count(id => pairs.contains((id, id + 1099511627776L)))
     // simhash banding is recall-oriented, not exhaustive; the one-token
     // perturbation must still be caught for the large majority
     assert(found > docIds.length * 0.9, s"only $found/${docIds.length} twins found")
@@ -84,7 +84,7 @@ class SemanticsSpec extends SparkTestBase {
     }
     val docIds = Tables.t(spark, sf, "documents")
       .select("doc_id").collect().map(_.getLong(0))
-    assert(docIds.forall(id => !(kept.contains(id) && kept.contains(id + 1000000))))
+    assert(docIds.forall(id => !(kept.contains(id) && kept.contains(id + 1099511627776L))))
     assert(kept.nonEmpty && kept.size < docIds.length * 2)
   }
 
@@ -119,7 +119,7 @@ class SemanticsSpec extends SparkTestBase {
     val docIds = Tables.t(spark, sf, "documents")
       .select("doc_id").collect().map(_.getLong(0))
     docIds.foreach { id =>
-      assert(rows(id)._2 == rows(id + 1000000)._2, s"twin of $id crossed the split")
+      assert(rows(id)._2 == rows(id + 1099511627776L)._2, s"twin of $id crossed the split")
     }
   }
 
