@@ -69,7 +69,11 @@ object GraftExtensions {
     "heavy_hitters" -> (es =>
       HeavyHitters(es(0), intArg(es(1), "m")).toAggregateExpression()),
     "cms_heavy_hitters" -> (es =>
-      CmsHeavyHitters(es(0), intArg(es(1), "k")).toAggregateExpression()))
+      CmsHeavyHitters(es(0), intArg(es(1), "k")).toAggregateExpression()),
+    "auc_micro" -> (es =>
+      AucMicroAgg(es(0), es(1)).toAggregateExpression()),
+    "kaplan_meier" -> (es =>
+      KaplanMeierAgg(es(0), es(1)).toAggregateExpression()))
 
   /** Register every function into an existing session's catalog. */
   def install(spark: SparkSession): Unit =
