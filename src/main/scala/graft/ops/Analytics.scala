@@ -330,9 +330,10 @@ object Analytics {
     * `ntile(k) OVER (ORDER BY metric, user)` would — without ever
     * sorting the full frame in one partition. Construction: tie-rank
     * within each metric value (metric-KEYED window — scale-safe),
-    * global offsets from a running sum over the distinct-metric
-    * HISTOGRAM (the only unpartitioned sort, and it touches one row
-    * per distinct value, not per user), exact rank = offset +
+    * global offsets from range-partitioned prefix sums over the
+    * distinct-metric HISTOGRAM ([[Stats.rangePrefixSums]] — no
+    * unpartitioned window even when a continuous metric makes the
+    * histogram row-sized), exact rank = offset +
     * tie-rank, then SQL's ntile closed form (first n%k buckets get
     * ⌈n/k⌉ rows) in integer `div` arithmetic. The q115/q88 spirit,
     * applied to ranking: the ORACLE runs native window ntile, this
@@ -346,10 +347,13 @@ object Analytics {
     // per-user aggregated, orders of magnitude under the event log
     val withM = df.withColumn("__m", metric).localCheckpoint()
     val counts = withM.groupBy(col("__m")).agg(count(lit(1)).as("__c"))
-    val offs = counts.withColumn("__off",
-      coalesce(sum(col("__c")).over(Window.orderBy(col("__m"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__c")
+    // the distinct-metric histogram can approach row count when the
+    // metric is continuous (cents sums, micro scores), so its prefix
+    // offsets ride the range-partitioned construction — no
+    // unpartitioned window anywhere in the ntile plan
+    val offs = Stats.rangePrefixSums(counts, Seq("__m"), Seq("__c" -> "__incl"))
+      .withColumn("__off", col("__incl") - col("__c"))
+      .drop("__c", "__incl")
     val n = withM.agg(count(lit(1)).as("__n"))
     withM
       .withColumn("__tie", row_number().over(
@@ -374,9 +378,9 @@ object Analytics {
     * user_id) — quintile 5 is best in every dimension (most recent /
     * most frequent / highest spend). Only users with ≥1 conversion
     * appear. Quintiles come from [[ntileExact]] — identical semantics
-    * to window ntile (the oracle runs the native window form), but the
-    * only unpartitioned sorts are over the three per-metric histograms,
-    * never the user frame itself. */
+    * to window ntile (the oracle runs the native window form), with no
+    * unpartitioned stage anywhere: the per-metric histograms ride
+    * range-partitioned prefix sums. */
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, conversionType: String,
       valueCol: String): DataFrame = {

@@ -622,22 +622,26 @@ object Stats {
     * (singleton groups map to the pooled median), so both engines land
     * on the same pooled order statistic and q189 is hash-exact.
     *
-    * Scale note: the pooled ranking here is one global sort of the
-    * input rows; beyond memory-of-a-sort scale, swap the pooled side
-    * for the [[quantilesDisc]] histogram construction (distinct-value
-    * prefix ranks) — the mapped-rank lookup becomes a histogram range
-    * probe instead of an equi-join on row_number. */
+    * Scale shape: the pooled rank `row_number() OVER (ORDER BY v, g,
+    * id)` is decomposed as histogram prefix offset (distinct-v counts
+    * through [[rangePrefixSums]] — no unpartitioned window) plus a
+    * v-PARTITIONED tie rank over (g, id) — bit-identical to the global
+    * sort spelling, with no single-partition stage anywhere. */
   def quantileNormalize(df: DataFrame, groupCol: Column, idCol: Column,
       valueCol: Column): DataFrame = {
     val base = df.select(groupCol.as("g"), idCol.as("id"),
       valueCol.cast("long").as("v"))
-      .localCheckpoint() // three consumers: group ranks, pool ranks, sizes
+      .localCheckpoint() // four consumers: group ranks, pool ranks, sizes, hist
     val ns = base.groupBy(col("g")).agg(count(lit(1)).as("ns"))
     val np = base.agg(count(lit(1)).as("np"))
     val ranked = base.withColumn("rk", row_number().over(
       Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
-    val pooled = base.withColumn("prk", row_number().over(
-        Window.orderBy(col("v"), col("g"), col("id"))))
+    val vHist = base.groupBy(col("v")).agg(count(lit(1)).as("__c"))
+    val vOffs = rangePrefixSums(vHist, Seq("v"), Seq("__c" -> "__incl"))
+      .select(col("v"), (col("__incl") - col("__c")).as("__voff"))
+    val pooled = base.join(vOffs, Seq("v"))
+      .withColumn("prk", col("__voff") + row_number().over(
+        Window.partitionBy(col("v")).orderBy(col("g"), col("id"))))
       .select(col("prk"), col("v").as("norm_v"))
     ranked.join(ns, Seq("g")).crossJoin(np)
       .withColumn("mapped", when(col("ns") === 1, expr("(np + 1) div 2"))

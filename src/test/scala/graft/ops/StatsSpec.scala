@@ -150,6 +150,14 @@ class StatsSpec extends SparkTestBase {
     val durations = (1 to 500).map(i => (i.toLong, i % 4 != 0)).toDF("t", "e")
     assert(unpartitioned(
       Analytics.kaplanMeier(durations, col("t"), col("e"))).isEmpty)
+    // same discipline for the ntile machinery and quantile normalization
+    // (continuous metrics make their histograms row-sized too)
+    val vals = (1 to 400).map(i => (s"g${i % 3}", i.toLong, i.toLong * 7 % 399))
+      .toDF("g", "id", "v")
+    assert(unpartitioned(Stats.quantileNormalize(
+      vals, col("g"), col("id"), col("v"))).isEmpty)
+    assert(unpartitioned(Analytics.ntileExact(
+      vals, col("v"), col("id"), 5, "q")).isEmpty)
   }
 
   test("medianMadOutliers: hand-computed median, MAD, and outlier count") {
