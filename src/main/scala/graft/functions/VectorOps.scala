@@ -331,3 +331,74 @@ case class SrpSignature(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
   override def prettyName: String = "srp_signature"
 }
+
+/** One-pass int8 symmetric-quantization profile kernel — the PcaKernel
+  * lesson applied to q29: the HOF spelling re-evaluated
+  * `array_max(transform(v, abs))` (and the derived scale) inside EVERY
+  * per-element lambda of THREE aggregate folds, O(3d²) array scans per
+  * row. This kernel computes max|x| once, then one tight loop for
+  * sum_q / sum_abs_q / err_pico — arithmetic bit-identical to the HOF:
+  * Spark `round` on doubles is BigDecimal.valueOf HALF_UP, the long
+  * cast truncates the already-integral double, and per-element rounding
+  * happens BEFORE the integer sums (the oracle discipline). Output
+  * struct: (scale_nano, sum_q, sum_abs_q, err_pico); an EMPTY vector
+  * yields (null, 0, 0, 0) exactly like array_max's null propagating
+  * through round while the aggregate inits stay 0. */
+object Int8QuantKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private def sparkRound(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def profile(v: ArrayData, isFloat: Boolean): InternalRow = {
+    val n = v.numElements()
+    if (n == 0) return InternalRow(null, 0L, 0L, 0L)
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+      // java.lang.Double.compare ordering = Spark's array_max on doubles
+      if (java.lang.Double.compare(a, maxabs) > 0) maxabs = a
+      i += 1
+    }
+    val scale = maxabs / 127.0
+    var sumQ = 0L
+    var sumAbsQ = 0L
+    var errPico = 0L
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val q =
+        if (maxabs == 0.0) 0L
+        else {
+          val r = sparkRound(x / scale).toLong
+          math.max(-127L, math.min(127L, r))
+        }
+      sumQ += q
+      sumAbsQ += math.abs(q)
+      val d = q.toDouble * scale - x
+      errPico += sparkRound(d * d * 1e12).toLong
+      i += 1
+    }
+    InternalRow(sparkRound(scale * 1e9).toLong, sumQ, sumAbsQ, errPico)
+  }
+}
+
+case class Int8QuantProfile(child: Expression) extends UnaryExpression {
+  private lazy val isFloat: Boolean = VectorOps.isFloatArray(child)
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale_nano", LongType, nullable = true),
+    StructField("sum_q", LongType, nullable = false),
+    StructField("sum_abs_q", LongType, nullable = false),
+    StructField("err_pico", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Int8QuantKernel.profile(input.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Int8QuantKernel.profile($c, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): Int8QuantProfile =
+    copy(child = newChild)
+  override def prettyName: String = "int8_quant_profile"
+}

@@ -331,6 +331,17 @@ package object functions {
     expr2col(UnigramEncode(col2expr(text), m, maxPieceLen))
   }
 
+  /** One-pass BPE merge application (see [[BpeKernel.encode]]):
+    * merges ride the plan as a flattened (left, right) reference
+    * array; bit-identical to the per-merge HOF fold it replaced. */
+  def bpeEncode(text: Column, mergesFlat: Array[String], eow: String): Column =
+    expr2col(BpeEncode(col2expr(text), mergesFlat, eow))
+
+  /** One-pass int8 quantization profile (see [[Int8QuantKernel]]):
+    * struct(scale_nano, sum_q, sum_abs_q, err_pico). */
+  def int8QuantProfile(v: Column): Column =
+    expr2col(Int8QuantProfile(col2expr(v)))
+
   /** Hilbert-curve clustering key (see [[HilbertKernel.xy2d]]). */
   def hilbertIndex(x: Column, y: Column, order: Int): Column =
     expr2col(HilbertIndex(col2expr(x.cast("long")), col2expr(y.cast("long")), order))

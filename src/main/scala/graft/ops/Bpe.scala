@@ -208,7 +208,16 @@ object Bpe {
     * the merge list is query-compile-time small (a tokenizer has a
     * bounded merge table), so the fold chain stays a static expression
     * tree. */
-  def encodeBpe(text: Column, merges: Seq[(String, String)]): Column = {
+  def encodeBpe(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.bpeEncode(text,
+      merges.flatMap { case (l, r) => Seq(l, r) }.toArray, Eow)
+
+  /** The original HOF spelling of [[encodeBpe]] — per word, one
+    * `aggregate` fold per merge rule, each rebuilding the accumulator
+    * with `concat(slice(...))`. O(len²) allocation per merge per word;
+    * kept (test-only) as the executable specification the
+    * [[graft.functions.BpeKernel]] differential spec pins against. */
+  private[graft] def encodeBpeHof(text: Column, merges: Seq[(String, String)]): Column = {
     val init = transform(wordsOf(text),
       w => concat(split(w, ""), array(lit(Eow))))
     val merged = merges.foldLeft(init) { case (ws, (l, r)) =>

@@ -726,6 +726,26 @@ object Similarity {
     * quantizes to all-zero with scale 0 rather than dividing by zero. */
   def int8QuantizeProfile(vecs: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
+    // one-pass codegen kernel (functions/Int8QuantKernel): the HOF
+    // spelling below re-evaluated array_max + scale inside every
+    // per-element lambda of three folds — O(3d²) scans per row,
+    // 8.3 s for 4000 vectors at sf0.1 once the v2 bench stopped
+    // letting count() prune the sums. Bit-identical (differential
+    // spec + q29 oracle re-verified).
+    val p = graft.functions.int8QuantProfile(
+      col(vecCol).cast("array<double>"))
+    vecs.select(col(idCol).as("vec_id"), p.as("__p"))
+      .select(col("vec_id"),
+        col("__p.scale_nano").as("scale_nano"),
+        col("__p.sum_q").as("sum_q"),
+        col("__p.sum_abs_q").as("sum_abs_q"),
+        col("__p.err_pico").as("err_pico"))
+  }
+
+  /** The original HOF spelling — kept (test-only) as the executable
+    * specification the kernel differential spec pins against. */
+  private[graft] def int8QuantizeProfileHof(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxabs = array_max(transform(v, x => abs(x)))
     val scale = maxabs / lit(127.0)

@@ -84,6 +84,24 @@ class BpeSpec extends SparkTestBase {
     assert(got.isEmpty, got.toSeq.toString)
   }
 
+  test("encodeBpe kernel is bit-identical to the HOF fold spelling") {
+    // overlapping rules, chained merges (a+a then aa+a-less chains via
+    // successive rules), mixed case, extra whitespace, unicode
+    val texts = Seq("aaa aaaa", "the theater theme", "  ab AB aB  ",
+      "über naïve café", "x", "", "ab ab ba", "aaaa")
+    val merges = Seq(("a", "a"), ("t", "h"), ("th", "e"), ("aa", "a"),
+      ("b", Bpe.Eow), ("the", "a"))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val kernel = df.select(col("id"), Bpe.encodeBpe(col("text"), merges).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val hof = df.select(col("id"), Bpe.encodeBpeHof(col("text"), merges).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(kernel == hof,
+      texts.indices.map(i => s"$i: ${kernel(i.toLong)} vs ${hof(i.toLong)}")
+        .mkString("\n"))
+  }
+
   test("encodeBpe applies merges greedily left-to-right, non-overlapping") {
     val merges = Seq(("a", "a"))
     val got = Seq((1L, "aaa aaaa")).toDF("doc_id", "text")

@@ -319,6 +319,22 @@ class KMeansSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 0.9)), got.toSeq.toString)
   }
 
+  test("int8QuantizeProfile kernel is bit-identical to the HOF spelling") {
+    // adversarial values: exact .5 rounding boundaries, negatives,
+    // zero vectors, max-magnitude elements, tiny scales
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.5f, 1.0f, -1.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(127.0f, -127.0f, 63.5f, -63.5f)),
+      (4L, Seq(1e-8f, -1e-8f, 2e-8f, 3e-8f)),
+      (5L, Seq(0.1f, 0.2f, 0.3f, 0.9f))).toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(
+      canon(Similarity.int8QuantizeProfile(vecs, "vec_id", "embedding")) ==
+        canon(Similarity.int8QuantizeProfileHof(vecs, "vec_id", "embedding")))
+  }
+
   test("int8QuantizeProfile: exact audit columns, zero-vector passthrough") {
     val vecs = Seq(
       (1L, Seq(1.0f, -0.5f, 0.0f)),
