@@ -58,15 +58,19 @@ object Graph {
       s"pageRank iterations must be in [1, 100], got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank dampingPct must be in [0, 100], got $dampingPct")
+    // edge/node frames materialized ONCE (the q213 HITS lesson): every
+    // round references both, and without pinning them each round
+    // re-derives the whole upstream join+distinct — measured 8.0 s vs
+    // 3.4 s at sf0.1 (87 exchanges, zero reuse, in the unpinned plan)
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val e = e0.join(deg, Seq("src"))
+    val e = e0.join(deg, Seq("src")).localCheckpoint()
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
-      .distinct()
+      .distinct().localCheckpoint()
     val teleportNano = (100L - dampingPct) * 10000000L
     var ranks = nodes.withColumn("rank_nano", lit(1000000000L))
     for (i <- 1 to iterations) {
@@ -100,12 +104,13 @@ object Graph {
       s"personalizedPageRank iterations must be in [1, 100], got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"personalizedPageRank dampingPct must be in [0, 100], got $dampingPct")
+    // same frame pinning as [[pageRank]] (the q213 lesson)
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val e = e0.join(deg, Seq("src"))
+    val e = e0.join(deg, Seq("src")).localCheckpoint()
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
@@ -113,6 +118,7 @@ object Graph {
           .distinct().withColumn("__probe", lit(1L)),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__probe"), lit(0L)).as("is_probe"))
+      .localCheckpoint()
     val teleportNano = (100L - dampingPct) * 10000000L
     var ranks = nodes.withColumn("rank_nano",
       col("is_probe") * lit(1000000000L))
