@@ -74,6 +74,32 @@ object Stats {
       Seq(s"__loc_$o", s"__off_$o") }: _*)
   }
 
+  /** Per-GROUP inclusive cumulative counts over a (g, v, c) histogram
+    * without per-group windows: a `Window.partitionBy(g).orderBy(v)`
+    * running sum activates one task per GROUP, so three return-flags
+    * serialize a 300k-row histogram onto three cores. Decomposition:
+    * global [[rangePrefixSums]] over the concatenated (g, v) total
+    * order — big groups split across range partitions, every core busy
+    * — minus each group's start offset (prefix over the group-total
+    * frame, itself range-partitioned). Identical values by
+    * construction: cum_g(v) = globalCum(g,v) − offset(g).
+    * Returns the histogram plus `n` (group total) and `cum`
+    * (inclusive within-group cumulative). */
+  private def groupedCum(hist: DataFrame): DataFrame = {
+    val withIncl = rangePrefixSums(hist, Seq("g", "v"), Seq("c" -> "__gincl"))
+    // group totals from the ALREADY-materialized ranged frame (the
+    // helper checkpoints it) — deriving them from `hist` would re-run
+    // the full upstream histogram aggregation a second time
+    val gtot = withIncl.select(col("g"), col("c"))
+      .groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val goff = rangePrefixSums(gtot, Seq("g"), Seq("n" -> "__gtotincl"))
+      .withColumn("__goff", col("__gtotincl") - col("n"))
+      .select(col("g"), col("n"), col("__goff"))
+    withIncl.join(goff, Seq("g"))
+      .withColumn("cum", col("__gincl") - col("__goff"))
+      .drop("__gincl", "__goff")
+  }
+
   /** Exact discrete quantiles (SQL `percentile_disc` semantics: the
     * smallest value whose cumulative count reaches rank
     * ceil(p/100 × n), computed as the INTEGER `(n·p + 99) div 100`)
@@ -91,10 +117,7 @@ object Stats {
     val hist = df
       .groupBy(groupCol.as("g"), valueCol.cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
-    val byG = Window.partitionBy(col("g")).orderBy(col("v"))
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(byG))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val cum = groupedCum(hist)
     // rank cutoff ceil(p·n/100) as INTEGER arithmetic — `(n·p+99) div
     // 100`, never float division (whose representation error can cross
     // an integer boundary exactly at the ranks that matter)
@@ -124,10 +147,7 @@ object Stats {
           col("__w")))))
       .groupBy(col("g"), col("v"))
       .agg(sum(col("__w").cast("decimal(38,0)")).as("c"))
-    val byG = Window.partitionBy(col("g")).orderBy(col("v"))
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(byG))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val cum = groupedCum(hist)
     val qCols = percentiles.map { p =>
       min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("v")))
         .as(s"p$p")
@@ -149,10 +169,7 @@ object Stats {
     val hist = df
       .groupBy(groupCol.as("g"), valueCol.cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
-    val byG = Window.partitionBy(col("g")).orderBy(col("v"))
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(byG))
-      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("g"))))
+    val cum = groupedCum(hist)
     val qCols = percentiles.flatMap { p =>
       // v_lo at 0-based rank r ⟺ cum ≥ r+1; v_hi at r+1 ⟺ cum ≥ r+2
       // (null when r+1 = n, i.e. f = 0 — coalesced away below)
