@@ -24,6 +24,11 @@ object BpeKernel {
   /** merges: flattened (left, right) pairs in application order. */
   def encode(text: UTF8String, merges: Array[String],
       eow: String): GenericArrayData = {
+    // Locale.ROOT deliberately (the UnigramKernel choice): Spark's
+    // lower() slow path uses the default JVM locale, so on a tr_TR host
+    // the two could disagree on dotted/dotless I — ROOT keeps the
+    // kernel deterministic across hosts, which matters more here than
+    // matching an environment-dependent mapping
     val words = text.toString.toLowerCase(java.util.Locale.ROOT)
       .trim.split("\\s+")
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -31,14 +36,21 @@ object BpeKernel {
     while (w < words.length) {
       val word = words(w)
       if (word.nonEmpty) {
-        // char split + sentinel (UTF-16 units, matching split(w, ""))
-        var syms = new Array[String](word.length + 1)
+        // CODE-POINT split + sentinel: regex split on the empty pattern
+        // (the HOF's split(w, "")) advances per code point, keeping
+        // surrogate pairs whole — a charAt loop would shear an emoji
+        // into two lone surrogates and silently change the token stream
+        val nCp = word.codePointCount(0, word.length)
+        var syms = new Array[String](nCp + 1)
         var c = 0
+        var ci = 0
         while (c < word.length) {
-          syms(c) = String.valueOf(word.charAt(c))
-          c += 1
+          val cp = word.codePointAt(c)
+          syms(ci) = new String(Character.toChars(cp))
+          c += Character.charCount(cp)
+          ci += 1
         }
-        syms(word.length) = eow
+        syms(nCp) = eow
         var m = 0
         while (m < merges.length) {
           val l = merges(m)

@@ -655,8 +655,13 @@ object Stats {
       Window.partitionBy(col("g")).orderBy(col("v"), col("id"))))
     val vHist = base.groupBy(col("v")).agg(count(lit(1)).as("__c"))
     val vOffs = rangePrefixSums(vHist, Seq("v"), Seq("__c" -> "__incl"))
-      .select(col("v"), (col("__incl") - col("__c")).as("__voff"))
-    val pooled = base.join(vOffs, Seq("v"))
+      .select(col("v").as("__vo"), (col("__incl") - col("__c")).as("__voff"))
+    // NULL-SAFE equality: a null metric forms its own (first-ranked)
+    // histogram value under orderBy-nulls-first, exactly as the global
+    // row_number ranked it — a plain equi-join would drop those rows
+    // and with them every group row whose mapped rank lands in the
+    // null band
+    val pooled = base.join(vOffs, col("v") <=> col("__vo"))
       .withColumn("prk", col("__voff") + row_number().over(
         Window.partitionBy(col("v")).orderBy(col("g"), col("id"))))
       .select(col("prk"), col("v").as("norm_v"))

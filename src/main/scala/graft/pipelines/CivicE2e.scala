@@ -40,9 +40,21 @@ object CivicE2e {
     finally in.close()
   }
 
+  private def deleteRecursively(p: java.io.File): Unit = {
+    val kids = p.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    p.delete(): Unit
+  }
+
   def summary(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val root = Files.createTempDirectory("civic_e2e")
+    // each invocation builds a fixture set + five-table warehouse here;
+    // best-effort cleanup at JVM exit so repeated bench/verify runs
+    // don't accumulate temp garbage (deleteOnExit can't do non-empty
+    // directories)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(root.toFile)))
 
     val peopleDir = Files.createDirectory(root.resolve("people"))
     write(peopleDir, "baldwin.yml",

@@ -77,7 +77,14 @@ object Jdbc {
     * non-key columns, then rows whose update matched nothing re-batched
     * as INSERT — `INSERT … ON CONFLICT DO UPDATE` semantics with one
     * round-trip per `batchSize` rows instead of the reference's one
-    * commit per row. The table must exist ([[createTableIfMissing]]). */
+    * commit per row. The table must exist ([[createTableIfMissing]]).
+    *
+    * Input contract: the frame must be UNIQUE on `keys` — two same-key
+    * rows racing one batch both see UPDATE count 0 and both insert
+    * (a PK then aborts the partition; without one the table gains
+    * duplicates). A frame has no row order, so "last write wins among
+    * input duplicates" is undefinable here — dedupe upstream
+    * (`dropDuplicates(keys)` or the warehouse's last-writer policy). */
   def upsertByKey(df: DataFrame, url: String, table: String,
       keys: Seq[String], batchSize: Int = 500,
       options: Map[String, String] = Map.empty): Unit = {
@@ -129,7 +136,20 @@ object Jdbc {
         }
         val counts = upd.executeBatch()
         var anyInsert = false
-        batch.zip(counts).foreach { case (row, updated) =>
+        batch.zip(counts).foreach { case (row, batchCount) =>
+          // drivers may report Statement.SUCCESS_NO_INFO (-2) for every
+          // batched statement (Oracle always; Postgres under rewritten
+          // batches) — treating -2 as "updated" would silently drop the
+          // INSERT for every new key. Re-run those rows individually:
+          // executeUpdate returns the true match count.
+          val updated =
+            if (batchCount != java.sql.Statement.SUCCESS_NO_INFO) batchCount
+            else {
+              var i = 1
+              nonKeys.foreach { c => upd.setObject(i, row.getAs[Any](c)); i += 1 }
+              keys.foreach { c => upd.setObject(i, row.getAs[Any](c)); i += 1 }
+              upd.executeUpdate()
+            }
           if (updated == 0) {
             var i = 1
             cols.foreach { c => ins.setObject(i, row.getAs[Any](c)); i += 1 }

@@ -87,8 +87,11 @@ class BpeSpec extends SparkTestBase {
   test("encodeBpe kernel is bit-identical to the HOF fold spelling") {
     // overlapping rules, chained merges (a+a then aa+a-less chains via
     // successive rules), mixed case, extra whitespace, unicode
+    // the emoji is a supplementary-plane code point: regex split on the
+    // empty pattern keeps the surrogate pair whole, and the kernel must
+    // match (a charAt loop would shear it into two lone surrogates)
     val texts = Seq("aaa aaaa", "the theater theme", "  ab AB aB  ",
-      "über naïve café", "x", "", "ab ab ba", "aaaa")
+      "über naïve café", "x", "", "ab ab ba", "aaaa", "a😀b 😀😀")
     val merges = Seq(("a", "a"), ("t", "h"), ("th", "e"), ("aa", "a"),
       ("b", Bpe.Eow), ("the", "a"))
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -133,6 +133,28 @@ class StatsSpec extends SparkTestBase {
     assert(out(3L).contains(5L) && out(4L).contains(5L) && out(5L).contains(12L))
   }
 
+  test("quantileNormalize keeps null-metric rows in the pooled ranking") {
+    // nulls rank FIRST under orderBy-nulls-first; dropping them from the
+    // pooled side would both lose their output rows and shift every
+    // mapped-rank lookup that lands in the null band
+    val df = Seq(
+      ("a", 1L, null.asInstanceOf[java.lang.Long]),
+      ("a", 2L, java.lang.Long.valueOf(10L)),
+      ("a", 3L, java.lang.Long.valueOf(20L)),
+      ("b", 4L, java.lang.Long.valueOf(5L)),
+      ("b", 5L, java.lang.Long.valueOf(15L)),
+      ("b", 6L, java.lang.Long.valueOf(25L))).toDF("g", "id", "v")
+    val out = Stats.quantileNormalize(df, col("g"), col("id"), col("v"))
+      .collect().map(r => r.getLong(1) ->
+        Option(r.getAs[java.lang.Long]("norm_v"))).toMap
+    assert(out.size == 6, s"rows lost: ${out.keySet}")
+    // group a's null is its rank-1 value; group b's rank-1 (v=5) maps to
+    // the same pooled rank-1 position — the pooled minimum, which is
+    // the null value itself under nulls-first
+    assert(out(1L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
   test("aucExact/ksTest2/kaplanMeier plans contain no unpartitioned window") {
     // the round-6 verdict's scale finding: continuous value domains make
     // distinct cardinality ≈ row count, so a Window.orderBy(v) running

@@ -64,8 +64,11 @@ def main():
     for k in sorted(set(oq) - set(nq)):
         print(f"{k:40s} {oq[k]:8.2f} {'-':>8s}   (removed)")
     osum, nsum = sum(oq[k] for k in common), sum(nq[k] for k in common)
-    print(f"\ncommon-basket total: {osum:.1f}s -> {nsum:.1f}s "
-          f"(ratio {nsum / osum:.2f}, {len(common)} queries)")
+    if common and osum > 0:
+        print(f"\ncommon-basket total: {osum:.1f}s -> {nsum:.1f}s "
+              f"(ratio {nsum / osum:.2f}, {len(common)} queries)")
+    else:
+        print("\nno common queries with positive old times — nothing to ratio")
     if regressions:
         sys.exit(f"{len(regressions)} regression(s) beyond {threshold}x: "
                  + ", ".join(regressions))
