@@ -73,6 +73,24 @@ object Jdbc {
       .options(withTypes).jdbc(url, table, props(withTypes))
   }
 
+  /** Create a (non-unique) index over the upsert keys if none of that
+    * name exists — without one, every batched UPDATE's key probe is a
+    * full table scan and the upsert turns O(n²) (measured: the q220
+    * round-trip spent ~5 s in Derby scans on a 30k-row table).
+    * Idempotent: an already-exists error is swallowed. */
+  def ensureKeyIndex(url: String, table: String, keys: Seq[String],
+      options: Map[String, String] = Map.empty): Unit = {
+    val conn = DriverManager.getConnection(url, props(options))
+    try {
+      val stmt = conn.createStatement()
+      try stmt.executeUpdate(
+        s"CREATE INDEX ${table}_graft_key_idx ON $table (" +
+          keys.map(c => "\"" + c + "\"").mkString(", ") + ")"): Unit
+      catch { case _: java.sql.SQLException => () }
+      finally stmt.close()
+    } finally conn.close()
+  }
+
   /** Keyed upsert (K1): per partition, one batched UPDATE over the
     * non-key columns, then rows whose update matched nothing re-batched
     * as INSERT — `INSERT … ON CONFLICT DO UPDATE` semantics with one

@@ -280,6 +280,24 @@ object EventPipeline {
     Warehouse.checkedSwapInto(spark, tablePath, tmp)
   }
 
+  /** foreachBatch body: keyed upsert of each micro-batch into a JDBC
+    * warehouse table — [[graft.sources.Jdbc.upsertByKey]] composed onto
+    * the stream, the live-feed form of the reference's Postgres sink
+    * with batched statements instead of one commit per row. Replay-safe
+    * by the upsert's idempotence: re-processing a batch after a failure
+    * re-applies the same key→values and the table cannot drift. The
+    * batch is deduped on `keys` first (update-mode aggregates can emit
+    * one row per key per trigger, but a raw append stream may not);
+    * within-batch duplicate VALUES for one key have no defined winner —
+    * pre-aggregate upstream when that matters. */
+  def jdbcUpsertSink(url: String, table: String, keys: Seq[String],
+      options: Map[String, String] = Map.empty)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val unique = batch.dropDuplicates(keys)
+    graft.sources.Jdbc.createTableIfMissing(unique, url, table, options)
+    graft.sources.Jdbc.upsertByKey(unique, url, table, keys, options = options)
+  }
+
   /** foreachBatch body for streaming corpus ingest with near-dup
     * rejection: each micro-batch is (1) self-deduped with the in-batch
     * MinHash+LSH kernel, then (2) filtered against the accumulated

@@ -21,6 +21,8 @@ class JdbcSpec extends SparkTestBase {
     val batch1 = Seq((1L, "alice", 30), (2L, "bob", 40), (3L, "carol", 50))
       .toDF("id", "name", "age")
     Jdbc.createTableIfMissing(batch1, url, t)
+    Jdbc.ensureKeyIndex(url, t, Seq("id"))
+    Jdbc.ensureKeyIndex(url, t, Seq("id")) // idempotent re-create
     Jdbc.upsertByKey(batch1, url, t, Seq("id"), batchSize = 2)
     assert(Jdbc.read(spark, url, t).count() == 3)
 

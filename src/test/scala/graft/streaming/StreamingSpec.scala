@@ -594,4 +594,27 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(last._2 && last._1 > 200000L, s"shifted stream not flagged: $last")
   }
+
+  test("jdbcUpsertSink: update-mode counts land in Derby, replay-safe") {
+    implicit val sql = spark.sqlContext
+    val url = s"jdbc:derby:memory:streamdb${System.nanoTime()};create=true"
+    val stream = MemoryStream[Ev]
+    val counts = stream.toDF()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch(
+        EventPipeline.jdbcUpsertSink(url, "type_counts", Seq("event_type")) _)
+      .start()
+    stream.addData(evs(10)) // 5 click, 5 view
+    q.processAllAvailable()
+    val after1 = graft.sources.Jdbc.read(spark, url, "type_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after1 == Map("click" -> 5L, "view" -> 5L), after1.toString)
+    stream.addData(evs(6)) // +3 click, +3 view
+    q.processAllAvailable()
+    q.stop()
+    val after2 = graft.sources.Jdbc.read(spark, url, "type_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after2 == Map("click" -> 8L, "view" -> 8L), after2.toString)
+  }
 }
