@@ -147,12 +147,17 @@ object CivicE2e {
       .select(col("id"), col("name"), lit("zipcode").as("classification"),
         lit(0L).as("land_area"),
         GeoFunctions.stGeomFromGeoJson(col("gj")).as("geometry"))
-    val areas = cds.unionByName(zips)
+    // the three multi-consumer frames are pinned once: people feeds the
+    // voter-match projection, the spatial edges, AND its own ingest;
+    // bills feeds the vote-event join and two ingests; areas feeds the
+    // edges and its ingest — unpinned, each consumer re-ran the whole
+    // build (YAML parse + role resolution three times over)
+    val areas = cds.unionByName(zips).localCheckpoint()
 
     val people = CivicPipeline.peopleFromYaml(spark, s"$peopleDir/*.yml",
-      Timestamp.valueOf("2026-01-01 00:00:00"), stateNames)
+      Timestamp.valueOf("2026-01-01 00:00:00"), stateNames).localCheckpoint()
     val bills = CivicPipeline.billsFromJsonDocs(spark, docsDir.toString,
-      "ocd-division/country:us")
+      "ocd-division/country:us").localCheckpoint()
     // the reference's match-candidate projection (vote_matching.py
     // first_name/last_name) from the YAML people's given/family names
     val matchPeople = people.select(col("id"), col("name"),
