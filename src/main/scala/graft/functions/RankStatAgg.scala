@@ -67,6 +67,32 @@ private[functions] trait ValueHistAggregate
   protected def markExpr: Expression
   override def children: Seq[Expression] = Seq(valueExpr, markExpr)
   override def createAggregationBuffer(): ValueHistBuffer = new ValueHistBuffer
+  // ANALYSIS-TIME type gate: the common call shape
+  // `auc_micro(double_score, label)` must fail when the plan resolves,
+  // not mid-query with an IllegalArgumentException from update() —
+  // the frame-level twin (Stats.aucExact) pre-casts its scores, so SQL
+  // users deserve a consistent, early error telling them to do the same
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val valueOk = valueExpr.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val markOk = markExpr.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _ => false
+    }
+    if (!valueOk) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an INTEGRAL value column " +
+        s"(byte/short/int/long), got ${valueExpr.dataType.catalogString}; " +
+        "cast explicitly — e.g. CAST(score * 1000000 AS BIGINT) — to " +
+        "choose the tie quantization, exactly as the frame-level op does")
+    else if (!markOk) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a boolean or plain-numeric mark column, " +
+        s"got ${markExpr.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   // integral values and boolean-or-numeric marks are coerced here rather
   // than via ImplicitCastInputTypes (AbstractDataType is private[sql])
   override def update(buf: ValueHistBuffer, input: InternalRow): ValueHistBuffer = {

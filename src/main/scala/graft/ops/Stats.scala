@@ -95,9 +95,13 @@ object Stats {
     val goff = rangePrefixSums(gtot, Seq("g"), Seq("n" -> "__gtotincl"))
       .withColumn("__goff", col("__gtotincl") - col("n"))
       .select(col("g"), col("n"), col("__goff"))
-    withIncl.join(goff, Seq("g"))
+    // null-SAFE group join: `Seq("g")` equi-join drops NULL group keys,
+    // silently losing the null band that SQL GROUP BY keeps (the same
+    // class of bug fixed in quantileNormalize's pooled join)
+    withIncl.join(goff.withColumnRenamed("g", "__jg"),
+        col("g") <=> col("__jg"))
       .withColumn("cum", col("__gincl") - col("__goff"))
-      .drop("__gincl", "__goff")
+      .drop("__jg", "__gincl", "__goff")
   }
 
   /** Exact discrete quantiles (SQL `percentile_disc` semantics: the

@@ -47,14 +47,19 @@ object CivicE2e {
   }
 
   def summary(spark: SparkSession): DataFrame = {
-    import spark.implicits._
+    // each invocation builds a fixture set + five-table warehouse under
+    // a temp root; the 6-row summary is materialized EAGERLY at the end
+    // and the whole tree deleted immediately — the previous
+    // shutdown-hook design accumulated one live Thread + one held temp
+    // dir per invocation (three bench passes = three hooks), a real
+    // leak for any long-lived server calling this repeatedly
     val root = Files.createTempDirectory("civic_e2e")
-    // each invocation builds a fixture set + five-table warehouse here;
-    // best-effort cleanup at JVM exit so repeated bench/verify runs
-    // don't accumulate temp garbage (deleteOnExit can't do non-empty
-    // directories)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      deleteRecursively(root.toFile)))
+    try summaryUnder(spark, root)
+    finally deleteRecursively(root.toFile)
+  }
+
+  private def summaryUnder(spark: SparkSession, root: Path): DataFrame = {
+    import spark.implicits._
 
     val peopleDir = Files.createDirectory(root.resolve("people"))
     write(peopleDir, "baldwin.yml",
@@ -200,7 +205,12 @@ object CivicE2e {
           .as("content_hash"))
       .select(lit("vote_events_dropped").as("table"), col("n_rows"),
         col("content_hash"))
-    (perTable :+ droppedRow).reduce(_.unionByName(_))
+    val out = (perTable :+ droppedRow).reduce(_.unionByName(_))
       .orderBy(col("table"))
+    // materialize the 6 summary rows NOW — the caller's frame must not
+    // depend on the temp warehouse parquet, which is deleted on return
+    val rows = out.collect().toIndexedSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 }

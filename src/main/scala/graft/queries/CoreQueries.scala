@@ -46,8 +46,24 @@ object CoreQueries {
     // RANGE-PARTITIONED parallel JDBC scan, and aggregated. The oracle
     // computes the same rollup straight off the parquet, so a hash
     // match proves the write→upsert→partitioned-read loop is lossless.
+    // Lifecycle: FIXED db name, dropped at entry (idempotent in-session)
+    // and again after the 3-row aggregate materializes — Derby memory:
+    // DBs otherwise persist on the heap for the JVM lifetime, so three
+    // bench passes used to hold three orphan databases.
     "q220_jdbc_roundtrip" -> ((s, dir) => {
-      val url = s"jdbc:derby:memory:graftq220_${System.nanoTime()};create=true"
+      val db = "memory:graftq220"
+      def dropDb(): Unit =
+        try {
+          java.sql.DriverManager.getConnection(s"jdbc:derby:$db;drop=true")
+          ()
+        } catch {
+          // 08006 = drop SUCCEEDED (Derby reports it as a connection
+          // shutdown); XJ004 = db does not exist (first run)
+          case e: java.sql.SQLException
+              if e.getSQLState == "08006" || e.getSQLState == "XJ004" => ()
+        }
+      dropDb()
+      val url = s"jdbc:derby:$db;create=true"
       // the synthetic lineitem is NOT unique on (orderkey, linenumber)
       // (sf0.01: 3862 rows, 2986 distinct pairs), and upsertByKey's
       // contract requires unique keys — pre-aggregate to a
@@ -71,12 +87,20 @@ object CoreQueries {
         Seq("l_orderkey", "l_linenumber"))
       graft.sources.Jdbc.upsertByKey(slice, url, tbl,
         Seq("l_orderkey", "l_linenumber"))
-      graft.sources.Jdbc.readPartitioned(s, url, tbl,
+      val out = graft.sources.Jdbc.readPartitioned(s, url, tbl,
         "l_orderkey", 1L, 1000L, 8)
         .groupBy(col("l_returnflag"))
         .agg(sum(col("n_rows")).as("n"), sum(col("qty")).as("sum_qty"),
           sum(col("cents")).as("sum_cents"))
         .orderBy(col("l_returnflag"))
+      // materialize the 3-row rollup eagerly so the DB can be dropped
+      // NOW (a lazy frame would still need Derby alive at driver
+      // execution time), then hand back a re-parallelized frame
+      val rows = out.collect().toIndexedSeq
+      val schema = out.schema
+      dropDb()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
     }),
 
     // P1/P2 — projection + predicate pushdown (SURVEY §2.3)

@@ -77,16 +77,25 @@ object Jdbc {
     * name exists — without one, every batched UPDATE's key probe is a
     * full table scan and the upsert turns O(n²) (measured: the q220
     * round-trip spent ~5 s in Derby scans on a 30k-row table).
-    * Idempotent: an already-exists error is swallowed. */
+    * Idempotent: an ALREADY-EXISTS error (and only that — matched by
+    * SQLState, Derby X0Y32 / Postgres 42P07 / SQL-standard 42710 /
+    * ODBC-style 42S11) is swallowed; anything else (permissions,
+    * syntax, bad table name) rethrows — silently leaving the upsert
+    * unindexed reintroduces the O(n²) scan this helper exists to
+    * prevent. */
   def ensureKeyIndex(url: String, table: String, keys: Seq[String],
       options: Map[String, String] = Map.empty): Unit = {
+    val duplicateStates = Set("X0Y32", "42P07", "42710", "42S11")
     val conn = DriverManager.getConnection(url, props(options))
     try {
       val stmt = conn.createStatement()
       try stmt.executeUpdate(
         s"CREATE INDEX ${table}_graft_key_idx ON $table (" +
           keys.map(c => "\"" + c + "\"").mkString(", ") + ")"): Unit
-      catch { case _: java.sql.SQLException => () }
+      catch {
+        case e: java.sql.SQLException
+            if duplicateStates.contains(e.getSQLState) => ()
+      }
       finally stmt.close()
     } finally conn.close()
   }
@@ -130,9 +139,19 @@ object Jdbc {
         val conn = DriverManager.getConnection(url, props(opts))
         try {
           conn.setAutoCommit(false)
-          upsertPartition(conn, rows, updateSql, insertSql,
-            cols, keys, nonKeys, batchSize)
-          conn.commit()
+          try {
+            upsertPartition(conn, rows, updateSql, insertSql,
+              cols, keys, nonKeys, batchSize)
+            conn.commit()
+          } catch {
+            // roll back explicitly before close: embedded drivers
+            // (Derby) refuse to close a connection with an active
+            // transaction, which would mask the real failure AND leak
+            // the partition's row locks until JVM exit
+            case e: Throwable =>
+              try conn.rollback() catch { case _: java.sql.SQLException => () }
+              throw e
+          }
         } finally conn.close()
       }
     }
@@ -159,7 +178,15 @@ object Jdbc {
           // batched statement (Oracle always; Postgres under rewritten
           // batches) — treating -2 as "updated" would silently drop the
           // INSERT for every new key. Re-run those rows individually:
-          // executeUpdate returns the true match count.
+          // executeUpdate returns the true match count. EXECUTE_FAILED
+          // (-3, a per-row failure on a driver that doesn't throw
+          // BatchUpdateException) must NOT count as "updated" either —
+          // that would skip the INSERT fallback and lose the row; it is
+          // an error, surface it.
+          if (batchCount == java.sql.Statement.EXECUTE_FAILED)
+            throw new java.sql.SQLException(
+              s"batched UPDATE reported EXECUTE_FAILED for key " +
+                keys.map(c => s"$c=${row.getAs[Any](c)}").mkString(", "))
           val updated =
             if (batchCount != java.sql.Statement.SUCCESS_NO_INFO) batchCount
             else {

@@ -37,6 +37,25 @@ class RankStatAggSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("both classes")))
   }
 
+  test("auc_micro rejects a double score column at ANALYSIS time") {
+    // the common call shape auc_micro(double_score, label) used to blow
+    // up mid-query from update(); checkInputDataTypes must fail the
+    // plan before execution, pointing at an explicit cast
+    Seq((0.9, true), (0.1, false)).toDF("s", "y")
+      .createOrReplaceTempView("dbl_scored")
+    val e = intercept[Exception](
+      installed.sql("SELECT auc_micro(s, y) FROM dbl_scored").collect())
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      e.getMessage.toLowerCase.contains("data type mismatch") ||
+      e.getMessage.contains("INTEGRAL"),
+      s"expected an analysis-time type error, got $e")
+    // and the explicit-cast spelling the error suggests works
+    val ok = installed.sql(
+      "SELECT auc_micro(CAST(s * 1000000 AS BIGINT), y) AS a FROM dbl_scored")
+      .collect().head.getStruct(0)
+    assert(ok.getAs[Long]("auc_micro") == 1000000L)
+  }
+
   test("kaplan_meier agg == Analytics.kaplanMeier incl. censoring and all-die tail") {
     // durations with ties, censored rows, and a final time where every
     // remaining subject dies (d == n_risk → surv 0, lnS of prior times)

@@ -34,6 +34,20 @@ class StatsSpec extends SparkTestBase {
     assert(rows("a").getAs[Long]("p50") == 5L) // rank ceil(1)=1 → 5
   }
 
+  test("quantilesDisc keeps the NULL group (SQL GROUP BY semantics)") {
+    // groupedCum's offset join must be null-safe — a plain equi-join
+    // silently drops every row whose group key is NULL
+    val df = Seq((null.asInstanceOf[String], 1L),
+      (null.asInstanceOf[String], 3L), (null.asInstanceOf[String], 9L),
+      ("a", 5L)).toDF("g", "v")
+    val rows = Stats.quantilesDisc(df, col("g"), col("v"), Seq(50))
+      .collect().map(r => Option(r.getString(0)) -> r).toMap
+    assert(rows.contains(None), "NULL group must survive groupedCum")
+    assert(rows(None).getAs[Long]("n") == 3L)
+    assert(rows(None).getAs[Long]("p50") == 3L) // rank ceil(1.5)=2 → 3
+    assert(rows(Some("a")).getAs[Long]("p50") == 5L)
+  }
+
   test("quantilesCont interpolates ×100 exactly; f=0 coalesces the upper probe") {
     // n=4 values 10..40: p25 → pos 0.75 → 10·25+20·75 = 1750;
     // p50 → pos 1.5 → 20·50+30·50 = 2500; p100 → pos 3, f=0 → 4000

@@ -530,4 +530,23 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(fin == Map("a" -> 4, "b" -> 2, "c" -> 2, "d" -> 3, "e" -> 4))
   }
+
+  // q219 resource contract: repeated summary() calls in one JVM must
+  // leave no temp warehouses behind (the previous shutdown-hook design
+  // accumulated one live hook + one held dir per invocation), and the
+  // result must be run-stable.
+  test("CivicE2e.summary is repeatable and leaves no temp dirs behind") {
+    def civicDirs(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("civic_e2e")).toSet
+    }
+    val before = civicDirs()
+    val r1 = CivicE2e.summary(spark).collect().map(_.toSeq).toSeq
+    val r2 = CivicE2e.summary(spark).collect().map(_.toSeq).toSeq
+    assert(r1 == r2, "summary must be deterministic across invocations")
+    assert(r1.size == 6)
+    assert(civicDirs() == before,
+      "summary() must delete its temp warehouse before returning")
+  }
 }

@@ -54,6 +54,61 @@ class JdbcSpec extends SparkTestBase {
       Jdbc.upsertByKey(df.select("id"), url, "t", Seq("id")))
   }
 
+  test("ensureKeyIndex rethrows non-duplicate errors (bad table name)") {
+    // swallowing EVERY SQLException silently left the upsert unindexed
+    // (O(n²) full scans); only the already-exists SQLStates are benign
+    val e = intercept[Exception] {
+      Jdbc.ensureKeyIndex(url, "no_such_table_xyz", Seq("id"))
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[java.sql.SQLException]))
+  }
+
+  test("PK constraint pins the documented duplicate-key abort + clean sequential path") {
+    // upsertByKey's contract: two same-key rows in one batch (the
+    // in-partition equivalent of two writers racing an ABSENT key) both
+    // see UPDATE count 0 and both INSERT — a PRIMARY KEY then aborts
+    // the partition instead of silently duplicating. Pin both halves.
+    val t = "pk_contract"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE $t ("id" BIGINT PRIMARY KEY, "v" VARCHAR(10))"""): Unit
+      finally st.close()
+    } finally conn.close()
+
+    // clean sequential-writer path: insert, then update, no duplicates
+    Jdbc.upsertByKey(Seq((7L, "a")).toDF("id", "v"), url, t, Seq("id"))
+    Jdbc.upsertByKey(Seq((7L, "b")).toDF("id", "v"), url, t, Seq("id"))
+    val after = Jdbc.read(spark, url, t).collect()
+    assert(after.length == 1 && after.head.getString(1) == "b")
+
+    // contract-violating frame: duplicate keys in ONE batch → PK abort
+    val dup = Seq((8L, "x"), (8L, "y")).toDF("id", "v").coalesce(1)
+    val e = intercept[Exception] {
+      Jdbc.upsertByKey(dup, url, t, Seq("id"), batchSize = 10)
+    }
+    // walk BOTH getCause and SQLException.getNextException — Derby
+    // reports batch failures as a BatchUpdateException whose 23505
+    // detail rides the next-exception chain
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil
+      else t :: (chain(t.getCause) ++ (t match {
+        case s: java.sql.SQLException => chain(s.getNextException)
+        case _ => Nil
+      }))
+    assert(chain(e).exists { c =>
+      c.isInstanceOf[java.sql.SQLException] &&
+        Option(c.asInstanceOf[java.sql.SQLException].getSQLState)
+          .exists(_.startsWith("23")) // integrity-constraint violation class
+    }, s"expected a 23xxx constraint violation in the cause chain of $e")
+    // the aborted partition rolled back atomically: no partial write
+    assert(Jdbc.read(spark, url, t)
+      .filter(col("id") === 8L).count() == 0L)
+  }
+
   test("composite-key upsert updates on the full key only") {
     val t = "edges_jdbc"
     val b1 = Seq(("p1", "a1", "x"), ("p1", "a2", "y")).toDF("pid", "aid", "rel")
