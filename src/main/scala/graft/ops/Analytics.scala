@@ -699,10 +699,13 @@ object Analytics {
   def skyline2d(df: DataFrame, xName: String, yName: String): DataFrame = {
     val perX = df.groupBy(col(xName).cast("long").as("__x"))
       .agg(max(col(yName).cast("long")).as("__y"))
-    val prevMax = Window.orderBy(col("__x"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val front = perX
-      .withColumn("__pm", max(col("__y")).over(prevMax))
+    // strictly-preceding running max over the distinct-x histogram via
+    // the range-partitioned prefix construction — an unpartitioned
+    // Window.orderBy(__x) serialized the whole histogram onto one task,
+    // which degrades exactly like AUC did when x is continuous
+    // (distinct cardinality ≈ row count)
+    val front = Stats.rangePrefixMaxExclusive(
+        perX, Seq("__x"), Seq("__y" -> "__pm"))
       .where(col("__pm").isNull || col("__pm") < col("__y"))
       .select(col("__x"), col("__y"))
     df.join(front,

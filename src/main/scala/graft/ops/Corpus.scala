@@ -888,6 +888,9 @@ object Corpus {
         expr(s"CAST(CAST(w AS DECIMAL(38,0)) * $total % __ok AS BIGINT)"))
     val leftover = based.agg((lit(total) - sum(col("base"))).as("left"))
     based
+      // BOUNDED single-partition window: one row per allocation KEY
+      // (source/dimension cardinality — tens to thousands), never per
+      // corpus row; Hamilton's method needs the global remainder order
       .withColumn("rrank", row_number().over(
         Window.orderBy(col("rem").desc, col("key"))).cast("long"))
       .crossJoin(leftover)

@@ -42,35 +42,60 @@ object Stats {
     * `incl − value`. Key values must be distinct per row (histogram
     * frames are, by their groupBy construction). */
   private[graft] def rangePrefixSums(hist: DataFrame, keys: Seq[String],
-      sums: Seq[(String, String)], numParts: Int = 32): DataFrame = {
-    require(sums.nonEmpty && sums.map(_._2).distinct.size == sums.size,
-      s"rangePrefixSums needs distinct output names, got ${sums.map(_._2)}")
+      sums: Seq[(String, String)], numParts: Int = 32): DataFrame =
+    rangePrefix(hist, keys, sums, useMax = false, inclusive = true, numParts)
+
+  /** EXCLUSIVE global prefix MAX under the key order — same
+    * range-partitioned construction as [[rangePrefixSums]] (the
+    * triangular-offset decomposition is agnostic to the monoid), the
+    * scale-safe replacement for
+    * `Window.orderBy(k).rowsBetween(unboundedPreceding, -1)` running
+    * maxes (skyline fronts). Exclusive composes cleanly for max —
+    * global-excl(row) = greatest(all preceding partitions' totals,
+    * partition-local exclusive max) — whereas deriving it from an
+    * inclusive max would need a second (lag) window. First row of the
+    * order gets NULL, matching window-max-over-empty-frame. */
+  private[graft] def rangePrefixMaxExclusive(hist: DataFrame,
+      keys: Seq[String], maxes: Seq[(String, String)],
+      numParts: Int = 32): DataFrame =
+    rangePrefix(hist, keys, maxes, useMax = true, inclusive = false, numParts)
+
+  private def rangePrefix(hist: DataFrame, keys: Seq[String],
+      aggs: Seq[(String, String)], useMax: Boolean, inclusive: Boolean,
+      numParts: Int): DataFrame = {
+    require(aggs.nonEmpty && aggs.map(_._2).distinct.size == aggs.size,
+      s"rangePrefix needs distinct output names, got ${aggs.map(_._2)}")
+    def fold(c: Column): Column = if (useMax) max(c) else sum(c)
     val keyCols = keys.map(col)
     val withPid = hist.repartitionByRange(numParts, keyCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val local = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val withLoc = sums.foldLeft(withPid) { case (d, (src, out)) =>
-      d.withColumn(s"__loc_$out", sum(col(src)).over(local))
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    val withLoc = aggs.foldLeft(withPid) { case (d, (src, out)) =>
+      d.withColumn(s"__loc_$out", fold(col(src)).over(local))
     }
-    val totAggs = sums.map { case (src, out) => sum(col(src)).as(s"__t_$out") }
+    val totAggs = aggs.map { case (src, out) => fold(col(src)).as(s"__t_$out") }
     val totals = withPid.groupBy(col("__pid").as("__tp"))
       .agg(totAggs.head, totAggs.tail: _*)
-    val offAggs = sums.map { case (_, out) =>
-      sum(col(s"b.__t_$out")).as(s"__off_$out") }
+    val offAggs = aggs.map { case (_, out) =>
+      fold(col(s"b.__t_$out")).as(s"__off_$out") }
     val offs = totals.as("a")
       .join(totals.as("b"), col("b.__tp") < col("a.__tp"), "left")
       .groupBy(col("a.__tp").as("__pid"))
       .agg(offAggs.head, offAggs.tail: _*)
     val joined = withLoc.join(broadcast(offs), Seq("__pid"))
-    sums.foldLeft(joined) { case (d, (_, out)) =>
+    aggs.foldLeft(joined) { case (d, (_, out)) =>
+      // null semantics match the window forms: sum is null only while
+      // ALL addends so far are null; greatest already skips nulls and
+      // returns null only when both sides are
       d.withColumn(out,
-        when(col(s"__loc_$out").isNull && col(s"__off_$out").isNull,
+        if (useMax) greatest(col(s"__loc_$out"), col(s"__off_$out"))
+        else when(col(s"__loc_$out").isNull && col(s"__off_$out").isNull,
           lit(null))
           .otherwise(coalesce(col(s"__loc_$out"), lit(0))
             + coalesce(col(s"__off_$out"), lit(0))))
-    }.drop("__pid" +: sums.flatMap { case (_, o) =>
+    }.drop("__pid" +: aggs.flatMap { case (_, o) =>
       Seq(s"__loc_$o", s"__off_$o") }: _*)
   }
 
@@ -288,6 +313,12 @@ object Stats {
       .select(col("e"), col("sub"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+    // BOUNDED single-partition window, by construction: the axis is
+    // sketch buckets — (log-scale exponent e) × subBuckets — whose
+    // cardinality is fixed by the sketch resolution (≈ a few hundred
+    // rows for any input size), never by row or distinct-value count.
+    // This is the documented histogram-discipline whitelist case; the
+    // row-scale cumulatives (AUC/KS/KM) ride rangePrefixSums instead.
     val w = Window.orderBy(col("e"), col("sub"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val cum = merged
@@ -448,8 +479,10 @@ object Stats {
     val b = ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_b"), sum(col("__pos")).as("npos_b"))
     val tot = b.agg(sum(col("n_b")).as("n"), sum(col("npos_b")).as("npos"))
+    // BOUNDED single-partition window: the frame has exactly `buckets`
+    // rows (require-gated ≤ 1000) regardless of input size
     val cumW = Window.orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, 0) // `buckets` rows total
+      .rowsBetween(Window.unboundedPreceding, 0)
     b.crossJoin(tot)
       .withColumn("cum_pos", sum(col("npos_b")).over(cumW))
       .select(col("decile"), col("n_b"), col("npos_b"),

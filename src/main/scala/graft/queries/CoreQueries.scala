@@ -326,9 +326,15 @@ object CoreQueries {
         .withColumn("name", expr(
           "concat(substring(name, 1, length(name) - 1)," +
             " translate(substring(name, length(name), 1), '01', 'OI'))"))
-      val all = clean.unionByName(dirty)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("name"), col("id"))))
+      // the global neighborhood rank is a prefix-COUNT under the
+      // (name, id) total order — ride the range-partitioned prefix
+      // sums instead of an unpartitioned row_number window, which
+      // serialized the whole union onto one task (row-scale, not
+      // histogram-scale: this frame is 2× the customer table)
+      val all = graft.ops.Stats.rangePrefixSums(
+          clean.unionByName(dirty).withColumn("__one", lit(1L)),
+          Seq("name", "id"), Seq("__one" -> "rn"))
+        .drop("__one")
       // the window offsets EXPLODE into an equi-join key — a bare
       // `rb BETWEEN ra+1 AND ra+5` range predicate plans as a nested
       // loop (900M comparisons at sf0.1); five shifted equi-join rows

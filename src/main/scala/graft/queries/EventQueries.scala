@@ -503,16 +503,15 @@ object EventQueries {
     // Decision-stump induction: the single best threshold split of the
     // value column for predicting "is this a purchase event" by
     // information gain — computed entirely over the value HISTOGRAM
-    // (running class counts via one window), entropies in nano-nats
-    // from exact integer counts, one rounding per side sum
+    // (running class counts via range-partitioned prefix sums),
+    // entropies in nano-nats from exact integer counts, one rounding
+    // per side sum
     "q206_best_split" -> ((s, dir) => {
       val pts = t(s, dir, "events")
         .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
       val hist = pts.groupBy(col("v"))
         .agg(count(lit(1)).as("nv"), sum(col("y")).as("pv"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = pts.agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
       def sideE(p: org.apache.spark.sql.Column,
           n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -520,9 +519,12 @@ object EventQueries {
           .otherwise(-(p.cast("double") * log(p.cast("double") / n.cast("double"))
             + (n - p).cast("double")
               * log((n - p).cast("double") / n.cast("double"))))
-      val splits = hist
-        .withColumn("nl", sum(col("nv")).over(w))
-        .withColumn("pl", sum(col("pv")).over(w))
+      // running class counts over the value histogram ride the
+      // range-partitioned prefix sums — the value domain is
+      // cents-quantized but CONTINUOUS in origin, so an unpartitioned
+      // Window.orderBy(v) here degrades exactly like AUC's did
+      val splits = graft.ops.Stats.rangePrefixSums(hist, Seq("v"),
+          Seq("nv" -> "nl", "pv" -> "pl"))
         .crossJoin(tot)
         .withColumn("nr", col("n") - col("nl"))
         .withColumn("pr", col("p") - col("pl"))

@@ -194,6 +194,28 @@ class StatsSpec extends SparkTestBase {
       vals, col("g"), col("id"), col("v"))).isEmpty)
     assert(unpartitioned(Analytics.ntileExact(
       vals, col("v"), col("id"), 5, "q")).isEmpty)
+    // round-8: the skyline front's strictly-preceding running max rides
+    // the same construction (continuous x makes its histogram row-sized)
+    val pts = (1 to 400).map(i => (i.toLong, (i * 37 % 401).toLong))
+      .toDF("x", "y")
+    assert(unpartitioned(Analytics.skyline2d(pts, "x", "y")).isEmpty)
+  }
+
+  test("rangePrefixMaxExclusive == exclusive window max, incl. null head and ties") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, java.lang.Long.valueOf(3L)), (3L, null.asInstanceOf[java.lang.Long]),
+      (4L, java.lang.Long.valueOf(9L)), (5L, java.lang.Long.valueOf(9L)),
+      (6L, java.lang.Long.valueOf(1L))).toDF("k", "v")
+    val want = df.withColumn("pm", max(col("v")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("pm")))
+      .toMap
+    val got = Stats.rangePrefixMaxExclusive(df, Seq("k"), Seq("v" -> "pm"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Long]("pm")))
+      .toMap
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    assert(got(1L).isEmpty, "first row's exclusive prefix must be null")
   }
 
   test("medianMadOutliers: hand-computed median, MAD, and outlier count") {
