@@ -52,7 +52,18 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = names.flatMap(best.get).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // stable full artifact: the round driver's BENCH_r*.json keeps only
+    // a 2000-char truncated tail of stdout, so the complete per-query
+    // record must live at a fixed path the next round can diff against
+    // (tools/bench_compare.py defaults its `new` side to this file)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")),
+      line + "\n")
+    catch { case _: Exception => () } // read-only cwd must not fail the bench
     spark.stop()
   }
 }

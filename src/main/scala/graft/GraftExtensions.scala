@@ -33,6 +33,15 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  // geo functions are JTS-backed Scala lambdas (sanctioned UDFs per
+  // SURVEY §7.4); for the SQL surface they register as catalyst
+  // ScalaUDF expressions directly — the legacy no-encoder path converts
+  // arguments via CatalystTypeConverters from the children's types
+  private def geoUdf(fn: AnyRef, dt: org.apache.spark.sql.types.DataType,
+      name: String)(es: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalaUDF(
+      fn, dt, es, Nil, None, Some(name))
+
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "uuid5" -> (es => Uuid5(es.head)),
     "unaccent" -> (es => Unaccent(es.head)),
@@ -73,7 +82,21 @@ object GraftExtensions {
     "auc_micro" -> (es =>
       AucMicroAgg(es(0), es(1)).toAggregateExpression()),
     "kaplan_meier" -> (es =>
-      KaplanMeierAgg(es(0), es(1)).toAggregateExpression()))
+      KaplanMeierAgg(es(0), es(1)).toAggregateExpression()),
+    "st_geomfromgeojson" -> geoUdf(graft.geo.GeoFunctions.geomFromGeoJsonFn,
+      org.apache.spark.sql.types.BinaryType, "st_geomfromgeojson") _,
+    "st_point" -> geoUdf(graft.geo.GeoFunctions.pointFn,
+      org.apache.spark.sql.types.BinaryType, "st_point") _,
+    "st_intersects" -> geoUdf(graft.geo.GeoFunctions.intersectsFn,
+      org.apache.spark.sql.types.BooleanType, "st_intersects") _,
+    "st_contains" -> geoUdf(graft.geo.GeoFunctions.containsFn,
+      org.apache.spark.sql.types.BooleanType, "st_contains") _,
+    "st_centroid" -> geoUdf(graft.geo.GeoFunctions.centroidFn,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false),
+      "st_centroid") _,
+    "st_area" -> geoUdf(graft.geo.GeoFunctions.areaFn,
+      org.apache.spark.sql.types.DoubleType, "st_area") _)
 
   /** Register every function into an existing session's catalog. */
   def install(spark: SparkSession): Unit =

@@ -14,25 +14,35 @@ import org.apache.spark.sql.functions.udf
   */
 object GeoFunctions {
 
-  private val geomFromGeoJsonUdf = udf((s: String) =>
-    if (s == null) null else GeoJson.toWkb(GeoJson.parse(s)))
+  // raw lambdas exposed separately from the Column-level udf() wrappers:
+  // GraftExtensions registers them as catalyst ScalaUDFs for the SQL
+  // surface (the Column⇄Expression bridge cannot evaluate a UDF COLUMN
+  // node built outside the analyzer)
+  private[graft] val geomFromGeoJsonFn = (s: String) =>
+    if (s == null) null else GeoJson.toWkb(GeoJson.parse(s))
+  private val geomFromGeoJsonUdf = udf(geomFromGeoJsonFn)
 
-  private val pointUdf = udf((x: Double, y: Double) => GeoJson.pointWkb(x, y))
+  private[graft] val pointFn = (x: Double, y: Double) => GeoJson.pointWkb(x, y)
+  private val pointUdf = udf(pointFn)
 
-  private val intersectsUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+  private[graft] val intersectsFn = (a: Array[Byte], b: Array[Byte]) =>
     if (a == null || b == null) false
-    else GeoJson.fromWkb(a).intersects(GeoJson.fromWkb(b)))
+    else GeoJson.fromWkb(a).intersects(GeoJson.fromWkb(b))
+  private val intersectsUdf = udf(intersectsFn)
 
-  private val containsUdf = udf((a: Array[Byte], b: Array[Byte]) =>
+  private[graft] val containsFn = (a: Array[Byte], b: Array[Byte]) =>
     if (a == null || b == null) false
-    else GeoJson.fromWkb(a).contains(GeoJson.fromWkb(b)))
+    else GeoJson.fromWkb(a).contains(GeoJson.fromWkb(b))
+  private val containsUdf = udf(containsFn)
 
-  private val centroidUdf = udf((a: Array[Byte]) => {
+  private[graft] val centroidFn = (a: Array[Byte]) => {
     val c = GeoJson.fromWkb(a).getCentroid
     Seq(c.getX, c.getY)
-  })
+  }
+  private val centroidUdf = udf(centroidFn)
 
-  private val areaUdf = udf((a: Array[Byte]) => GeoJson.fromWkb(a).getArea)
+  private[graft] val areaFn = (a: Array[Byte]) => GeoJson.fromWkb(a).getArea
+  private val areaUdf = udf(areaFn)
 
   private val envelopeUdf = udf((a: Array[Byte]) => {
     val e = GeoJson.fromWkb(a).getEnvelopeInternal

@@ -36,6 +36,29 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getAs[Int]("pr") == 100)
   }
 
+  test("geo functions are callable from SQL (round-8: spatial SQL surface)") {
+    GraftExtensions.install(spark)
+    val row = spark.sql("""
+      SELECT st_intersects(
+               st_geomfromgeojson('{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}'),
+               st_point(2.0D, 2.0D)) AS hit,
+             st_intersects(
+               st_geomfromgeojson('{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}'),
+               st_point(9.0D, 9.0D)) AS miss,
+             st_contains(
+               st_geomfromgeojson('{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}'),
+               st_point(1.0D, 1.0D)) AS inside,
+             st_centroid(
+               st_geomfromgeojson('{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}')) AS c,
+             st_area(
+               st_geomfromgeojson('{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}')) AS a
+      """).head
+    assert(row.getAs[Boolean]("hit") && !row.getAs[Boolean]("miss"))
+    assert(row.getAs[Boolean]("inside"))
+    assert(row.getAs[scala.collection.Seq[Double]]("c").toSeq == Seq(2.0, 2.0))
+    assert(row.getAs[Double]("a") == 16.0)
+  }
+
   test("topk_by_score aggregate works in SQL GROUP BY") {
     GraftExtensions.install(spark)
     Seq((1, 0.9, 10L), (1, 0.8, 11L), (1, 0.95, 12L), (2, 0.5, 20L))

@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Per-query diff of two graft.Bench JSON artifacts.
 
-Usage: python3 tools/bench_compare.py <old.json> <new.json> [threshold]
+Usage: python3 tools/bench_compare.py <old.json> [new.json] [threshold]
+
+`new.json` defaults to BENCH_full_latest.json — the complete artifact
+graft.Bench writes to the working directory on every run.
 
 Prints every common query's old/new seconds and ratio, sorted by ratio
 descending, plus queries only present on one side. Exits non-zero if any
@@ -42,6 +45,10 @@ def load(path):
 
 
 def main():
+    # default `new` side: the stable full artifact graft.Bench writes on
+    # every run (driver BENCH_r*.json wrappers truncate the tail)
+    if len(sys.argv) == 2:
+        sys.argv.append("BENCH_full_latest.json")
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     old, new = load(sys.argv[1]), load(sys.argv[2])
