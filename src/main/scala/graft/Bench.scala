@@ -59,11 +59,28 @@ object Bench {
     // a 2000-char truncated tail of stdout, so the complete per-query
     // record must live at a fixed path the next round can diff against
     // (tools/bench_compare.py defaults its `new` side to this file)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Path.of(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")),
-      line + "\n")
-    catch { case _: Exception => () } // read-only cwd must not fail the bench
+    // default resolves against the repo root (first ancestor of the cwd
+    // holding build.sbt), not the raw cwd: a run launched from another
+    // directory must not leave a stale artifact in place for
+    // tools/bench_compare.py to silently diff as "no regression"
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Path.of(_))
+      .getOrElse {
+        var d = java.nio.file.Path.of("").toAbsolutePath
+        while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+          d = d.getParent
+        (if (d == null) java.nio.file.Path.of("").toAbsolutePath else d)
+          .resolve("BENCH_full_latest.json")
+      }
+    try java.nio.file.Files.writeString(outPath, line + "\n")
+    catch { case e: Exception =>
+      // a read-only target must not fail the bench, but it must be LOUD:
+      // a swallowed failure leaves the previous artifact masquerading
+      // as this run's result
+      System.err.println(
+        s"WARNING: bench artifact write failed ($outPath): $e — " +
+          "per-query record for this run exists only on stdout")
+    }
     spark.stop()
   }
 }

@@ -85,17 +85,21 @@ object GraftExtensions {
       KaplanMeierAgg(es(0), es(1)).toAggregateExpression()),
     "st_geomfromgeojson" -> geoUdf(graft.geo.GeoFunctions.geomFromGeoJsonFn,
       org.apache.spark.sql.types.BinaryType, "st_geomfromgeojson") _,
-    "st_point" -> geoUdf(graft.geo.GeoFunctions.pointFn,
+    // st_point/st_centroid/st_area register their *SqlFn null-guarded
+    // boxed variants: the no-encoder ScalaUDF path has no analyzer
+    // null checks (see GeoFunctions — null doubles unbox to 0.0,
+    // null geometries NPE)
+    "st_point" -> geoUdf(graft.geo.GeoFunctions.pointSqlFn,
       org.apache.spark.sql.types.BinaryType, "st_point") _,
     "st_intersects" -> geoUdf(graft.geo.GeoFunctions.intersectsFn,
       org.apache.spark.sql.types.BooleanType, "st_intersects") _,
     "st_contains" -> geoUdf(graft.geo.GeoFunctions.containsFn,
       org.apache.spark.sql.types.BooleanType, "st_contains") _,
-    "st_centroid" -> geoUdf(graft.geo.GeoFunctions.centroidFn,
+    "st_centroid" -> geoUdf(graft.geo.GeoFunctions.centroidSqlFn,
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType, containsNull = false),
       "st_centroid") _,
-    "st_area" -> geoUdf(graft.geo.GeoFunctions.areaFn,
+    "st_area" -> geoUdf(graft.geo.GeoFunctions.areaSqlFn,
       org.apache.spark.sql.types.DoubleType, "st_area") _)
 
   /** Register every function into an existing session's catalog. */

@@ -44,6 +44,24 @@ object GeoFunctions {
   private[graft] val areaFn = (a: Array[Byte]) => GeoJson.fromWkb(a).getArea
   private val areaUdf = udf(areaFn)
 
+  // SQL-surface variants (GraftExtensions registry): the legacy
+  // no-encoder ScalaUDF path skips the analyzer's primitive null
+  // guards that the typed udf() wrappers above get for free, so a null
+  // double would silently unbox to 0.0 (st_point(NULL, 2) → POINT(0 2))
+  // and a null geometry — which st_geomfromgeojson legitimately yields
+  // for null input — would NPE the whole query. These box and
+  // null-check explicitly, returning SQL NULL like the Column surface.
+  private[graft] val pointSqlFn =
+    (x: java.lang.Double, y: java.lang.Double) =>
+      if (x == null || y == null) null
+      else GeoJson.pointWkb(x.doubleValue(), y.doubleValue())
+  private[graft] val centroidSqlFn = (a: Array[Byte]) =>
+    if (a == null) null
+    else { val c = GeoJson.fromWkb(a).getCentroid; Seq(c.getX, c.getY) }
+  private[graft] val areaSqlFn = (a: Array[Byte]) =>
+    if (a == null) null
+    else java.lang.Double.valueOf(GeoJson.fromWkb(a).getArea)
+
   private val envelopeUdf = udf((a: Array[Byte]) => {
     val e = GeoJson.fromWkb(a).getEnvelopeInternal
     Seq(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY)

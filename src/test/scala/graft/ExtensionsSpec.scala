@@ -59,6 +59,31 @@ class ExtensionsSpec extends SparkTestBase {
     assert(row.getAs[Double]("a") == 16.0)
   }
 
+  test("geo SQL surface is null-safe (round-9: no-encoder ScalaUDFs " +
+    "have no analyzer null guards)") {
+    GraftExtensions.install(spark)
+    val row = spark.sql("""
+      SELECT st_point(CAST(NULL AS DOUBLE), 2.0D) AS p_nx,
+             st_point(1.0D, CAST(NULL AS DOUBLE)) AS p_ny,
+             st_geomfromgeojson(CAST(NULL AS STRING)) AS g_null,
+             st_centroid(st_geomfromgeojson(CAST(NULL AS STRING))) AS c_null,
+             st_area(st_geomfromgeojson(CAST(NULL AS STRING))) AS a_null,
+             st_intersects(st_geomfromgeojson(CAST(NULL AS STRING)),
+                           st_point(1.0D, 1.0D)) AS i_null,
+             st_contains(st_point(1.0D, 1.0D),
+                         st_geomfromgeojson(CAST(NULL AS STRING))) AS ct_null
+      """).head
+    assert(row.isNullAt(row.fieldIndex("p_nx")),
+      "st_point(NULL, y) must be NULL, not POINT(0 y)")
+    assert(row.isNullAt(row.fieldIndex("p_ny")))
+    assert(row.isNullAt(row.fieldIndex("g_null")))
+    assert(row.isNullAt(row.fieldIndex("c_null")))
+    assert(row.isNullAt(row.fieldIndex("a_null")))
+    // predicate lambdas already null-guard to false (matches the
+    // Column surface); pin that so it can't silently change
+    assert(!row.getAs[Boolean]("i_null") && !row.getAs[Boolean]("ct_null"))
+  }
+
   test("topk_by_score aggregate works in SQL GROUP BY") {
     GraftExtensions.install(spark)
     Seq((1, 0.9, 10L), (1, 0.8, 11L), (1, 0.95, 12L), (2, 0.5, 20L))
