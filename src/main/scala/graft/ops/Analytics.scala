@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Product-analytics operators over event logs: ordered conversion
   * funnels and cohort retention. The reference's event handling stops at
@@ -345,7 +346,7 @@ object Analytics {
     // once so cascaded ntile layers don't recompute the whole chain per
     // consumer (the semDedup single-scan discipline); the frame is
     // per-user aggregated, orders of magnitude under the event log
-    val withM = df.withColumn("__m", metric).localCheckpoint()
+    val withM = df.withColumn("__m", metric).pinned
     val counts = withM.groupBy(col("__m")).agg(count(lit(1)).as("__c"))
     // the distinct-metric histogram can approach row count when the
     // metric is continuous (cents sums, micro scores), so its prefix

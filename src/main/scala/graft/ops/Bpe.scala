@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Byte-pair-encoding vocabulary induction (Sennrich, Haddow, Birch
   * 2016) — the learned-tokenizer side of a training-data stack. The
@@ -83,7 +84,7 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         concat(split(col("word"), ""), array(lit(Eow))).as("syms"))
-      .localCheckpoint(true)
+      .pinned
     var curIds = persisted.keySet -- preexisting
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
@@ -109,7 +110,7 @@ object Bpe {
         val beforeNext = persisted.keySet
         val next = cur
           .select(col("freq"), mergeFold(col("syms"), l, r).as("syms"))
-          .localCheckpoint(true)
+          .pinned
         val nextIds = persisted.keySet -- beforeNext
         val vocabAfter = next.select(explode(col("syms")).as("s"))
           .agg(countDistinct(col("s"))).collect()(0).getLong(0)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Corpus-preparation operators for training-data pipelines:
   * deterministic hash splits, benchmark-contamination scoring, and
@@ -446,7 +447,7 @@ object Corpus {
       .select(keep :+ element_at(col("__toks"), col("__i")).as("w1") :+
         element_at(col("__toks"), col("__i") + 1).as("w2"): _*)
     val c2 = bigrams(refDocs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .localCheckpoint() // four consumers: margins ×3 + the scoring join
+      .pinned // four consumers: margins ×3 + the scoring join
     val c1 = c2.groupBy("w1")
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fwd"))
     val cont = c2.groupBy("w2").agg(count(lit(1)).as("cont"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Near-duplicate detection operators for large-scale training-data
   * pipelines. All are pure DataFrame→DataFrame with LSH-style blocking so
@@ -337,11 +338,11 @@ object Dedup {
     val preexisting = persisted.keySet
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true) // materialize once; truncate upstream lineage
+      .pinned // materialize once; truncate upstream lineage
     val edgeIds = persisted.keySet -- preexisting
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("component"))
-      .localCheckpoint(true)
+      .pinned
     var labelIds = persisted.keySet -- edgeIds -- preexisting
     var iter = 0
     var converged = false
@@ -367,7 +368,7 @@ object Dedup {
           least(col("l.component"), coalesce(col("pcomp"), col("l.component")))
             .as("component"),
           col("l.prev").as("prev"))
-        .localCheckpoint(true)
+        .pinned
       val nextIds = persisted.keySet -- beforeNext
       val changed = next.filter(col("component") =!= col("prev")).limit(1).count()
       dropBlocks(labelIds -- nextIds) // previous round superseded
@@ -583,7 +584,7 @@ object Dedup {
     // anti-join below) would hit CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
     // One assignment-scale snapshot, released by the ContextCleaner
     // when the returned frame is no longer referenced.
-    val snap = existing.localCheckpoint(true)
+    val snap = existing.pinned
     val assignmentEdges = snap
       .filter(col("id") =!= col("component"))
       .select(col("id").as("a_id"), col("component").as("b_id"))
@@ -725,7 +726,7 @@ object Dedup {
       .groupBy(col("id"))
       .agg(topKByScore(col("sim"), col("centroid_id"), nProbe).as("bks"),
         max(col("sim")).as("centroid_sim"))
-      .localCheckpoint()
+      .pinned
     val buckets = assigned.select(col("id"), explode(col("bks")).as("bk"))
       .select(col("id"), col("bk.id").as("bk"))
     val pairs = verifyCosinePairs(bucketPairs(buckets), base, threshold)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Iterative link-graph analytics. PageRank (Page, Brin, Motwani,
   * Winograd 1999) is the standard link-based quality weight for web
@@ -65,12 +66,12 @@ object Graph {
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().pinned
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val e = e0.join(deg, Seq("src")).localCheckpoint()
+    val e = e0.join(deg, Seq("src")).pinned
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().pinned
     val teleportNano = (100L - dampingPct) * 10000000L
     var ranks = nodes.withColumn("rank_nano", lit(1000000000L))
     for (i <- 1 to iterations) {
@@ -84,7 +85,7 @@ object Graph {
         .select(col("node"), expr(
           s"$teleportNano + ($dampingPct * coalesce(__c, CAST(0 AS BIGINT)))" +
             " div 100").as("rank_nano"))
-      if (i % 8 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (i % 8 == 0 && i < iterations) ranks = ranks.pinned
     }
     ranks
   }
@@ -108,9 +109,9 @@ object Graph {
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().pinned
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
-    val e = e0.join(deg, Seq("src")).localCheckpoint()
+    val e = e0.join(deg, Seq("src")).pinned
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node")))
       .distinct()
@@ -118,7 +119,7 @@ object Graph {
           .distinct().withColumn("__probe", lit(1L)),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__probe"), lit(0L)).as("is_probe"))
-      .localCheckpoint()
+      .pinned
     val teleportNano = (100L - dampingPct) * 10000000L
     var ranks = nodes.withColumn("rank_nano",
       col("is_probe") * lit(1000000000L))
@@ -133,7 +134,7 @@ object Graph {
         .select(col("node"), col("is_probe"), expr(
           s"is_probe * $teleportNano + ($dampingPct *" +
             " coalesce(__c, CAST(0 AS BIGINT))) div 100").as("rank_nano"))
-      if (i % 8 == 0 && i < iterations) ranks = ranks.localCheckpoint()
+      if (i % 8 == 0 && i < iterations) ranks = ranks.pinned
     }
     ranks.select(col("node"), col("rank_nano"))
   }
@@ -159,7 +160,7 @@ object Graph {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .pinned
     var deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     for (_ <- 1 to rounds) {
@@ -167,7 +168,7 @@ object Graph {
       und = und
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .pinned
       deg = und.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     }
@@ -198,11 +199,11 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .pinned
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .pinned
     var scores = nodes
       .withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
     for (_ <- 1 to iterations) {
@@ -219,7 +220,7 @@ object Graph {
         .select(col("node"),
           expr("(coalesce(a0, CAST(0 AS BIGINT)) * 1000000) div am")
             .as("auth"))
-        .localCheckpoint()
+        .pinned
       val hub0 = e
         .join(auth.select(col("node").as("dst"), col("auth").as("a1")),
           Seq("dst"))
@@ -231,7 +232,7 @@ object Graph {
           expr("(coalesce(h0, CAST(0 AS BIGINT)) * 1000000) div hm")
             .as("hub"),
           col("auth"))
-        .localCheckpoint()
+        .pinned
     }
     scores.select(col("node"), col("hub").as("hub_micro"),
       col("auth").as("auth_micro"))
@@ -302,7 +303,7 @@ object Graph {
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .filter(col("src") =!= col("dst"))
-      .localCheckpoint() // one consumer per iteration
+      .pinned // one consumer per iteration
     var labels = dir.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to iterations) {
@@ -313,7 +314,7 @@ object Graph {
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-      if (i < iterations) labels = labels.localCheckpoint()
+      if (i < iterations) labels = labels.pinned
     }
     labels
   }
@@ -342,7 +343,7 @@ object Graph {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint() // three consumers: m, degrees, intra-edges
+      .pinned // three consumers: m, degrees, intra-edges
     val c = comm.select(col(nodeCol).cast("long").as("node"),
       col(commCol).as("community"))
     val m = und.agg(count(lit(1)).as("m"))
@@ -392,12 +393,12 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .pinned
     var visited = probes
       .select(col(probeCol).cast("long").as("probe"))
       .distinct()
       .select(col("probe"), col("probe").as("node"), lit(0).as("dist"))
-      .localCheckpoint()
+      .pinned
     var frontier = visited
     for (d <- 1 to maxDepth) {
       val next = frontier
@@ -410,7 +411,7 @@ object Graph {
       // visited set once per round
       frontier = next
         .join(visited, Seq("probe", "node"), "left_anti")
-        .localCheckpoint()
+        .pinned
       visited = visited.unionByName(frontier)
     }
     visited
@@ -449,7 +450,7 @@ object Graph {
           struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
-      .localCheckpoint() // three consumers: two wedge sides + the close
+      .pinned // three consumers: two wedge sides + the close
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src")
           && (col("e1.dd") < col("e2.dd")

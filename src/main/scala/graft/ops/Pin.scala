@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.SparkContext
+import org.apache.spark.sql.Dataset
+
+/** Lineage pinning with a deployment-selectable durability mode.
+  *
+  * Every iterative kernel in this library (PageRank / connected
+  * components / BPE merges / k-center / the range-prefix constructions)
+  * materializes intermediate frames once and truncates their lineage so
+  * deep fixed points don't accumulate an unbounded plan. On a single
+  * JVM, `localCheckpoint` is exactly right: blocks pin in the
+  * BlockManager at memory speed. On a REAL cluster it is a reliability
+  * trap — a locally-checkpointed RDD lives only in its executors'
+  * block stores, so one lost executor makes the lineage unrecoverable
+  * and fails the whole multi-hour job (Spark logs exactly this:
+  * "Checkpoint blocks ... found missing ... locally checkpointed
+  * ... cannot be recomputed").
+  *
+  * [[pin]] therefore routes through the conf key
+  * `spark.graft.checkpoint.dir`:
+  *
+  *  - unset/empty (the local-mode default): `localCheckpoint` —
+  *    fastest, correct wherever executor loss implies job loss anyway.
+  *  - set to an HDFS/S3/DBFS path (cluster deployments): reliable
+  *    `Dataset.checkpoint()` — frames persist to the shared filesystem
+  *    and survive executor loss; a lost task recomputes from the
+  *    checkpoint files instead of dying. Costs one extra computation
+  *    of the frame (the checkpoint job re-runs the RDD after the eager
+  *    materialization) plus distributed-FS I/O — the standard price of
+  *    fault tolerance for iterative Spark jobs.
+  *
+  * The checkpoint directory is installed on the SparkContext on first
+  * use (per context+dir, so repeated pins don't spawn fresh UUID
+  * subdirectories). Checkpoint files accumulate for the lifetime of the
+  * job unless `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * lets the ContextCleaner reap them with their RDDs — set it in
+  * cluster deployments (README "Cluster deployment" note). The
+  * BlockManager-based cleanup some kernels do (getPersistentRDDs
+  * diffing in [[Dedup.connectedComponents]]) degrades to a no-op in
+  * reliable mode by construction: reliable checkpoints never enter the
+  * block store.
+  *
+  * Both modes materialize the frame ONCE and freeze its rows —
+  * anything derived from materialization order (`spark_partition_id`
+  * in [[Stats.rangePrefixSums]]) is identical under either mode, which
+  * CheckpointModeSpec pins by asserting bit-identical kernel outputs.
+  */
+object Pin {
+
+  /** Conf key selecting reliable checkpointing; empty = localCheckpoint. */
+  val DirConf = "spark.graft.checkpoint.dir"
+
+  // remembers which (context, dir) pair already had setCheckpointDir
+  // applied: setCheckpointDir mints a fresh UUID subdirectory per call,
+  // so calling it per-pin would scatter files across directories
+  @volatile private var applied: (SparkContext, String) = null
+
+  /** Materialize `ds` eagerly and truncate its lineage — via
+    * `localCheckpoint` (default) or reliable `checkpoint` when
+    * `spark.graft.checkpoint.dir` is set. */
+  def pin[T](ds: Dataset[T]): Dataset[T] = {
+    val dir = ds.sparkSession.conf.get(DirConf, "")
+    if (dir == null || dir.isEmpty) ds.localCheckpoint()
+    else {
+      val sc = ds.sparkSession.sparkContext
+      if (applied == null || (applied._1 ne sc) || applied._2 != dir)
+        Pin.synchronized {
+          if (applied == null || (applied._1 ne sc) || applied._2 != dir) {
+            sc.setCheckpointDir(dir)
+            applied = (sc, dir)
+          }
+        }
+      ds.checkpoint()
+    }
+  }
+
+  /** Postfix spelling, so kernels keep reading as plan pipelines:
+    * `frame.join(...).distinct().pinned`. */
+  implicit class PinSyntax[T](private val ds: Dataset[T]) extends AnyVal {
+    def pinned: Dataset[T] = pin(ds)
+  }
+}

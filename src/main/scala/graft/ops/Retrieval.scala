@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Sparse (BM25) retrieval and rank fusion — the retrieval side of a
   * training-data stack: decontamination lookups ("which corpus docs
@@ -197,7 +198,7 @@ object Retrieval {
         posexplode(split(lower(trim(col(textCol))), "\\s+"))
           .as(Seq("pos", "token")))
       .filter(col("token").isin(terms.distinct: _*))
-      .localCheckpoint()
+      .pinned
     var starts = post.filter(col("token") === terms.head)
       .select(col("id"), col("pos"))
     for ((t, j) <- terms.tail.zipWithIndex) {

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinSyntax
 
 /** EXACT Jaccard-threshold set-similarity self-join via prefix filtering
   * (the PPJoin family — Xiao et al., WWW 2008; public algorithm). The
@@ -57,7 +58,7 @@ object SetSimilarity {
       .where(col("token").isNotNull && length(col("token")) > 0)
       .select(col("id"), xxhash64(col("token")).as("token"))
       .distinct()
-      .localCheckpoint()
+      .pinned
 
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
@@ -74,7 +75,7 @@ object SetSimilarity {
       .withColumn("pos", row_number().over(canonical))
       .where(col("pos") <= prefixLen)
       .select(col("id"), col("token"), col("sz"), col("pos"))
-      .localCheckpoint()
+      .pinned
 
     val a = prefixes.select(col("id").as("a_id"), col("token"),
       col("sz").as("sa"), col("pos").as("pa"))
@@ -144,7 +145,7 @@ object SetSimilarity {
       .where(col("token").isNotNull && length(col("token")) > 0)
       .select(col("id"), xxhash64(col("token")).as("token"))
       .distinct()
-      .localCheckpoint()
+      .pinned
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
     // containment prefix: floor((1-tau)*sz) + 1 rarest tokens

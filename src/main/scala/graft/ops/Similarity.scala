@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Approximate / exact nearest-neighbor search over an embedding column.
   *
@@ -583,25 +584,38 @@ object Similarity {
     * diagnostic.
     *
     * Driver pacing is BATCHED without changing the selection by one
-    * bit: each scan collects the top batch+1 frontier rows by
-    * (dmin desc, id), and the driver keeps picking exact greedy
-    * centers from that candidate pool — updating the pool's
+    * bit: each scan collects the top pool+1 frontier rows by
+    * (dmin desc, id) — physically a TOURNAMENT, TakeOrderedAndProject
+    * runs a per-partition top-(pool+1) and merges the ≤ partitions×pool
+    * survivors at the driver — and the driver keeps picking exact
+    * greedy centers from that candidate pool, updating the pool's
     * min-distances locally with the SAME floor(d²·1e6 + 0.5) integer
-    * arithmetic the codegen kernel computes — for as long as the
-    * pick's updated distance stays STRICTLY above the (batch+1)-th
+    * arithmetic the codegen kernel computes, for as long as the
+    * pick's updated distance stays STRICTLY above the (pool+1)-th
     * candidate's scanned distance. Every point outside the pool has
     * current dmin ≤ that bound (dmin only ever decreases), so a
     * strictly-above pick is the global argmax and no tie-break can be
     * contested; the first pick after a fresh scan is exact
-    * unconditionally. Result: ~k/batch full scans instead of k, the
-    * selection order provably identical to the one-at-a-time
-    * traversal (SimilaritySpec pins the equivalence). */
+    * unconditionally.
+    *
+    * Round 9 made the pool ADAPTIVE (`scanBatch = 0`, the default):
+    * each scan sizes its pool to the picks still owed,
+    * min(max(16, k−picked), 4096), so the scan count no longer grows
+    * with k — one scan can yield the whole remaining selection when
+    * the bound doesn't contest it, and even the adversarial worst case
+    * costs ~k/4096 scans per 4096 picks plus the geometry-forced
+    * rescans. The pool stays a bounded driver artifact (≤ 4096 rows ×
+    * vector dim). An explicit `scanBatch > 0` pins the pool size
+    * exactly — `scanBatch = 1` IS the classic one-pick-per-scan
+    * traversal, which the differential spec uses to pin the batched
+    * selection bit-identical (KMeansSpec). */
   def kCenterGreedy(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, scanBatch: Int = 16): DataFrame = {
-    require(k >= 1 && k <= 256,
-      s"kCenterGreedy supports 1 <= k <= 256 (one scan per ~scanBatch picks), got $k")
-    require(scanBatch >= 1 && scanBatch <= 256,
-      s"kCenterGreedy scanBatch must be in [1, 256], got $scanBatch")
+      k: Int, scanBatch: Int = 0): DataFrame = {
+    require(k >= 1 && k <= 65536,
+      s"kCenterGreedy supports 1 <= k <= 65536 (adaptive pool of <= 4096 " +
+        s"candidates per scan), got $k")
+    require(scanBatch >= 0 && scanBatch <= 4096,
+      s"kCenterGreedy scanBatch must be in [0 (adaptive), 4096], got $scanBatch")
     Guards.requireIntegralId(vecs, idCol, "kCenterGreedy seeding")
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -625,20 +639,26 @@ object Similarity {
     var selection = List((1, seed(0)._1, 0L))
     var cur = base
       .withColumn("dmin", distMicros(col("v"), seed(0)._2))
-      .localCheckpoint()
+      .pinned
     var r = 2
     var done = false
     while (r <= k && !done) {
+      // adaptive (scanBatch = 0): size the pool to the picks still owed,
+      // capped at 4096 candidate rows — bounded driver memory, scan
+      // count independent of k up to that cap
+      val poolSize =
+        if (scanBatch > 0) scanBatch
+        else math.min(math.max(16, k - r + 1), 4096)
       val cand = cur.orderBy(col("dmin").desc, col("id"))
-        .limit(scanBatch + 1).as[(Long, Seq[Double], Long)].collect()
+        .limit(poolSize + 1).as[(Long, Seq[Double], Long)].collect()
       if (cand.isEmpty || cand(0)._3 == 0L) done = true
       else {
         // everything outside the pool has dmin ≤ bound, now and for
         // the rest of this batch; a short scan means the pool IS the
         // whole frame and nothing is outside
-        val bound = if (cand.length == scanBatch + 1) cand.last._3 else -1L
+        val bound = if (cand.length == poolSize + 1) cand.last._3 else -1L
         val pool = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Long)]
-        pool ++= cand.take(scanBatch)
+        pool ++= cand.take(poolSize)
         var newCenters = List.empty[Seq[Double]]
         var first = true
         var batchOpen = true
@@ -677,9 +697,26 @@ object Similarity {
           }
         }
         if (newCenters.nonEmpty && r <= k && !done) {
-          val updated = newCenters.foldLeft(cur) { (df, c) =>
-            df.withColumn("dmin", least(col("dmin"), distMicros(col("v"), c)))
-          }.localCheckpoint()
+          // two spellings of the SAME integer update, chosen by batch
+          // size: the withColumn fold is whole-stage-codegen-friendly
+          // but nests one least() per center (a 4096-pick batch would
+          // blow past the JIT method limit); the packed path ships ALL
+          // new centers as one array-of-arrays literal and takes
+          // array_min over a transform() — one expression regardless of
+          // batch size. Both compute floor(l2(v,c)²·1e6 + 0.5) with the
+          // same ascending-index fold, so the longs are identical and
+          // the differential spec can pin either against scanBatch=1.
+          val updated = (
+            if (newCenters.length <= 64)
+              newCenters.foldLeft(cur) { (df, c) =>
+                df.withColumn("dmin", least(col("dmin"), distMicros(col("v"), c)))
+              }
+            else
+              cur.withColumn("dmin", least(col("dmin"), array_min(
+                transform(typedLit(newCenters),
+                  c => floor(graft.functions.l2DistanceSquared(col("v"), c)
+                    * lit(1000000.0) + lit(0.5)).cast("long")))))
+          ).pinned
           cur.unpersist()
           cur = updated
         }

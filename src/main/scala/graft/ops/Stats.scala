@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Distributed exact order statistics — quantiles, rank-sum AUC,
   * median/MAD outliers — built on the value-HISTOGRAM prefix-rank
@@ -69,7 +70,7 @@ object Stats {
     val keyCols = keys.map(col)
     val withPid = hist.repartitionByRange(numParts, keyCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .pinned
     val local = Window.partitionBy(col("__pid")).orderBy(keyCols: _*)
       .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
     val withLoc = aggs.foldLeft(withPid) { case (d, (src, out)) =>
@@ -642,8 +643,8 @@ object Stats {
       .agg(graft.functions.collectMinK(col("hv"), lit(0L), k).as("mk"))
       .select(col("mk.n").as(s"n_$side"),
         expr("transform(mk.items, x -> x.id)").as(s"ks_$side"))
-    val ha = hashes(a, aKey).localCheckpoint() // two consumers: sketch + exact
-    val hb = hashes(b, bKey).localCheckpoint()
+    val ha = hashes(a, aKey).pinned // two consumers: sketch + exact
+    val hb = hashes(b, bKey).pinned
     val inter = ha.join(hb, Seq("hv"), "left_semi")
       .agg(count(lit(1)).as("n_inter"))
     val M = 1152921504606846976L // 2^60 hash space
@@ -685,7 +686,7 @@ object Stats {
       valueCol: Column): DataFrame = {
     val base = df.select(groupCol.as("g"), idCol.as("id"),
       valueCol.cast("long").as("v"))
-      .localCheckpoint() // four consumers: group ranks, pool ranks, sizes, hist
+      .pinned // four consumers: group ranks, pool ranks, sizes, hist
     val ns = base.groupBy(col("g")).agg(count(lit(1)).as("ns"))
     val np = base.agg(count(lit(1)).as("np"))
     val ranked = base.withColumn("rk", row_number().over(

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Unigram-LM tokenizer induction (Kudo 2018 — the SentencePiece
   * unigram family), the second learned-tokenizer family next to [[Bpe]]:
@@ -62,7 +63,7 @@ object Unigram {
       s"emRounds must be in [1, 16] (one shuffle each), got $emRounds")
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"maxPieceLen must be in [1, 16], got $maxPieceLen")
-    val words = wordFreq(docs, textCol).localCheckpoint()
+    val words = wordFreq(docs, textCol).pinned
     try {
       // seed candidates: substring occurrences weighted by word freq
       val seedCounts = words

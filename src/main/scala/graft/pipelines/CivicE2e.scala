@@ -7,6 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.geo.GeoFunctions
+import graft.ops.Pin.PinSyntax
 
 /** The reference's flagship composite run end-to-end as ONE driver-surface
   * query (round-6 verdict item 4): S3 YAML people + W2 role resolution +
@@ -157,12 +158,12 @@ object CivicE2e {
     // bills feeds the vote-event join and two ingests; areas feeds the
     // edges and its ingest — unpinned, each consumer re-ran the whole
     // build (YAML parse + role resolution three times over)
-    val areas = cds.unionByName(zips).localCheckpoint()
+    val areas = cds.unionByName(zips).pinned
 
     val people = CivicPipeline.peopleFromYaml(spark, s"$peopleDir/*.yml",
-      Timestamp.valueOf("2026-01-01 00:00:00"), stateNames).localCheckpoint()
+      Timestamp.valueOf("2026-01-01 00:00:00"), stateNames).pinned
     val bills = CivicPipeline.billsFromJsonDocs(spark, docsDir.toString,
-      "ocd-division/country:us").localCheckpoint()
+      "ocd-division/country:us").pinned
     // the reference's match-candidate projection (vote_matching.py
     // first_name/last_name) from the YAML people's given/family names
     val matchPeople = people.select(col("id"), col("name"),

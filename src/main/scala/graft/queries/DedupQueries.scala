@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 import graft.ops.{Dedup, SetSimilarity}
+import graft.ops.Pin.PinSyntax
 
 /** Deduplication operators (north-star: exact, MinHash+LSH, SimHash,
   * n-gram Jaccard, embedding-cosine). The corpus is the documents table
@@ -152,10 +153,10 @@ object DedupQueries {
       val truth = SetSimilarity.jaccardJoinExact(
         SetSimilarity.shingleTokens(corpus, "doc_id", "text", n = 3),
         "id", "token", tauMicro = 600000L)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
+        .select(col("a_id"), col("b_id")).pinned
       val lsh = Dedup.minHashPairs(corpus, "doc_id", "text",
         k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
+        .select(col("a_id"), col("b_id")).pinned
       val tp = lsh.join(truth, Seq("a_id", "b_id"), "left_semi")
         .agg(count(lit(1)).as("tp"))
       val nL = lsh.agg(count(lit(1)).as("n_lsh"))
@@ -225,12 +226,12 @@ object DedupQueries {
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
       val corpus = vecs.unionByName(scaled)
         .select(col("vec_id"), col("embedding"))
-        .localCheckpoint() // three consumers: truth + two candidate stacks
+        .pinned // three consumers: truth + two candidate stacks
       val truth = Dedup.exactCosinePairs(corpus, "vec_id", "embedding",
         threshold = 0.999)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
+        .select(col("a_id"), col("b_id")).pinned
       def score(method: String, found: DataFrame): DataFrame = {
-        val f = found.select(col("a_id"), col("b_id")).localCheckpoint()
+        val f = found.select(col("a_id"), col("b_id")).pinned
         val tp = f.join(truth, Seq("a_id", "b_id"), "left_semi")
           .agg(count(lit(1)).as("tp"))
         val nF = f.agg(count(lit(1)).as("n_found"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.Tables.t
 import graft.functions._
+import graft.ops.Pin.PinSyntax
 
 /** Event-stream operators (SURVEY §2.10): the batch forms of the
   * Structured Streaming transforms in [[graft.streaming.EventPipeline]] —
@@ -460,7 +461,7 @@ object EventQueries {
       val k = 64
       val dd = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"))
-        .distinct().localCheckpoint() // three consumers below
+        .distinct().pinned // three consumers below
       val hv = dd.select(col("day"),
         conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))),
           1, 15), 16, 10).cast("long").as("hv"))
