@@ -581,11 +581,32 @@ class KMeansSpec extends SparkTestBase {
     assert(run(16) === run(1))
   }
 
-  test("kCenterGreedy rejects k outside the one-job-per-round budget") {
+  test("kCenterGreedy adaptive pool + packed dmin update match " +
+    "one-at-a-time exactly past the 64-center fold cutover") {
+    // 80 picks from one adaptive scan exercises the packed
+    // array-of-arrays update (> 64 new centers in a batch); the classic
+    // scanBatch=1 traversal is the ground truth — ranks, ids, AND radii
+    val vecs = (1 to 200).map { i =>
+      (i.toLong, Seq(((i * 37) % 23).toFloat, ((i * 53) % 17).toFloat,
+        ((i * 29) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(b: Int) = Similarity
+      .kCenterGreedy(vecs, "vec_id", "embedding", k = 80, scanBatch = b)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val adaptive = run(0)
+    assert(adaptive.size == 80)
+    assert(adaptive === run(1))
+  }
+
+  test("kCenterGreedy rejects k and scanBatch outside the bounded-pool budget") {
     val vecs = Seq((1L, Seq(0.0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException](
-      Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 257))
+      Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 65537))
     intercept[IllegalArgumentException](
       Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 0))
+    intercept[IllegalArgumentException](
+      Similarity.kCenterGreedy(vecs, "vec_id", "embedding", k = 2,
+        scanBatch = 4097))
   }
 }
