@@ -14,6 +14,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spill accounting (round-9 memory-pressure lane): task-level
+    // memory/disk spill totals across the whole run, reported in the
+    // JSON line — a constrained-heap pass (e.g. -Xmx8g at sf1) proves
+    // graceful spill exactly when these are nonzero AND errors is empty
+    val memSpill = new java.util.concurrent.atomic.AtomicLong()
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            memSpill.addAndGet(m.memoryBytesSpilled)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
     // untimed warmup: JVM/codegen/Hadoop-FS init, not query work
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet")
@@ -53,7 +70,8 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = names.flatMap(best.get).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
+        s""""spill":{"memBytes":${memSpill.get},"diskBytes":${diskSpill.get}},"sf":"$sfDir"}"""
     println(line)
     // stable full artifact: the round driver's BENCH_r*.json keeps only
     // a 2000-char truncated tail of stdout, so the complete per-query

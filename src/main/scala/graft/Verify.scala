@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [nameFilter] — the optional third arg restricts
-    // to queries whose name contains it (dev-only; the driver passes two).
+    // to queries whose name contains any of its comma-separated terms
+    // (dev/lane-only; the driver passes two args).
     val Array(sfDir, outDir) = args.take(2)
     val nameFilter = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +21,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => nameFilter.forall(name.contains) }
+      .filter { case (name, _) =>
+        nameFilter.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -11,6 +11,7 @@ factor and fails on any drift.
 Usage:
   python3 tools/check_goldens.py <verifyOutDir> <sfLabel>            # check
   python3 tools/check_goldens.py <verifyOutDir> <sfLabel> --record   # (re)pin
+  python3 tools/check_goldens.py <dir> sf1 --only=q99_pagerank,...    # explicit lane list (may include oracle-covered queries)
 
 <verifyOutDir> is a `graft.Verify` output directory; <sfLabel> names the
 snapshot bucket (e.g. sf0.01). Snapshots live in tools/goldens.json.
@@ -37,13 +38,24 @@ def frame_hash(path):
     return len(df), hashlib.sha256(csv.encode()).hexdigest()
 
 
-def main(out_dir, sf_label, record=False):
+def main(out_dir, sf_label, record=False, only=None):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     goldens = json.load(open(GOLDENS)) if os.path.exists(GOLDENS) else {}
     bucket = goldens.setdefault(sf_label, {})
     n_ok = n_bad = 0
-    names = sorted(n for n in os.listdir(out_dir)
-                   if n not in oracle and os.path.isdir(os.path.join(out_dir, n)))
+    if only is not None:
+        # explicit query list (sf1 scale lane): pin/check EXACTLY these,
+        # oracle-covered or not — at sf1 there is no DuckDB pass, so the
+        # pinned hash is the only output-drift check the lane has
+        names = sorted(n for n in only
+                       if os.path.isdir(os.path.join(out_dir, n)))
+        missing = sorted(set(only) - set(names))
+        if missing:
+            print(f"FAIL missing verify output for: {', '.join(missing)}")
+            n_bad += len(missing)
+    else:
+        names = sorted(n for n in os.listdir(out_dir)
+                       if n not in oracle and os.path.isdir(os.path.join(out_dir, n)))
     for name in names:
         rows, digest = frame_hash(os.path.join(out_dir, name))
         if record:
@@ -69,4 +81,8 @@ def main(out_dir, sf_label, record=False):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], "--record" in sys.argv[3:]))
+    only = None
+    for a in sys.argv[3:]:
+        if a.startswith("--only="):
+            only = [q for q in a[len("--only="):].split(",") if q]
+    sys.exit(main(sys.argv[1], sys.argv[2], "--record" in sys.argv[3:], only))

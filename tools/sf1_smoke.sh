@@ -1,14 +1,29 @@
 #!/bin/bash
-# sf1 smoke lane (round-8): prove the heavy query tails scale, don't
-# argue it. Builds a deterministic 10x upscale of sf0.1 (see
-# graft.tools.ScaleData — the workload scales linearly BY CONSTRUCTION,
-# so any super-linear TIME is an engine pathology), runs the
-# dedup/graph/order-stats lanes once at each scale on the same core
-# count, and gates each query's ratio at RATIO_MAX (default 14: ~10x
-# data, allowance for shuffle-spill and scheduling overhead at 10x).
+# sf1 smoke lane (round-8, widened round-9): prove the heavy query tails
+# scale, don't argue it. Builds a deterministic 10x upscale of sf0.1
+# (see graft.tools.ScaleData — the workload scales linearly BY
+# CONSTRUCTION, so any super-linear TIME is an engine pathology), runs
+# the lane once at each scale on the same core count, and gates each
+# query's ratio at RATIO_MAX (default 14: ~10x data, allowance for
+# shuffle-spill and scheduling overhead at 10x).
+#
+# Round-9 additions:
+#  - lane widened from 14 to 33 queries — the top of the sf0.1 cost
+#    table (adds the ANN/PCA/retrieval families, the graph/audit tails,
+#    q218/q219) so scale evidence covers every expensive family;
+#  - GOLDENS=check (or =record) runs graft.Verify at sf1 for the lane
+#    and compares pinned sf1 output hashes — scale runs check OUTPUT
+#    drift, not just time;
+#  - LOWMEM=1 re-runs the shuffle-heavy tails at sf1 under a
+#    deliberately small heap (8g vs the default 24g) and asserts
+#    graceful spill: zero errors, nonzero spill counters in the bench
+#    JSON (the bench reports task-level memoryBytesSpilled /
+#    diskBytesSpilled since round 9).
 #
 # Usage: tools/sf1_smoke.sh            # build-if-missing + run + gate
 #        RATIO_MAX=20 tools/sf1_smoke.sh
+#        GOLDENS=check tools/sf1_smoke.sh
+#        LOWMEM=1 tools/sf1_smoke.sh
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -16,10 +31,18 @@ SF01=${SF01:-/root/testdata/sf0.1}
 SF1=${SF1:-/tmp/graft_sf1}
 CPUS=${CPUS:-32}
 RATIO_MAX=${RATIO_MAX:-14}
+GOLDENS=${GOLDENS:-}
+LOWMEM=${LOWMEM:-}
 
 LANE="q15_minhash_lsh,q17_ngram_jaccard,q47_dedup_apply,q50_leakage_split,q170_setsim_exact,\
-q99_pagerank,q208_ppr,q213_hits,\
+q99_pagerank,q208_ppr,q213_hits,q171_bfs_reach,q180_modularity,q155_triangles,q182_label_prop,\
+q87_merge_components,q191_lsh_eval,q199_dedup_curve,q73_mutual_knn,q109_knn_label_agreement,\
+q89_ann_pq,q91_ann_ivfpq,q92_ann_recall,q95_ann_refine,q93_bm25_retrieval,q96_retrieval_eval,\
+q103_pca_spectrum,q104_pca_whiten,q105_pca_ann_recall,q218_embedding_eval,q219_civic_e2e,\
 q121_rfm,q143_auc,q150_ks_test,q153_survival,q167_weighted_quantiles,q148_decile_lift"
+
+# the shuffle-heaviest subset for the constrained-heap spill proof
+LOWMEM_LANE="q167_weighted_quantiles,q170_setsim_exact,q17_ngram_jaccard,q99_pagerank"
 
 JAVA_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -36,16 +59,50 @@ if [ ! -f "$SF1/embeddings.parquet/_SUCCESS" ]; then
     graft.tools.ScaleData "$SF01" "$SF1" 10 2>/dev/null
 fi
 
-run_lane() { # $1 = sf dir, $2 = out json
-  SPARK_GRAFT_BENCH_ONLY="$LANE" SPARK_GRAFT_BENCH_RUNS=1 \
+run_lane() { # $1 = sf dir, $2 = out json, $3 = heap, $4 = query list
+  SPARK_GRAFT_BENCH_ONLY="$4" SPARK_GRAFT_BENCH_RUNS=1 \
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_OUT="$2" \
   java $JAVA_OPENS -Dspark.ui.enabled=false \
-    -Dspark.sql.session.timeZone=UTC -Xmx24g -cp "$CP" \
+    -Dspark.sql.session.timeZone=UTC -Xmx"$3" -cp "$CP" \
     graft.Bench 2>/dev/null >/dev/null
 }
 
-echo "lane at sf0.1..."; run_lane "$SF01" /tmp/smoke_sf01.json
-echo "lane at sf1..." ; run_lane "$SF1"  /tmp/smoke_sf1.json
+if [ -n "$GOLDENS" ]; then
+  # output-drift half of the lane: Verify at sf1 on the lane queries,
+  # compare (or pin with GOLDENS=record) sf1 hashes in tools/goldens.json
+  echo "verify at sf1 (lane queries)..."
+  SPARK_GRAFT_CPUS=$CPUS java $JAVA_OPENS -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC -Xmx24g -cp "$CP" \
+    graft.Verify "$SF1" /tmp/verify_sf1 "$LANE" 2>/dev/null
+  FLAG=""
+  [ "$GOLDENS" = "record" ] && FLAG="--record"
+  python3 tools/check_goldens.py /tmp/verify_sf1 sf1 $FLAG --only="$LANE"
+  exit $?
+fi
+
+if [ -n "$LOWMEM" ]; then
+  echo "constrained-heap lane at sf1 (-Xmx8g, ${LOWMEM_LANE})..."
+  run_lane "$SF1" /tmp/smoke_sf1_lowmem.json 8g "$LOWMEM_LANE"
+  python3 - <<'EOF'
+import json, sys
+d = json.load(open('/tmp/smoke_sf1_lowmem.json'))
+spill = d.get('spill', {})
+errs = d.get('errors', {})
+print(f"queries: { {k: round(v,2) for k,v in d['queries'].items()} }")
+print(f"spill:   {spill}")
+if errs:
+    sys.exit(f"FAIL: errors under constrained heap: {errs}")
+if any(v <= 0 for v in d['queries'].values()):
+    sys.exit("FAIL: a lane query produced no successful run under 8g")
+print("OK: zero errors under -Xmx8g at sf1 "
+      + ("(with spill engaged)" if spill.get('memBytes', 0) > 0 else
+         "(no spill was even needed)"))
+EOF
+  exit $?
+fi
+
+echo "lane at sf0.1..."; run_lane "$SF01" /tmp/smoke_sf01.json 24g "$LANE"
+echo "lane at sf1..." ; run_lane "$SF1"  /tmp/smoke_sf1.json  24g "$LANE"
 
 python3 - "$RATIO_MAX" <<'EOF'
 import json, sys
