@@ -41,6 +41,17 @@ q89_ann_pq,q91_ann_ivfpq,q92_ann_recall,q95_ann_refine,q93_bm25_retrieval,q96_re
 q103_pca_spectrum,q104_pca_whiten,q105_pca_ann_recall,q218_embedding_eval,q219_civic_e2e,\
 q121_rfm,q143_auc,q150_ks_test,q153_survival,q167_weighted_quantiles,q148_decile_lift"
 
+# exact all-pairs relations BY ORACLE DESIGN (q73 mutual kNN, q109
+# leave-one-out kNN, q218's exact-cosine truth stack): O(n^2) compute,
+# so 10x data is ~100x theoretical work — holding them to the linear
+# gate would flag the DESIGN, not a pathology. They get their own gate
+# at RATIO_MAX_QUAD (default 40: today's measured constants are
+# 10-19x, so 40 still catches a >2x engine regression while staying
+# far under the n^2 ceiling). Their documented scale path swaps the
+# exact kernel for the ANN index output (Similarity Scaladoc).
+QUAD="q73_mutual_knn,q109_knn_label_agreement,q218_embedding_eval"
+RATIO_MAX_QUAD=${RATIO_MAX_QUAD:-40}
+
 # the shuffle-heaviest subset for the constrained-heap spill proof
 LOWMEM_LANE="q167_weighted_quantiles,q170_setsim_exact,q17_ngram_jaccard,q99_pagerank"
 
@@ -104,23 +115,27 @@ fi
 echo "lane at sf0.1..."; run_lane "$SF01" /tmp/smoke_sf01.json 24g "$LANE"
 echo "lane at sf1..." ; run_lane "$SF1"  /tmp/smoke_sf1.json  24g "$LANE"
 
-python3 - "$RATIO_MAX" <<'EOF'
+python3 - "$RATIO_MAX" "$RATIO_MAX_QUAD" "$QUAD" <<'EOF'
 import json, sys
-rmax = float(sys.argv[1])
+rmax, rmax_quad = float(sys.argv[1]), float(sys.argv[2])
+quad = set(sys.argv[3].split(','))
 a = json.load(open('/tmp/smoke_sf01.json'))['queries']
 b = json.load(open('/tmp/smoke_sf1.json'))['queries']
 bad = []
-print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  (10x data, gate {rmax}x)")
+print(f"{'query':28s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}  "
+      f"(10x data, gate {rmax}x linear / {rmax_quad}x oracle-design n^2)")
 for k in sorted(a):
     if a[k] <= 0 or k not in b or b[k] <= 0:
         bad.append((k, 'missing/error')); continue
     r = b[k] / a[k]
-    flag = '  << SUPER-LINEAR' if r > rmax else ''
-    if r > rmax: bad.append((k, f'{r:.1f}x'))
-    print(f"{k:28s} {a[k]:8.2f} {b[k]:8.2f} {r:6.1f}x{flag}")
+    gate = rmax_quad if k in quad else rmax
+    tag = ' [n^2-by-design]' if k in quad else ''
+    flag = '  << OVER GATE' if r > gate else ''
+    if r > gate: bad.append((k, f'{r:.1f}x'))
+    print(f"{k:28s} {a[k]:8.2f} {b[k]:8.2f} {r:6.1f}x{tag}{flag}")
 ta, tb = sum(a.values()), sum(v for v in b.values() if v > 0)
 print(f"\nlane total: {ta:.1f}s -> {tb:.1f}s ({tb/ta:.1f}x)")
 if bad:
     sys.exit(f"FAIL: {bad}")
-print("OK: every lane query within the linear-scaling gate")
+print("OK: every lane query within its scaling gate")
 EOF
