@@ -92,8 +92,9 @@ if [ -n "$GOLDENS" ]; then
 fi
 
 if [ -n "$LOWMEM" ]; then
-  echo "constrained-heap lane at sf1 (-Xmx8g, ${LOWMEM_LANE})..."
-  run_lane "$SF1" /tmp/smoke_sf1_lowmem.json 8g "$LOWMEM_LANE"
+  LOWMEM_HEAP=${LOWMEM_HEAP:-8g}
+  echo "constrained-heap lane at sf1 (-Xmx${LOWMEM_HEAP}, ${LOWMEM_LANE})..."
+  run_lane "$SF1" /tmp/smoke_sf1_lowmem.json "$LOWMEM_HEAP" "$LOWMEM_LANE"
   python3 - <<'EOF'
 import json, sys
 d = json.load(open('/tmp/smoke_sf1_lowmem.json'))
@@ -105,7 +106,7 @@ if errs:
     sys.exit(f"FAIL: errors under constrained heap: {errs}")
 if any(v <= 0 for v in d['queries'].values()):
     sys.exit("FAIL: a lane query produced no successful run under 8g")
-print("OK: zero errors under -Xmx8g at sf1 "
+print("OK: zero errors under the constrained heap at sf1 "
       + ("(with spill engaged)" if spill.get('memBytes', 0) > 0 else
          "(no spill was even needed)"))
 EOF
