@@ -44,9 +44,15 @@ object Graph {
 
   /** All-integer PageRank over a directed edge list → (node: long,
     * rank_nano: long), one row per distinct endpoint. Duplicate edges
-    * are collapsed first (multi-edges would double-weight a link).
-    * Nodes with no in-links converge to the bare teleport mass; nodes
-    * with no out-links (dangling) receive but never emit.
+    * are collapsed first (multi-edges would double-weight a link) —
+    * unless the caller asserts `assumeSimple`, which skips that
+    * edge-count-scale exchange when the input is duplicate-free BY
+    * CONSTRUCTION (e.g. a disjoint-orientation union of a distinct
+    * pair frame); passing a multigraph with the flag set silently
+    * double-weights its repeated links, so assert only what upstream
+    * plan shape proves. Nodes with no in-links converge to the bare
+    * teleport mass; nodes with no out-links (dangling) receive but
+    * never emit.
     *
     * Lineage is truncated with a localCheckpoint every 8 iterations so
     * deep runs don't accumulate an unbounded plan (the
@@ -54,7 +60,8 @@ object Graph {
     * (≤ 8 iterations) stays a pure declarative plan.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, dampingPct: Int = 85): DataFrame = {
+      iterations: Int, dampingPct: Int = 85,
+      assumeSimple: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"pageRank iterations must be in [1, 100], got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
@@ -63,10 +70,10 @@ object Graph {
     // round references both, and without pinning them each round
     // re-derives the whole upstream join+distinct — measured 8.0 s vs
     // 3.4 s at sf0.1 (87 exchanges, zero reuse, in the unpinned plan)
-    val e0 = edges
+    val proj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().pinned
+    val e0 = (if (assumeSimple) proj else proj.distinct()).pinned
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     val e = e0.join(deg, Seq("src")).pinned
     val nodes = e0.select(col("src").as("node"))
@@ -96,20 +103,21 @@ object Graph {
     * fixed point as [[pageRank]] (nano-unit ranks, BIGINT arithmetic
     * end to end), so the q208 DuckDB twin unrolls identically; probe
     * nodes get the teleport term, everyone else only inbound mass.
-    * Scale shape identical to [[pageRank]]; the probe set rides a
+    * Scale shape identical to [[pageRank]], including the
+    * `assumeSimple` dedup-skip contract; the probe set rides a
     * broadcast-sized join. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       probes: DataFrame, probeCol: String, iterations: Int,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, assumeSimple: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"personalizedPageRank iterations must be in [1, 100], got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"personalizedPageRank dampingPct must be in [0, 100], got $dampingPct")
     // same frame pinning as [[pageRank]] (the q213 lesson)
-    val e0 = edges
+    val proj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().pinned
+    val e0 = (if (assumeSimple) proj else proj.distinct()).pinned
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     val e = e0.join(deg, Seq("src")).pinned
     val nodes = e0.select(col("src").as("node"))
@@ -189,16 +197,18 @@ object Graph {
     * mid-loop filters, lazy frames, so Spark reuses the edge shuffles
     * across rounds. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int, assumeSimple: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
       s"hits iterations must be in [1, 20], got $iterations")
     // the rounds below run as EAGER checkpoint actions, so the edge
     // derivation (often a join+distinct upstream) must materialize once
-    // or every action re-runs it (the q208 probes lesson)
-    val e = edges
+    // or every action re-runs it (the q208 probes lesson). assumeSimple
+    // skips the dedup exchange under the [[pageRank]] contract: only
+    // when the caller's plan PROVES the (src, dst) pairs unique
+    val proj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
+    val e = (if (assumeSimple) proj else proj.distinct())
       .pinned
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -384,15 +394,19 @@ object Graph {
     * no floats, no nondeterminism.
     */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      probes: DataFrame, probeCol: String, maxDepth: Int): DataFrame = {
+      probes: DataFrame, probeCol: String, maxDepth: Int,
+      assumeSimple: Boolean = false): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 16,
       s"bfsDistances maxDepth must be in [1, 16], got $maxDepth")
     // the edge list is consumed once per round — materialize its
-    // derivation (often a join+distinct upstream) exactly once
-    val e = edges
+    // derivation (often a join+distinct upstream) exactly once.
+    // assumeSimple skips the dedup exchange ([[pageRank]] contract);
+    // for BFS duplicate edges cost work, never correctness (min-dist
+    // is idempotent), so the flag here is purely a plan-shape assert
+    val proj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
+    val e = (if (assumeSimple) proj else proj.distinct())
       .pinned
     var visited = probes
       .select(col(probeCol).cast("long").as("probe"))

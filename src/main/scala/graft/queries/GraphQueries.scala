@@ -112,7 +112,12 @@ object GraphQueries {
         .select(col("cust").as("src"), (col("supp") + 1099511627776L).as("dst"))
         .unionByName(base
           .select((col("supp") + 1099511627776L).as("src"), col("cust").as("dst")))
-      Graph.pageRank(edges, "src", "dst", iterations = 5)
+      // assumeSimple: `base` is distinct on (cust, supp) and the two
+      // union orientations live in disjoint id spaces (supplier ids
+      // offset by 2^40), so the symmetrized edge list is duplicate-free
+      // by construction — the op-internal dedup exchange is pure waste
+      Graph.pageRank(edges, "src", "dst", iterations = 5,
+          assumeSimple = true)
         .orderBy(col("node"))
     }),
 
@@ -140,7 +145,9 @@ object GraphQueries {
       // round re-derives the base join — measured 3× slower. Rank 0
       // rows simply mean "not reached from the probes"
       Graph.personalizedPageRank(edges, "src", "dst", probes, "probe",
-        iterations = 5)
+        iterations = 5,
+        // distinct base + disjoint-orientation union (see q99)
+        assumeSimple = true)
         .orderBy(col("node"))
     }),
 
@@ -173,7 +180,9 @@ object GraphQueries {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 1099511627776L).as("dst"))
         .distinct()
-      Graph.hits(edges, "src", "dst", iterations = 3)
+      // assumeSimple: `edges` carries its own .distinct() on the exact
+      // (src, dst) longs the op would re-dedup
+      Graph.hits(edges, "src", "dst", iterations = 3, assumeSimple = true)
         .orderBy(col("node"))
     }),
 
@@ -306,7 +315,9 @@ object GraphQueries {
           .select((col("supp") + 1099511627776L).as("src"), col("cust").as("dst")))
       val probes = edges.filter(col("src") < 20)
         .select(col("src").as("probe")).distinct()
-      Graph.bfsDistances(edges, "src", "dst", probes, "probe", maxDepth = 3)
+      // distinct base + disjoint-orientation union (see q99)
+      Graph.bfsDistances(edges, "src", "dst", probes, "probe", maxDepth = 3,
+          assumeSimple = true)
         .groupBy(col("probe"), col("dist"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("probe"), col("dist"))

@@ -80,6 +80,43 @@ class PageRankSpec extends SparkTestBase {
     }
   }
 
+  test("assumeSimple is output-identical on a duplicate-free edge list" +
+      " (pageRank, PPR, HITS, BFS)") {
+    // the flag's contract: on an already-simple graph the dedup skip
+    // changes the PLAN only. Distinct-ify the pseudo-random digraph
+    // first, then run every flagged kernel both ways.
+    val edges = (for {
+      i <- 0L until 160L
+      src = (i * 7919) % 40
+      dst = (i * 104729 + 13) % 40
+      if src != dst
+    } yield (src, dst)).distinct
+    val df = edges.toDF("src", "dst")
+    assert(
+      Graph.pageRank(df, "src", "dst", 5, assumeSimple = true)
+        .as[(Long, Long)].collect().toMap ===
+      Graph.pageRank(df, "src", "dst", 5)
+        .as[(Long, Long)].collect().toMap)
+    val probes = Seq(0L, 1L, 2L).toDF("probe")
+    assert(
+      Graph.personalizedPageRank(df, "src", "dst", probes, "probe", 5,
+          assumeSimple = true)
+        .as[(Long, Long)].collect().toMap ===
+      Graph.personalizedPageRank(df, "src", "dst", probes, "probe", 5)
+        .as[(Long, Long)].collect().toMap)
+    assert(
+      Graph.hits(df, "src", "dst", 3, assumeSimple = true)
+        .as[(Long, Long, Long)].collect().sorted.toSeq ===
+      Graph.hits(df, "src", "dst", 3)
+        .as[(Long, Long, Long)].collect().sorted.toSeq)
+    assert(
+      Graph.bfsDistances(df, "src", "dst", probes, "probe", 4,
+          assumeSimple = true)
+        .as[(Long, Long, Int)].collect().sorted.toSeq ===
+      Graph.bfsDistances(df, "src", "dst", probes, "probe", 4)
+        .as[(Long, Long, Int)].collect().sorted.toSeq)
+  }
+
   test("symmetric nodes rank equally; iterations are monotone for a hub") {
     // two symmetric spokes into a hub, bidirectional
     val edges = Seq((1L, 3L), (2L, 3L), (3L, 1L), (3L, 2L))
