@@ -1,0 +1,73 @@
+#!/bin/bash
+# Same-window A/B bench: the ONLY trustworthy way to price a code change
+# on this host. Cross-window comparisons mislead — identical code has
+# measured ±15% between recording windows (round-9 full-bench median
+# ratio 1.151 on untouched queries), which swamps most real effects on
+# sub-second queries. This script prices NEW (working tree if dirty,
+# else HEAD) against OLD (stashed tree, else $REF / HEAD~1) back-to-back
+# in one window, best-of-$RUNS each, and prints the per-query table.
+#
+# Usage: tools/ab_bench.sh q99_pagerank,q208_ppr [RUNS] [REF]
+#        tools/ab_bench.sh q17_ngram_jaccard 5 HEAD~3
+#
+# Safe by construction: a dirty tree is round-tripped through a single
+# git stash push/pop pair; a clean tree only ever checks out TRACKED
+# sources from $REF and restores them from HEAD. Aborts rather than
+# guessing if the stash round-trip could lose work.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+QUERIES=${1:?"usage: tools/ab_bench.sh <q1,q2,...> [RUNS] [REF]"}
+RUNS=${2:-3}
+REF=${3:-HEAD~1}
+SF=${SF:-/root/testdata/sf0.1}
+CPUS=${CPUS:-32}
+
+JAVA_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
+  java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+  sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  echo --add-opens=java.base/$p=ALL-UNNAMED; done)
+CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
+
+bench() { # $1 = out json
+  sbt -batch -error compile >/dev/null
+  SPARK_GRAFT_BENCH_ONLY="$QUERIES" SPARK_GRAFT_BENCH_RUNS="$RUNS" \
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
+  SPARK_GRAFT_BENCH_OUT="$1" \
+  java $JAVA_OPENS -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC -Xmx24g -cp "$CP" \
+    graft.Bench 2>/dev/null >/dev/null
+}
+
+if ! git diff --quiet || ! git diff --cached --quiet; then
+  echo "A = working tree (dirty), B = HEAD — via stash round-trip"
+  bench /tmp/ab_new.json
+  git stash push --quiet -m "ab_bench round-trip"
+  trap 'git stash pop --quiet' EXIT   # restore even on a failed bench
+  bench /tmp/ab_old.json
+  git stash pop --quiet
+  trap - EXIT
+else
+  echo "A = HEAD, B = $REF — via tracked-source checkout round-trip"
+  bench /tmp/ab_new.json
+  git checkout "$REF" -- src/main
+  trap 'git checkout HEAD -- src/main' EXIT
+  bench /tmp/ab_old.json
+  git checkout HEAD -- src/main
+  trap - EXIT
+  sbt -batch -error compile >/dev/null   # leave classes matching HEAD
+fi
+
+python3 - <<'EOF'
+import json
+old = json.load(open('/tmp/ab_old.json'))['queries']
+new = json.load(open('/tmp/ab_new.json'))['queries']
+print(f"\n{'query':35s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+for k in sorted(old):
+    if old[k] > 0 and new.get(k, -1) > 0:
+        print(f"{k:35s} {old[k]:8.2f} {new[k]:8.2f} {new[k]/old[k]:6.2f}x")
+    else:
+        print(f"{k:35s} {old.get(k):>8} {new.get(k):>8}  ERROR")
+to, tn = sum(v for v in old.values() if v > 0), sum(v for v in new.values() if v > 0)
+print(f"{'TOTAL':35s} {to:8.2f} {tn:8.2f} {tn/to:6.2f}x")
+EOF
