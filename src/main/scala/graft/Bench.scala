@@ -20,6 +20,20 @@ object Bench {
     // graceful spill exactly when these are nonzero AND errors is empty
     val memSpill = new java.util.concurrent.atomic.AtomicLong()
     val diskSpill = new java.util.concurrent.atomic.AtomicLong()
+    // WORK channel (round 9): cumulative task-level shuffle bytes, CPU
+    // time, and task counts. Unlike wall-clock — which this host moves
+    // by ±20% per query between same-window passes (see BASELINE.md's
+    // A/A calibration) — shuffle volume is a deterministic property of
+    // the physical plan over fixed input, so per-query deltas of these
+    // counters decide "did this change add or remove work" exactly,
+    // where a timing diff can only shrug. Sliced per query by
+    // snapshotting around each run with the listener bus drained
+    // (events are async; without the drain a query's tail lands on the
+    // next query's account).
+    val shufRead = new java.util.concurrent.atomic.AtomicLong()
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong()
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    val nTasks = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -28,6 +42,10 @@ object Bench {
           if (m != null) {
             memSpill.addAndGet(m.memoryBytesSpilled)
             diskSpill.addAndGet(m.diskBytesSpilled)
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            cpuNs.addAndGet(m.executorCpuTime)
+            nTasks.incrementAndGet()
           }
         }
       })
@@ -46,8 +64,16 @@ object Bench {
     // or a regression that breaks a query silently improves the total
     val best = scala.collection.mutable.Map[String, Double]()
     val errors = scala.collection.mutable.Map[String, String]()
+    // per-query WORK from the last successful run (plan-deterministic,
+    // so any run's numbers are THE numbers; the last overwrite keeps
+    // the code a counter diff, no min-tracking)
+    val work = scala.collection.mutable.Map[String, (Long, Long, Long, Long)]()
+    def drain(): Unit =
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
+      drain()
+      val (r0, w0, c0, k0) = (shufRead.get, shufWrite.get, cpuNs.get, nTasks.get)
       val t0 = System.nanoTime()
       try {
         // harness v2: materialize EVERY output column via a noop-format
@@ -60,6 +86,9 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
+        drain()
+        work(name) = (shufRead.get - r0, shufWrite.get - w0,
+          cpuNs.get - c0, nTasks.get - k0)
       } catch {
         case e: Throwable => errors(name) = e.getClass.getName
       }
@@ -73,6 +102,13 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
         s""""spill":{"memBytes":${memSpill.get},"diskBytes":${diskSpill.get}},"sf":"$sfDir"}"""
     println(line)
+    // the deterministic work channel goes in the ARTIFACT only: the
+    // round driver keeps a 2000-char truncated tail of stdout, and
+    // bloating the line would push the per-query timings out of it
+    val workJson = names.flatMap(k => work.get(k).map { case (r, w, c, t) =>
+      "\"" + k + "\":" +
+        s"""{"shuffleReadBytes":$r,"shuffleWriteBytes":$w,"cpuNs":$c,"tasks":$t}"""
+    }).mkString("{", ",", "}")
     // stable full artifact: the round driver's BENCH_r*.json keeps only
     // a 2000-char truncated tail of stdout, so the complete per-query
     // record must live at a fixed path the next round can diff against
@@ -90,7 +126,8 @@ object Bench {
         (if (d == null) java.nio.file.Path.of("").toAbsolutePath else d)
           .resolve("BENCH_full_latest.json")
       }
-    try java.nio.file.Files.writeString(outPath, line + "\n")
+    val artifactLine = line.stripSuffix("}") + s""","work":$workJson}"""
+    try java.nio.file.Files.writeString(outPath, artifactLine + "\n")
     catch { case e: Exception =>
       // a read-only target must not fail the bench, but it must be LOUD:
       // a swallowed failure leaves the previous artifact masquerading

@@ -76,6 +76,27 @@ def main():
               f"(ratio {nsum / osum:.2f}, {len(common)} queries)")
     else:
         print("\nno common queries with positive old times — nothing to ratio")
+    # deterministic WORK channel (round 9): shuffle bytes are a property
+    # of the plan over fixed input, not of host load — when both
+    # artifacts carry them, a changed byte count is a REAL plan change
+    # even where the timing ratio is inside the host's noise floor
+    # (±20% per query; see BASELINE.md's A/A calibration)
+    ow, nw = old.get("work") or {}, new.get("work") or {}
+    wcommon = [k for k in common if k in ow and k in nw]
+    if wcommon:
+        changed = []
+        for k in wcommon:
+            ob = ow[k]["shuffleReadBytes"] + ow[k]["shuffleWriteBytes"]
+            nb = nw[k]["shuffleReadBytes"] + nw[k]["shuffleWriteBytes"]
+            if ob != nb:
+                changed.append((k, ob, nb))
+        print(f"\nwork channel ({len(wcommon)} comparable): "
+              f"{len(changed)} quer{'y' if len(changed) == 1 else 'ies'} "
+              "with changed shuffle volume")
+        for k, ob, nb in sorted(changed, key=lambda x: x[2] - x[1]):
+            d = nb - ob
+            print(f"  {k:38s} {ob/1e6:10.1f} MB -> {nb/1e6:10.1f} MB "
+                  f"({'+' if d > 0 else ''}{d/1e6:.1f} MB)")
     if regressions:
         sys.exit(f"{len(regressions)} regression(s) beyond {threshold}x: "
                  + ", ".join(regressions))
