@@ -338,6 +338,10 @@ object Dedup {
     val preexisting = persisted.keySet
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      // NOT layout-aligned (deliberate, work-channel-measured): the
+      // per-round neighbor-label join broadcasts the node-sized label
+      // frame under AQE, so the edge side never re-exchanges anyway — a
+      // dst-aligned pin added bytes and time at both SFs
       .pinned // materialize once; truncate upstream lineage
     val edgeIds = persisted.keySet -- preexisting
     var labels = edges.groupBy(col("src").as("id"))

@@ -73,7 +73,15 @@ object Graph {
     val proj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-    val e0 = (if (assumeSimple) proj else proj.distinct()).pinned
+    // under spark.graft.pin.alignedLayout the edge frame pins
+    // PARTITIONED ON THE JOIN KEY, so the degree aggregation, the
+    // degree join, and every iteration's rank join satisfy their
+    // src-clustering requirement from the pinned layout — zero edge
+    // exchanges after this one (work-channel-verified: −466 MB at sf1;
+    // see Pin.pinAligned for why that's a cluster knob, not the
+    // local-mode default)
+    val e0 = Pin.pinAligned(
+      if (assumeSimple) proj else proj.distinct(), col("src"))
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     val e = e0.join(deg, Seq("src")).pinned
     val nodes = e0.select(col("src").as("node"))
@@ -113,11 +121,13 @@ object Graph {
       s"personalizedPageRank iterations must be in [1, 100], got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"personalizedPageRank dampingPct must be in [0, 100], got $dampingPct")
-    // same frame pinning as [[pageRank]] (the q213 lesson)
+    // same frame pinning as [[pageRank]], src-aligned under the same
+    // deployment knob
     val proj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-    val e0 = (if (assumeSimple) proj else proj.distinct()).pinned
+    val e0 = Pin.pinAligned(
+      if (assumeSimple) proj else proj.distinct(), col("src"))
     val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
     val e = e0.join(deg, Seq("src")).pinned
     val nodes = e0.select(col("src").as("node"))
@@ -193,9 +203,12 @@ object Graph {
     *
     * Scale shape per round: two edge⋈score hash joins + two
     * partial-aggregated sums + two one-row max frames riding cross
-    * joins. The same exchange-reuse discipline as [[pageRank]]: no
-    * mid-loop filters, lazy frames, so Spark reuses the edge shuffles
-    * across rounds. */
+    * joins. The rounds are separate eager jobs (each score frame pins),
+    * so cross-round ExchangeReuse can never fire — instead the edge
+    * list is pinned TWICE, once partitioned on src (auth step) and once
+    * on dst (hub step), and each round's joins satisfy their clustering
+    * requirement straight from the pinned layout: per round only
+    * node-sized score frames shuffle. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, assumeSimple: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 20,
@@ -204,14 +217,29 @@ object Graph {
     // derivation (often a join+distinct upstream) must materialize once
     // or every action re-runs it (the q208 probes lesson). assumeSimple
     // skips the dedup exchange under the [[pageRank]] contract: only
-    // when the caller's plan PROVES the (src, dst) pairs unique
+    // when the caller's plan PROVES the (src, dst) pairs unique.
+    //
+    // HITS joins the edge list on BOTH endpoints every round (auth step
+    // keys on src, hub step on dst), so a single pinned frame serves at
+    // most one side and the other re-exchanges the full edge list every
+    // round — the work channel measured exactly that: 2 edge exchanges
+    // × rounds, the heaviest shuffle source on the whole graph surface
+    // (q213: −482 MB at sf1 under the aligned knob). Under
+    // spark.graft.pin.alignedLayout the edge list pins TWICE, once per
+    // join key, converting per-round exchanges to 2 one-time ones;
+    // rounds then shuffle only node-sized score frames. Locally (knob
+    // off) the single pin stands — see Pin.pinAligned for the measured
+    // trade.
     val proj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-    val e = (if (assumeSimple) proj else proj.distinct())
-      .pinned
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val eSrc = Pin.pinAligned(
+      if (assumeSimple) proj else proj.distinct(), col("src"))
+    val eDst =
+      if (Pin.aligned(edges.sparkSession)) Pin.pinAligned(eSrc, col("dst"))
+      else eSrc
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("dst").as("node")))
       .distinct()
       .pinned
     var scores = nodes
@@ -222,7 +250,7 @@ object Graph {
       // lazy, subplan references DOUBLE per round (2^iterations work).
       // The frames are node-sized, so one localCheckpoint each is the
       // cheap fix (measured 8.2 s → well under 2 s at sf0.1)
-      val auth0 = e
+      val auth0 = eSrc
         .join(scores.select(col("node").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("a0"))
       val authMax = auth0.agg(max(col("a0")).as("am"))
@@ -231,7 +259,7 @@ object Graph {
           expr("(coalesce(a0, CAST(0 AS BIGINT)) * 1000000) div am")
             .as("auth"))
         .pinned
-      val hub0 = e
+      val hub0 = eDst
         .join(auth.select(col("node").as("dst"), col("auth").as("a1")),
           Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a1")).as("h0"))
@@ -399,15 +427,19 @@ object Graph {
     require(maxDepth >= 1 && maxDepth <= 16,
       s"bfsDistances maxDepth must be in [1, 16], got $maxDepth")
     // the edge list is consumed once per round — materialize its
-    // derivation (often a join+distinct upstream) exactly once.
+    // derivation (often a join+distinct upstream) exactly once; under
+    // spark.graft.pin.alignedLayout it pins PARTITIONED on src so each
+    // round's frontier join satisfies its clustering requirement from
+    // the pinned layout instead of re-exchanging the edge list per
+    // depth (work-channel-caught; cluster knob, see Pin.pinAligned).
     // assumeSimple skips the dedup exchange ([[pageRank]] contract);
     // for BFS duplicate edges cost work, never correctness (min-dist
     // is idempotent), so the flag here is purely a plan-shape assert
     val proj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-    val e = (if (assumeSimple) proj else proj.distinct())
-      .pinned
+    val e = Pin.pinAligned(
+      if (assumeSimple) proj else proj.distinct(), col("src"))
     var visited = probes
       .select(col(probeCol).cast("long").as("probe"))
       .distinct()

@@ -56,6 +56,10 @@ object Pin {
   // so calling it per-pin would scatter files across directories
   @volatile private var applied: (SparkContext, String) = null
 
+  /** Conf key enabling layout-aligned pinning (see [[pinAligned]]);
+    * default off. */
+  val AlignConf = "spark.graft.pin.alignedLayout"
+
   /** Materialize `ds` eagerly and truncate its lineage — via
     * `localCheckpoint` (default) or reliable `checkpoint` when
     * `spark.graft.checkpoint.dir` is set. */
@@ -75,9 +79,49 @@ object Pin {
     }
   }
 
+  /** True when layout-aligned pinning is enabled on this session. */
+  def aligned(sess: org.apache.spark.sql.SparkSession): Boolean =
+    sess.conf.get(AlignConf, "false") == "true"
+
+  /** Pin with a DECLARED join-key layout — the network-shuffle
+    * deployment knob. When `spark.graft.pin.alignedLayout=true`, the
+    * frame materializes repartitioned by `keys` with AQE scoped OFF for
+    * just this eager job, because a checkpoint taken through an
+    * `AdaptiveSparkPlan` reports `UnknownPartitioning` and FORGETS the
+    * layout — with it preserved, every iteration of a fixed-point
+    * kernel satisfies its join's clustering requirement straight from
+    * the pinned frame instead of re-exchanging it per round.
+    *
+    * Default OFF because the trade is scale-dependent, and we measured
+    * both sides (work channel, BASELINE.md round 9): aligned pinning
+    * cuts the iterative graph kernels' shuffle volume 25–45% at sf0.1
+    * AND sf1 (PageRank −466 MB at sf1), but on `local[*]` — where
+    * shuffle is memory-speed and essentially free — wall time got
+    * WORSE (fixed-width layouts block AQE partition coalescing in the
+    * round jobs, and the pin job loses AQE's runtime broadcasts), so
+    * locally the bytes saved buy nothing. On a 1000-executor cluster
+    * the exchange volume crosses the network and dominates the round
+    * cost; set this together with `spark.graft.checkpoint.dir`.
+    * Either setting is output-identical (AlignedPinSpec). */
+  def pinAligned[T](ds: Dataset[T], keys: org.apache.spark.sql.Column*)
+      : Dataset[T] = {
+    val sess = ds.sparkSession
+    if (!aligned(sess)) pin(ds)
+    else {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val wasOn = sess.conf.get(aqeKey, "true") == "true"
+      if (wasOn) sess.conf.set(aqeKey, "false")
+      try pin(ds.repartition(keys: _*))
+      finally if (wasOn) sess.conf.set(aqeKey, "true")
+    }
+  }
+
   /** Postfix spelling, so kernels keep reading as plan pipelines:
     * `frame.join(...).distinct().pinned`. */
   implicit class PinSyntax[T](private val ds: Dataset[T]) extends AnyVal {
     def pinned: Dataset[T] = pin(ds)
+    /** [[pinAligned]] postfix: `edges.pinnedBy(col("src"))`. */
+    def pinnedBy(keys: org.apache.spark.sql.Column*): Dataset[T] =
+      pinAligned(ds, keys: _*)
   }
 }

@@ -47,6 +47,7 @@ if ! git diff --quiet || ! git diff --cached --quiet; then
   bench /tmp/ab_old.json
   git stash pop --quiet
   trap - EXIT
+  sbt -batch -error compile >/dev/null   # leave classes matching the tree
 else
   echo "A = HEAD, B = $REF — via tracked-source checkout round-trip"
   bench /tmp/ab_new.json
