@@ -88,7 +88,9 @@ def main():
         for k in wcommon:
             ob = ow[k]["shuffleReadBytes"] + ow[k]["shuffleWriteBytes"]
             nb = nw[k]["shuffleReadBytes"] + nw[k]["shuffleWriteBytes"]
-            if ob != nb:
+            # bytes jitter ~1% run-to-run (map-side combine segment
+            # boundaries); a real plan change moves whole exchanges
+            if abs(nb - ob) > max(0.02 * max(ob, nb), 262144):
                 changed.append((k, ob, nb))
         print(f"\nwork channel ({len(wcommon)} comparable): "
               f"{len(changed)} quer{'y' if len(changed) == 1 else 'ies'} "
