@@ -61,8 +61,9 @@ fi
 
 python3 - <<'EOF'
 import json
-old = json.load(open('/tmp/ab_old.json'))['queries']
-new = json.load(open('/tmp/ab_new.json'))['queries']
+o = json.load(open('/tmp/ab_old.json'))
+n = json.load(open('/tmp/ab_new.json'))
+old, new = o['queries'], n['queries']
 print(f"\n{'query':35s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
 for k in sorted(old):
     if old[k] > 0 and new.get(k, -1) > 0:
@@ -71,4 +72,19 @@ for k in sorted(old):
         print(f"{k:35s} {old.get(k):>8} {new.get(k):>8}  ERROR")
 to, tn = sum(v for v in old.values() if v > 0), sum(v for v in new.values() if v > 0)
 print(f"{'TOTAL':35s} {to:8.2f} {tn:8.2f} {tn/to:6.2f}x")
+# the deterministic verdict: timing above is advisory (host noise floor
+# ±20%/query); changed shuffle volume below is a REAL plan change
+ow, nw = o.get('work') or {}, n.get('work') or {}
+changed = []
+for k in sorted(set(ow) & set(nw)):
+    ob = ow[k]['shuffleReadBytes'] + ow[k]['shuffleWriteBytes']
+    nb = nw[k]['shuffleReadBytes'] + nw[k]['shuffleWriteBytes']
+    if abs(nb - ob) > max(0.02 * max(ob, nb), 262144):
+        changed.append((k, ob, nb))
+if ow and nw:
+    print(f"\nwork: {len(changed)} quer{'y' if len(changed)==1 else 'ies'}"
+          " with changed shuffle volume (beyond 2%/256KB jitter)")
+    for k, ob, nb in sorted(changed, key=lambda x: x[2] - x[1]):
+        print(f"  {k:33s} {ob/1e6:9.1f} MB -> {nb/1e6:9.1f} MB"
+              f" ({(nb-ob)/1e6:+.1f} MB)")
 EOF
