@@ -14,6 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional session-conf overrides for benching deployment knobs,
+    // e.g. SPARK_GRAFT_CONF=spark.graft.pin.alignedLayout=true
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
     // spill accounting (round-9 memory-pressure lane): task-level
     // memory/disk spill totals across the whole run, reported in the
     // JSON line — a constrained-heap pass (e.g. -Xmx8g at sf1) proves

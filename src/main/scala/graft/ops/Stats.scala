@@ -68,6 +68,13 @@ object Stats {
       s"rangePrefix needs distinct output names, got ${aggs.map(_._2)}")
     def fold(c: Column): Column = if (useMax) max(c) else sum(c)
     val keyCols = keys.map(col)
+    // NOT layout-aligned (deliberate, work-channel-measured): unlike
+    // the iterative graph kernels, this layout is consumed ONCE per
+    // consumer, and of the three consumers only the window exchanges
+    // full rows (totals/offsets exchange post-partial-agg, ~nothing) —
+    // an aligned relayout costs exactly the one exchange it saves,
+    // plus the extra in-pin pass. Aligned pinning pays only where
+    // rounds amortize the relayout (see Pin.pinAligned).
     val withPid = hist.repartitionByRange(numParts, keyCols: _*)
       .withColumn("__pid", spark_partition_id())
       .pinned
