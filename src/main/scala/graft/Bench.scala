@@ -8,18 +8,32 @@ object Bench {
     // load (round 1's driver bench ran 3× inflated under a loaded host);
     // the min of n passes is the machine-capability number
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // SPARK_GRAFT_MASTER: same cluster-rehearsal override as Verify's —
+    // lets the lane price the surface under local-cluster[...] with
+    // real executor processes and network-path shuffle.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional session-conf overrides for benching deployment knobs,
-    // e.g. SPARK_GRAFT_CONF=spark.graft.pin.alignedLayout=true
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val i = kv.indexOf('=')
-      if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
-    })
+    // e.g. SPARK_GRAFT_CONF=spark.graft.pin.alignedLayout=true.
+    // Pairs split on ';' when one is present, else ',' — so a
+    // list-valued conf ("k=a,b,c") passes intact by switching to ';'
+    // as the pair delimiter. A segment with no '=' is a malformed
+    // pair: warn loudly instead of dropping it silently.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { raw =>
+      val sep = if (raw.contains(';')) ';' else ','
+      raw.split(sep).filter(_.trim.nonEmpty).foreach { kv =>
+        val i = kv.indexOf('=')
+        if (i > 0) spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+        else System.err.println(
+          s"[bench] WARN: SPARK_GRAFT_CONF segment '$kv' has no '=' — " +
+            "ignored (use ';' between pairs when a value contains ',')")
+      }
+    }
     // spill accounting (round-9 memory-pressure lane): task-level
     // memory/disk spill totals across the whole run, reported in the
     // JSON line — a constrained-heap pass (e.g. -Xmx8g at sf1) proves

@@ -6,14 +6,29 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [nameFilter] — the optional third arg restricts
-    // to queries whose name contains any of its comma-separated terms
-    // (dev/lane-only; the driver passes two args).
+    // to queries whose name contains any of its comma-separated terms;
+    // a term starting with '!' EXCLUDES matches instead (the cluster
+    // lane runs "!q220" — embedded in-memory Derby is single-JVM by
+    // nature, so the JDBC roundtrip can't span executor processes; a
+    // real cluster points sources.Jdbc at a network RDBMS and the code
+    // path is identical). Dev/lane-only; the driver passes two args.
     val Array(sfDir, outDir) = args.take(2)
-    val nameFilter = args.lift(2)
+    val terms = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val includes = terms.map(_.filterNot(_.startsWith("!")))
+      .filter(_.nonEmpty)
+    val excludes = terms.toSeq.flatten
+      .filter(_.startsWith("!")).map(_.drop(1)).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER lets the cluster-rehearsal lane
+    // (tools/cluster_verify.sh) run this same dump under a
+    // local-cluster[...] master with real multi-process executors;
+    // static confs (spark.executor.extraClassPath,
+    // spark.graft.checkpoint.dir, ...) ride -Dspark.* system
+    // properties, which SparkConf picks up below builder options.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -22,7 +37,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) =>
-        nameFilter.forall(_.exists(name.contains)) }
+        includes.forall(_.exists(name.contains)) &&
+          !excludes.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -107,12 +107,26 @@ object Pin {
       : Dataset[T] = {
     val sess = ds.sparkSession
     if (!aligned(sess)) pin(ds)
-    else {
+    else sess.synchronized {
+      // synchronized on the session: the AQE toggle below is a
+      // session-GLOBAL conf flip around an eager job, so a concurrent
+      // pinAligned on the same session could restore AQE while this
+      // pin is still materializing (silently losing the declared
+      // layout) — serializing aligned pins per session closes that.
+      // Queries running concurrently on OTHER threads of this session
+      // still briefly plan without AQE; aligned pinning is a cluster
+      // deployment knob, documented for single-query-at-a-time jobs.
       val aqeKey = "spark.sql.adaptive.enabled"
-      val wasOn = sess.conf.get(aqeKey, "true") == "true"
+      val explicit = sess.conf.getOption(aqeKey)
+      val wasOn = explicit.getOrElse("true") == "true"
       if (wasOn) sess.conf.set(aqeKey, "false")
       try pin(ds.repartition(keys: _*))
-      finally if (wasOn) sess.conf.set(aqeKey, "true")
+      finally if (wasOn) explicit match {
+        case Some(v) => sess.conf.set(aqeKey, v)
+        // key was at its default: restore by unsetting, not by pinning
+        // an explicit "true" into the session conf
+        case None => sess.conf.unset(aqeKey)
+      }
     }
   }
 

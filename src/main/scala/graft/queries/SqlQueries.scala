@@ -18,14 +18,30 @@ object SqlQueries {
     // cents: the interpolation fraction then lands ≥ 0.05 from any
     // round(…,1) boundary, so the two engines' algebraically-equal but
     // ULP-different interpolation formulas cannot round apart.
+    //
+    // Rides Stats.quantilesCont (histogram + range-partitioned rank
+    // probes), NOT the built-in `percentile`: the built-in buffers a
+    // per-group value→count map whose final merge lands on ONE task,
+    // and the distinct-cents domain GROWS with scale factor — a
+    // multi-GB single-reducer hash map at 100×. quantilesCont's
+    // integer closed form (v_r·(100−f)+v_{r+1}·f, ×100) is the same
+    // math, so ÷100 reproduces the identical rounded values.
     "q36_percentile" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(cents, 0.5)"), 1).as("p50_cents"),
-          round(expr("percentile(cents, 0.9)"), 1).as("p90_cents"),
-          round(expr("percentile(l_quantity, 0.25)"), 1).as("q1_qty"))
+      val li = t(s, dir, "lineitem")
+      val cents = graft.ops.Stats.quantilesCont(
+        li.withColumn("cents",
+          round(col("l_extendedprice") * 100).cast("long")),
+        col("l_returnflag"), col("cents"), Seq(50, 90))
+      val qty = graft.ops.Stats.quantilesCont(
+        li, col("l_returnflag"), col("l_quantity"), Seq(25))
+      cents.select(col("g"), col("p50_x100"), col("p90_x100"))
+        .join(qty.select(col("g").as("__qg"), col("p25_x100")),
+          col("g") <=> col("__qg"))
+        .select(
+          col("g").as("l_returnflag"),
+          round(col("p50_x100") / 100.0, 1).as("p50_cents"),
+          round(col("p90_x100") / 100.0, 1).as("p90_cents"),
+          round(col("p25_x100") / 100.0, 1).as("q1_qty"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -275,10 +291,10 @@ object SqlQueries {
     // Exact DISTRIBUTED percentile_disc per group (ops/Stats
     // histogram-prefix-rank construction — the q121 machinery applied
     // to quantiles): the oracle runs the same closed form natively and
-    // the hash compare proves the distributed ranks agree. Unlike
-    // q36's `percentile()` (an in-memory sort per group inside one
-    // agg buffer), this never holds a group's values in one buffer —
-    // the 100 TB shape.
+    // the hash compare proves the distributed ranks agree. Never
+    // holds a group's values in one agg buffer — the 100 TB shape
+    // (q36's interpolated sibling rides the same construction via
+    // Stats.quantilesCont).
     "q142_exact_quantiles" -> ((s, dir) => {
       graft.ops.Stats.quantilesDisc(
         t(s, dir, "lineitem").withColumn("cents",

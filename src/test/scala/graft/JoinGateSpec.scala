@@ -69,7 +69,11 @@ class JoinGateSpec extends SparkTestBase {
     "q98_source_overlap" ->
       "per-SOURCE gram profiles under a source_a < source_b triangular condition - bounded by source count",
     "q18_embedding_neardup" ->
-      "broadcast side is the IVF centroid frame (n/centroidStride rows) - the stride is the knob that keeps C broadcastable; deployment sets it so C stays thousands at any corpus size (embeddingNearDupsIvf Scaladoc)")
+      "broadcast side is the IVF centroid frame (n/centroidStride rows) - the stride is the knob that keeps C broadcastable; deployment sets it so C stays thousands at any corpus size (embeddingNearDupsIvf Scaladoc)",
+    "q89_ann_pq" ->
+      "broadcast side is the 20-probe slice joined with its M x ksub ADC lookup tables (probes x tiny codebook cross) - the q19 probe-slice class; the corpus side streams as (id, M codes)",
+    "q187_gap_fill" ->
+      "broadcast side is the calendar-day spine (explode of the 1-row min/max span agg) x distinct event-type dimension - bounded by days-in-span x type cardinality, never row count")
 
   // grouping columns minted from spark_partition_id() — bounded by the
   // partition count, never by the data (Stats.rangePrefix* discipline)
@@ -77,15 +81,45 @@ class JoinGateSpec extends SparkTestBase {
     a.groupingExpressions.nonEmpty && a.groupingExpressions.forall(e =>
       e.name.startsWith("__pid") || e.name.startsWith("__tp"))
 
-  private def boundedByConstruction(side: SparkPlan): Boolean =
-    side.exists {
-      case a: BaseAggregateExec =>
-        a.groupingExpressions.isEmpty || partitionAxisOnly(a)
-      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-      case _: org.apache.spark.sql.execution.LocalLimitExec => true
-      case _: LocalTableScanExec => true
-      case _ => false
-    }
+  /** The bound must DOMINATE the build side's root — a `plan.exists`
+    * sweep would accept `bigTable.join(oneRowAgg)` or a join placed
+    * ABOVE a limit, both of which grow with the data. So: recurse from
+    * the root, descending only through nodes whose output cardinality
+    * cannot exceed the bound established below them —
+    * single-child passthroughs (project/filter/sort/exchange/coalesce),
+    * aggregates (output ≤ input), and joins/unions ALL of whose inputs
+    * are themselves bounded (a product/sum of constants is a
+    * constant). Expand/Generate multiply cardinality and correctly
+    * fall through to `false`. */
+  private def boundedByConstruction(side: SparkPlan): Boolean = side match {
+    // bounding shapes
+    case a: BaseAggregateExec
+        if a.groupingExpressions.isEmpty || partitionAxisOnly(a) => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    case _: LocalTableScanExec => true
+    // any other aggregate's output never exceeds its input
+    case a: BaseAggregateExec => boundedByConstruction(a.child)
+    // a join or union of all-bounded inputs stays bounded; joins with
+    // one unbounded input do NOT (one probe row may match many rows)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      boundedByConstruction(j.left) && boundedByConstruction(j.right)
+    case c: CartesianProductExec =>
+      boundedByConstruction(c.left) && boundedByConstruction(c.right)
+    case u: org.apache.spark.sql.execution.UnionExec =>
+      u.children.forall(boundedByConstruction)
+    // single-child output-cardinality-preserving wrappers
+    case p @ (_: org.apache.spark.sql.execution.ProjectExec
+        | _: org.apache.spark.sql.execution.FilterExec
+        | _: org.apache.spark.sql.execution.SortExec
+        | _: org.apache.spark.sql.execution.CoalesceExec
+        | _: org.apache.spark.sql.execution.window.WindowExec
+        | _: org.apache.spark.sql.execution.WholeStageCodegenExec
+        | _: org.apache.spark.sql.execution.InputAdapter
+        | _: org.apache.spark.sql.execution.exchange.Exchange) =>
+      boundedByConstruction(p.children.head)
+    case _ => false
+  }
 
   /** Offending nodes whose bounded side can NOT be proven structurally. */
   private def unexplained(plan: SparkPlan): Seq[String] = plan.collect {

@@ -10,10 +10,11 @@
 # Usage: tools/ab_bench.sh q99_pagerank,q208_ppr [RUNS] [REF]
 #        tools/ab_bench.sh q17_ngram_jaccard 5 HEAD~3
 #
-# Safe by construction: a dirty tree is round-tripped through a single
-# git stash push/pop pair; a clean tree only ever checks out TRACKED
-# sources from $REF and restores them from HEAD. Aborts rather than
-# guessing if the stash round-trip could lose work.
+# Safe by construction: the working tree is NEVER mutated. The OLD side
+# compiles in a detached `git worktree` of its ref — guaranteeing it
+# sees exactly that commit's tree (a bare `checkout $REF -- src/main`
+# would leave files ADDED since $REF in place, and untracked new
+# sources would contaminate both sides).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -27,37 +28,35 @@ JAVA_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic \
   sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   echo --add-opens=java.base/$p=ALL-UNNAMED; done)
-CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
-
-bench() { # $1 = out json
-  sbt -batch -error compile >/dev/null
+bench() { # $1 = build/run dir, $2 = out json
+  ( cd "$1" && sbt -batch -error compile >/dev/null )
   SPARK_GRAFT_BENCH_ONLY="$QUERIES" SPARK_GRAFT_BENCH_RUNS="$RUNS" \
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
-  SPARK_GRAFT_BENCH_OUT="$1" \
+  SPARK_GRAFT_BENCH_OUT="$2" \
   java $JAVA_OPENS -Dspark.ui.enabled=false \
-    -Dspark.sql.session.timeZone=UTC -Xmx24g -cp "$CP" \
+    -Dspark.sql.session.timeZone=UTC -Xmx24g \
+    -cp "$1/target/scala-2.13/classes:$1/src/main/resources:/opt/spark/jars/*" \
     graft.Bench 2>/dev/null >/dev/null
 }
 
-if ! git diff --quiet || ! git diff --cached --quiet; then
-  echo "A = working tree (dirty), B = HEAD — via stash round-trip"
-  bench /tmp/ab_new.json
-  git stash push --quiet -m "ab_bench round-trip"
-  trap 'git stash pop --quiet' EXIT   # restore even on a failed bench
-  bench /tmp/ab_old.json
-  git stash pop --quiet
-  trap - EXIT
-  sbt -batch -error compile >/dev/null   # leave classes matching the tree
+# Dirty means tracked changes OR untracked files under src/ — a tree
+# dirty only in an untracked new source is still a code change.
+if ! git diff --quiet || ! git diff --cached --quiet \
+    || [ -n "$(git ls-files --others --exclude-standard src/)" ]; then
+  OLDREF=HEAD
+  echo "A = working tree (dirty), B = HEAD — old side in a detached worktree"
 else
-  echo "A = HEAD, B = $REF — via tracked-source checkout round-trip"
-  bench /tmp/ab_new.json
-  git checkout "$REF" -- src/main
-  trap 'git checkout HEAD -- src/main' EXIT
-  bench /tmp/ab_old.json
-  git checkout HEAD -- src/main
-  trap - EXIT
-  sbt -batch -error compile >/dev/null   # leave classes matching HEAD
+  OLDREF=$REF
+  echo "A = HEAD, B = $REF — old side in a detached worktree"
 fi
+
+WT=$(mktemp -d /tmp/ab_bench_old.XXXXXX)
+rmdir "$WT"
+git worktree add --detach --quiet "$WT" "$OLDREF"
+trap 'git worktree remove --force "$WT" >/dev/null 2>&1 || true' EXIT
+
+bench "$PWD" /tmp/ab_new.json
+bench "$WT" /tmp/ab_old.json
 
 python3 - <<'EOF'
 import json

@@ -33,7 +33,7 @@ def stringify(df):
     return df.astype(str)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     # Spill outside the repo: DuckDB's default temp_directory for an
     # in-memory connection is ./.tmp, which once swept 46GB of spill
@@ -45,6 +45,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if any(s in name for s in skip):
+            print(f"SKIP {name} (--skip)")
+            continue
         try:
             want = con.execute(sql).fetchdf()
         except Exception as e:
@@ -101,4 +104,10 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # --skip=q220,...: contains-match names to leave out — the cluster
+    # lane excludes the embedded-Derby roundtrip (single-JVM by nature)
+    skip = ()
+    for a in sys.argv[3:]:
+        if a.startswith("--skip="):
+            skip = tuple(s for s in a[len("--skip="):].split(",") if s)
+    sys.exit(main(sys.argv[1], sys.argv[2], skip))
