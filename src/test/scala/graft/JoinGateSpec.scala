@@ -1,8 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
-import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Surface-wide scale gate #2 (round-9, the [[WindowGateSpec]] recipe
@@ -75,51 +74,10 @@ class JoinGateSpec extends SparkTestBase {
     "q187_gap_fill" ->
       "broadcast side is the calendar-day spine (explode of the 1-row min/max span agg) x distinct event-type dimension - bounded by days-in-span x type cardinality, never row count")
 
-  // grouping columns minted from spark_partition_id() — bounded by the
-  // partition count, never by the data (Stats.rangePrefix* discipline)
-  private def partitionAxisOnly(a: BaseAggregateExec): Boolean =
-    a.groupingExpressions.nonEmpty && a.groupingExpressions.forall(e =>
-      e.name.startsWith("__pid") || e.name.startsWith("__tp"))
-
-  /** The bound must DOMINATE the build side's root — a `plan.exists`
-    * sweep would accept `bigTable.join(oneRowAgg)` or a join placed
-    * ABOVE a limit, both of which grow with the data. So: recurse from
-    * the root, descending only through nodes whose output cardinality
-    * cannot exceed the bound established below them —
-    * single-child passthroughs (project/filter/sort/exchange/coalesce),
-    * aggregates (output ≤ input), and joins/unions ALL of whose inputs
-    * are themselves bounded (a product/sum of constants is a
-    * constant). Expand/Generate multiply cardinality and correctly
-    * fall through to `false`. */
-  private def boundedByConstruction(side: SparkPlan): Boolean = side match {
-    // bounding shapes
-    case a: BaseAggregateExec
-        if a.groupingExpressions.isEmpty || partitionAxisOnly(a) => true
-    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-    case _: org.apache.spark.sql.execution.LocalLimitExec => true
-    case _: LocalTableScanExec => true
-    // any other aggregate's output never exceeds its input
-    case a: BaseAggregateExec => boundedByConstruction(a.child)
-    // a join or union of all-bounded inputs stays bounded; joins with
-    // one unbounded input do NOT (one probe row may match many rows)
-    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-      boundedByConstruction(j.left) && boundedByConstruction(j.right)
-    case c: CartesianProductExec =>
-      boundedByConstruction(c.left) && boundedByConstruction(c.right)
-    case u: org.apache.spark.sql.execution.UnionExec =>
-      u.children.forall(boundedByConstruction)
-    // single-child output-cardinality-preserving wrappers
-    case p @ (_: org.apache.spark.sql.execution.ProjectExec
-        | _: org.apache.spark.sql.execution.FilterExec
-        | _: org.apache.spark.sql.execution.SortExec
-        | _: org.apache.spark.sql.execution.CoalesceExec
-        | _: org.apache.spark.sql.execution.window.WindowExec
-        | _: org.apache.spark.sql.execution.WholeStageCodegenExec
-        | _: org.apache.spark.sql.execution.InputAdapter
-        | _: org.apache.spark.sql.execution.exchange.Exchange) =>
-      boundedByConstruction(p.children.head)
-    case _ => false
-  }
+  // shared with AggGateSpec — see PlanGates for the dominance-walk
+  // semantics (the bound must dominate the build side's root)
+  private def boundedByConstruction(side: SparkPlan): Boolean =
+    PlanGates.boundedByConstruction(side)
 
   /** Offending nodes whose bounded side can NOT be proven structurally. */
   private def unexplained(plan: SparkPlan): Seq[String] = plan.collect {

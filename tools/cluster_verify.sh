@@ -41,7 +41,11 @@ CLASSES="$PWD/target/scala-2.13/classes:$PWD/src/main/resources"
 # our classes ride spark.executor.extraClassPath. The executor-side
 # add-opens go through extraJavaOptions (harmless if the launcher also
 # injects its defaults).
-SPARK_HOME=/opt/spark \
+# SPARK_SCALA_VERSION: normally exported by bin/load-spark-env.sh; the
+# in-JVM standalone Worker bypasses the shell scripts, and the launcher's
+# getScalaVersion() otherwise aborts executor launch with "Cannot find
+# any build directories".
+SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
 SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_CPUS=16 \
 java $JAVA_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
