@@ -49,8 +49,33 @@ object ScaleData {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
+  /** Zipfian hot-key plant (round-10 skew lane): real 100 TB corpora
+    * are not uniform — one bot user, one boilerplate page, one
+    * best-selling part can carry ≥10% of a key's rows, and AQE's
+    * skew-join splitting does NOT rescue hash aggregations or
+    * iterative-join hot keys. With `skew = true`, rows whose driving id
+    * ≡ 0 (mod 10) — i.e. 10% of every copy — collapse onto ONE key:
+    *
+    *   - orders: `o_custkey` → 1 (one customer on 10% of orders — a
+    *     hot node in the cust⇄supp trade graph the graph kernels run);
+    *   - lineitem: `l_partkey` → 1 on the same hot orders (one part
+    *     family in 10% of baskets — a star node in the co-purchase
+    *     graph: q186 CC, q155/q180/q209);
+    *   - events: `user_id` → 1 (one user with 10% of events — the
+    *     q134 salted-join shape at its design load);
+    *   - documents: `text` → one fixed string (10% of the corpus one
+    *     giant duplicate cluster — the LSH bucket caps and dedup-CC
+    *     giant-component path at their design load).
+    *
+    * The plant key (1) exists in copy 0's id space, below every copy
+    * offset and the 2^40/2^41 twin offsets. */
+  private val hotText =
+    "the quick brown fox jumps over the lazy dog while the slow " +
+      "grey wolf watches the bright red hen peck at the dry brown corn " +
+      "near the old stone wall under the pale blue sky"
+
   def scaled(spark: SparkSession, baseDir: String, name: String,
-      copies: Int): DataFrame = {
+      copies: Int, skew: Boolean = false): DataFrame = {
     val base = Tables.t(spark, baseDir, name)
     if (!idCols.contains(name)) base
     else {
@@ -80,6 +105,21 @@ object ScaleData {
             concat(slice(col("embedding"), s + 1, dim - s),
               slice(col("embedding"), 1, s)))
         }
+        if (skew) name match {
+          case "orders" => df = df.withColumn("o_custkey",
+            when(pmod(col("o_orderkey"), lit(10)) === 0, lit(1L))
+              .otherwise(col("o_custkey")))
+          case "lineitem" => df = df.withColumn("l_partkey",
+            when(pmod(col("l_orderkey"), lit(10)) === 0, lit(1L))
+              .otherwise(col("l_partkey")))
+          case "events" => df = df.withColumn("user_id",
+            when(pmod(col("event_id"), lit(10)) === 0, lit(1L))
+              .otherwise(col("user_id")))
+          case "documents" => df = df.withColumn("text",
+            when(pmod(col("doc_id"), lit(10)) === 0, lit(hotText))
+              .otherwise(col("text")))
+          case _ => ()
+        }
         df
       }.reduce(_.unionByName(_))
     }
@@ -87,9 +127,11 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleData <baseSfDir> <outDir> [copies=10]")
+      "usage: ScaleData <baseSfDir> <outDir> [copies=10] [--skew]")
     val (baseDir, outDir) = (args(0), args(1))
-    val copies = if (args.length > 2) args(2).toInt else 10
+    val copies = args.lift(2).filterNot(_ == "--skew").map(_.toInt)
+      .getOrElse(10)
+    val skew = args.contains("--skew")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -97,9 +139,10 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.Names.foreach { name =>
-      scaled(spark, baseDir, name, copies)
+      scaled(spark, baseDir, name, copies, skew)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"scaled $name x$copies -> $outDir/$name.parquet")
+      println(s"scaled $name x$copies${if (skew) " +skew" else ""}" +
+        s" -> $outDir/$name.parquet")
     }
     spark.stop()
   }
