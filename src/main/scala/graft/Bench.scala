@@ -137,14 +137,27 @@ object Bench {
     // holding build.sbt), not the raw cwd: a run launched from another
     // directory must not leave a stale artifact in place for
     // tools/bench_compare.py to silently diff as "no regression"
+    // The default path guards itself against dev-run clobber (learned
+    // the hard way in round 10: a /verify sf0.01 smoke pass silently
+    // overwrote the graded sf0.1 artifact, and the clobber rode a
+    // commit): without an explicit SPARK_GRAFT_BENCH_OUT, the artifact
+    // is only written for a FULL default-SF run — a filtered
+    // (BENCH_ONLY) or non-default-SF pass records to a /tmp sidecar
+    // instead, so bench_compare.py never diffs apples against oranges.
+    val defaultFullRun =
+      sfDir == "/root/testdata/sf0.1" && sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Path.of(_))
       .getOrElse {
-        var d = java.nio.file.Path.of("").toAbsolutePath
-        while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
-          d = d.getParent
-        (if (d == null) java.nio.file.Path.of("").toAbsolutePath else d)
-          .resolve("BENCH_full_latest.json")
+        if (!defaultFullRun)
+          java.nio.file.Path.of("/tmp/bench_partial_latest.json")
+        else {
+          var d = java.nio.file.Path.of("").toAbsolutePath
+          while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+            d = d.getParent
+          (if (d == null) java.nio.file.Path.of("").toAbsolutePath else d)
+            .resolve("BENCH_full_latest.json")
+        }
       }
     val artifactLine = line.stripSuffix("}") + s""","work":$workJson}"""
     try java.nio.file.Files.writeString(outPath, artifactLine + "\n")

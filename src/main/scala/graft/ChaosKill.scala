@@ -24,7 +24,7 @@ import graft.ops.{Graph, Pin}
   *
   * Usage (see tools/chaos_kill.sh for the full lane):
   *   SPARK_GRAFT_MASTER='local-cluster[2,4,3072]' \
-  *   java ... graft.ChaosKill <sfDir> <reliable|local> [iterations]
+  *   java ... graft.ChaosKill <sfDir> <reliable|local> [iterations] [pr|cc]
   *
   * Prints ONE JSON line:
   *   {"mode":..,"baselineSec":..,"killedSec":..,"completed":..,
@@ -44,6 +44,12 @@ object ChaosKill {
     require(mode == "reliable" || mode == "local",
       s"mode must be reliable|local, got $mode")
     val iterations = args.lift(2).map(_.toInt).getOrElse(20)
+    // pr = PageRank (fixed-width fixed point); cc = connected
+    // components (pointer jumping + per-round block cleanup — a
+    // DIFFERENT pin/unpersist pattern worth its own kill)
+    val kernel = args.lift(3).getOrElse("pr")
+    require(kernel == "pr" || kernel == "cc",
+      s"kernel must be pr|cc, got $kernel")
 
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,3072]")
@@ -73,9 +79,15 @@ object ChaosKill {
         .select(col("cust").as("src"), (col("supp") + 1099511627776L).as("dst"))
         .unionByName(base
           .select((col("supp") + 1099511627776L).as("src"), col("cust").as("dst")))
-      val rows = Graph.pageRank(edges, "src", "dst", iterations,
-          assumeSimple = true)
-        .orderBy(col("node")).collect()
+      val out =
+        if (kernel == "cc")
+          graft.ops.Dedup.connectedComponents(
+              edges.select(col("src").as("a_id"), col("dst").as("b_id")))
+            .orderBy(col("id"))
+        else Graph.pageRank(edges, "src", "dst", iterations,
+            assumeSimple = true)
+          .orderBy(col("node"))
+      val rows = out.collect()
       val md = MessageDigest.getInstance("SHA-256")
       rows.foreach(r => md.update(r.toString.getBytes("UTF-8")))
       (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
@@ -141,7 +153,7 @@ object ChaosKill {
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
     }
     // one machine-readable line for the lane script
-    println(s"""{"mode":"$mode","master":"${esc(master)}",""" +
+    println(s"""{"mode":"$mode","kernel":"$kernel","master":"${esc(master)}",""" +
       s""""iterations":$iterations,"baselineSec":${"%.1f".format(baselineSec)},""" +
       s""""baselineStages":$baselineStages,"killAtStage":${killAt.get},""" +
       s""""killedSec":${"%.1f".format(killedSec)},"killedPid":${killedPid.get},""" +

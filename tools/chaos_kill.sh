@@ -11,8 +11,12 @@
 #     lives only in executor block stores; this negative control proves
 #     the kill actually bites.
 #
+# Runs both kernels: pr (PageRank fixed point) and cc (connected
+# components — pointer jumping with per-round block cleanup, a
+# different pin/unpersist pattern worth its own kill).
+#
 # Usage: tools/chaos_kill.sh          # sf0.1, 20 iterations
-#        SF=/root/testdata/sf0.01 ITERS=30 tools/chaos_kill.sh
+#        SF=/root/testdata/sf0.01 ITERS=30 KERNELS=pr tools/chaos_kill.sh
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -30,7 +34,7 @@ JAVA_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   echo --add-opens=java.base/$p=ALL-UNNAMED; done)
 CLASSES="$PWD/target/scala-2.13/classes:$PWD/src/main/resources"
 
-run_mode() { # $1 = reliable|local
+run_mode() { # $1 = reliable|local, $2 = pr|cc
   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
   SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_CKPT="$CKPT" \
   java $JAVA_OPENS \
@@ -39,11 +43,13 @@ run_mode() { # $1 = reliable|local
     -Dspark.executor.extraClassPath="$CLASSES" \
     -Dspark.executor.extraJavaOptions="$(echo $JAVA_OPENS)" \
     -Xmx6g -cp "$CLASSES:/opt/spark/jars/*" \
-    graft.ChaosKill "$SF" "$1" "$ITERS" 2>/dev/null
+    graft.ChaosKill "$SF" "$1" "$ITERS" "$2" 2>/dev/null
 }
 
-echo "== mode=reliable (must survive the kill, bit-identical) =="
-run_mode reliable
-echo "== mode=local (negative control: must fail under the kill) =="
-run_mode local
-echo "CHAOS LANE: both verdicts as expected"
+for K in ${KERNELS:-pr cc}; do
+  echo "== kernel=$K mode=reliable (must survive the kill, bit-identical) =="
+  run_mode reliable "$K"
+  echo "== kernel=$K mode=local (negative control: must fail under the kill) =="
+  run_mode local "$K"
+done
+echo "CHAOS LANE: all verdicts as expected"
