@@ -202,14 +202,27 @@ object SqlQueries {
     "q127_lateral_topk" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("v_customer_l")
       t(s, dir, "orders").createOrReplaceTempView("v_orders_l")
+      // The top-2 rides an EXPLICIT row_number() window, not the
+      // natural `ORDER BY ... LIMIT 2`: Spark decorrelates the latter
+      // into global-sort → hash re-exchange → sort by the group key
+      // ONLY → row_number with an EMPTY window order — the within-group
+      // order survives the exchange only by fetch-order luck, which
+      // holds in one JVM and BREAKS with multi-process executors
+      // (caught by the round-10 local-cluster lane at sf0.1: the top-2
+      // picks varied run to run). The explicit window keeps its ORDER
+      // BY through decorrelation, so the pick is deterministic on any
+      // cluster.
       s.sql("""
         SELECT c_custkey, o_orderkey, price_cents
         FROM v_customer_l c,
         LATERAL (
-          SELECT o_orderkey,
-            CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-          FROM v_orders_l o WHERE o.o_custkey = c.c_custkey
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          SELECT o_orderkey, price_cents
+          FROM (
+            SELECT o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+              row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM v_orders_l o WHERE o.o_custkey = c.c_custkey)
+          WHERE rn <= 2) t
         ORDER BY c_custkey, price_cents DESC, o_orderkey""")
     }),
 
