@@ -60,4 +60,78 @@ class WindowGateSpec extends SparkTestBase {
         s"anymore): ${stale.mkString(", ")} — remove them so the gate " +
         "stays honest")
   }
+
+  // Determinism gate (round 10, generalizing the q127 catch): an
+  // order-SENSITIVE window function (row_number/rank/dense_rank/ntile/
+  // lag/lead) whose window spec has an EMPTY order is nondeterministic
+  // on any real cluster — the rows' within-partition order depends on
+  // exchange fetch order, which is stable in one JVM and arbitrary
+  // across executor processes. Spark ITSELF plans this shape when it
+  // decorrelates `LATERAL (... ORDER BY ... LIMIT n)` (global sort →
+  // hash re-exchange → sort by group key only → row_number with no
+  // window order): q127 returned varying top-2 picks under the
+  // round-10 local-cluster lane at sf0.1 while every single-JVM pass
+  // had been green. This sweep catches the whole class mechanically,
+  // in-JVM, with no whitelist — there is no legitimate use of an
+  // unordered ranking window on this surface.
+  test("no order-sensitive window function rides an empty window order") {
+    import org.apache.spark.sql.catalyst.expressions.{WindowExpression, Lag, Lead, NTile}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, mk) =>
+        val df =
+          try mk(spark, sf)
+          catch { case e: Throwable =>
+            fail(s"$name failed to build at sf0.001: $e") }
+        val bad = df.queryExecution.optimizedPlan.collect {
+          case w: LWindow => w.windowExpressions.flatMap(_.collect {
+            case we: WindowExpression
+                if we.windowSpec.orderSpec.isEmpty &&
+                  (we.windowFunction match {
+                    case _: org.apache.spark.sql.catalyst.expressions.RowNumber => true
+                    case _: org.apache.spark.sql.catalyst.expressions.Rank => true
+                    case _: org.apache.spark.sql.catalyst.expressions.DenseRank => true
+                    case _: NTile => true
+                    case _: Lag => true
+                    case _: Lead => true
+                    case _ => false
+                  }) =>
+              we.windowFunction.prettyName
+          })
+        }.flatten
+        if (bad.nonEmpty) Some(s"$name: ${bad.distinct.mkString(",")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning an order-sensitive window function with an " +
+        s"EMPTY window order (nondeterministic across executors):\n  " +
+        s"${offenders.mkString("\n  ")}\n— give the window an explicit " +
+        "ORDER BY (see q127's lateral top-k fix)")
+  }
+
+  // Negative control: the detector must FIRE on q127's pre-fix shape —
+  // the natural `LATERAL (... ORDER BY ... LIMIT n)`, which Spark
+  // decorrelates into an unordered row_number. If Spark's rewrite ever
+  // starts preserving the order (making that spelling safe again),
+  // this control fails and the gate's rationale should be revisited.
+  test("the empty-order detector fires on the decorrelated lateral limit") {
+    import org.apache.spark.sql.catalyst.expressions.{RowNumber, WindowExpression}
+    graft.Tables.t(spark, sf, "customer").createOrReplaceTempView("wg_cust")
+    graft.Tables.t(spark, sf, "orders").createOrReplaceTempView("wg_ord")
+    val old = spark.sql("""
+      SELECT c_custkey, o_orderkey
+      FROM wg_cust c,
+      LATERAL (
+        SELECT o_orderkey FROM wg_ord o WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+    val unorderedRanks = old.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w.windowExpressions.flatMap(_.collect {
+        case we: WindowExpression
+            if we.windowSpec.orderSpec.isEmpty &&
+              we.windowFunction.isInstanceOf[RowNumber] => we
+      })
+    }.flatten
+    assert(unorderedRanks.nonEmpty,
+      "Spark no longer plans the lateral ORDER BY+LIMIT as an unordered " +
+        "row_number — re-evaluate whether the q127 explicit-window " +
+        "spelling and this gate are still needed")
+  }
 }
