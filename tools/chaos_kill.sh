@@ -52,4 +52,22 @@ for K in ${KERNELS:-pr cc}; do
   echo "== kernel=$K mode=local (negative control: must fail under the kill) =="
   run_mode local "$K"
 done
+
+# STREAMING leg (graft.StreamChaos): kill an executor mid-stream under
+# the RocksDB state store — failed tasks re-run on the survivor, keyed
+# state reloads from the checkpoint files, and the batch-id-keyed merge
+# sink must come out byte-identical to an unkilled run (exactly-once
+# under executor loss, not just across restarts). Kill placed by
+# micro-batch count. No localCheckpoint negative control here:
+# streaming state durability doesn't ride graft.ops.Pin.
+echo "== streaming funnel (must survive the kill, sink exactly-once) =="
+SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+SPARK_GRAFT_MASTER="$MASTER" \
+java $JAVA_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.executor.memory=2g \
+  -Dspark.executor.extraClassPath="$CLASSES" \
+  -Dspark.executor.extraJavaOptions="$(echo $JAVA_OPENS)" \
+  -Xmx6g -cp "$CLASSES:/opt/spark/jars/*" \
+  graft.StreamChaos 2>/dev/null
 echo "CHAOS LANE: all verdicts as expected"
