@@ -1,8 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The graded SF dir — the ONE constant behind both the
+    * SPARK_GRAFT_SF_DIR default and the "is this a full default run"
+    * artifact-path decision below; two separate literals once let a
+    * trailing slash reroute a genuine full run to the /tmp sidecar. */
+  val DefaultSfDir = "/root/testdata/sf0.1"
+  private def canon(p: String): java.nio.file.Path =
+    java.nio.file.Path.of(p).toAbsolutePath.normalize
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // best-of-n per query: a single pass is hostage to transient external
     // load (round 1's driver bench ran 3× inflated under a loaded host);
@@ -145,7 +152,8 @@ object Bench {
     // (BENCH_ONLY) or non-default-SF pass records to a /tmp sidecar
     // instead, so bench_compare.py never diffs apples against oranges.
     val defaultFullRun =
-      sfDir == "/root/testdata/sf0.1" && sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
+      canon(sfDir) == canon(DefaultSfDir) &&
+        sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .map(java.nio.file.Path.of(_))
       .getOrElse {

@@ -57,7 +57,7 @@ object Pin {
   @volatile private var applied: (SparkContext, String) = null
 
   /** Conf key enabling layout-aligned pinning (see [[pinAligned]]);
-    * default off. */
+    * default resolved from the master type ([[defaultAligned]]). */
   val AlignConf = "spark.graft.pin.alignedLayout"
 
   /** Materialize `ds` eagerly and truncate its lineage — via
@@ -79,9 +79,28 @@ object Pin {
     }
   }
 
-  /** True when layout-aligned pinning is enabled on this session. */
+  /** True when layout-aligned pinning is enabled on this session.
+    * An explicit `spark.graft.pin.alignedLayout` conf always wins
+    * (it's an unregistered key, so `getOption` is None exactly when
+    * the user never set it); with no conf the default is resolved
+    * from the master type by [[defaultAligned]]. */
   def aligned(sess: org.apache.spark.sql.SparkSession): Boolean =
-    sess.conf.get(AlignConf, "false") == "true"
+    sess.conf.getOption(AlignConf) match {
+      case Some(v) => v == "true"
+      case None => defaultAligned(sess.sparkContext.isLocal)
+    }
+
+  /** Master-type default for aligned pinning, factored pure so the spec
+    * can pin the rule: OFF for `local`/`local[*]` masters (in-process
+    * shuffle is memory-speed — aligning costs AQE coalescing and buys
+    * nothing, measured round 9), ON for everything else
+    * (`local-cluster`, `spark://`, YARN, k8s — shuffle crosses a
+    * process/network boundary, where the round-10 `local-cluster`
+    * pricing showed aligned pinning wins BOTH wall (0.85–0.97×) and
+    * shuffle bytes (0.64–0.86×) on the iterative graph kernels).
+    * `SparkContext.isLocal` is exactly the local[*] predicate —
+    * `local-cluster` masters report false. */
+  def defaultAligned(masterIsLocal: Boolean): Boolean = !masterIsLocal
 
   /** Pin with a DECLARED join-key layout — the network-shuffle
     * deployment knob. When `spark.graft.pin.alignedLayout=true`, the
@@ -92,17 +111,20 @@ object Pin {
     * kernel satisfies its join's clustering requirement straight from
     * the pinned frame instead of re-exchanging it per round.
     *
-    * Default OFF because the trade is scale-dependent, and we measured
-    * both sides (work channel, BASELINE.md round 9): aligned pinning
-    * cuts the iterative graph kernels' shuffle volume 25–45% at sf0.1
-    * AND sf1 (PageRank −466 MB at sf1), but on `local[*]` — where
-    * shuffle is memory-speed and essentially free — wall time got
-    * WORSE (fixed-width layouts block AQE partition coalescing in the
-    * round jobs, and the pin job loses AQE's runtime broadcasts), so
-    * locally the bytes saved buy nothing. On a 1000-executor cluster
-    * the exchange volume crosses the network and dominates the round
-    * cost; set this together with `spark.graft.checkpoint.dir`.
-    * Either setting is output-identical (AlignedPinSpec). */
+    * The default SELF-RESOLVES from the master type (round 11 —
+    * [[defaultAligned]]): OFF under `local[*]`, ON under any
+    * multi-process master. Both sides are measured (work channel,
+    * BASELINE.md rounds 9–10): aligned pinning cuts the iterative
+    * graph kernels' shuffle volume 25–45% at sf0.1 AND sf1 (PageRank
+    * −466 MB at sf1), but on `local[*]` — where shuffle is
+    * memory-speed and essentially free — wall time got WORSE
+    * (fixed-width layouts block AQE partition coalescing in the round
+    * jobs, and the pin job loses AQE's runtime broadcasts), so locally
+    * the bytes saved buy nothing; under `local-cluster[2,8]` the knob
+    * wins BOTH wall (0.85–0.97×) and bytes (0.64–0.86×). An explicit
+    * `spark.graft.pin.alignedLayout` conf overrides the resolution in
+    * either direction. Either setting is output-identical
+    * (AlignedPinSpec). */
   def pinAligned[T](ds: Dataset[T], keys: org.apache.spark.sql.Column*)
       : Dataset[T] = {
     val sess = ds.sparkSession
@@ -117,15 +139,22 @@ object Pin {
       // still briefly plan without AQE; aligned pinning is a cluster
       // deployment knob, documented for single-query-at-a-time jobs.
       val aqeKey = "spark.sql.adaptive.enabled"
-      val explicit = sess.conf.getOption(aqeKey)
-      val wasOn = explicit.getOrElse("true") == "true"
+      // RuntimeConfig.getOption returns the REGISTERED default ("true")
+      // even when the key was never explicitly set, so explicit-set
+      // detection goes through SQLConf.contains via the bridge — else
+      // the unset branch is unreachable and this method would pin an
+      // explicit "true" into the session conf (round-10 ADVICE)
+      val wasExplicit = org.apache.spark.sql.graftbridge.ColumnBridge
+        .explicitlySet(sess, aqeKey)
+      val prior = sess.conf.get(aqeKey, "true")
+      val wasOn = prior == "true"
       if (wasOn) sess.conf.set(aqeKey, "false")
       try pin(ds.repartition(keys: _*))
-      finally if (wasOn) explicit match {
-        case Some(v) => sess.conf.set(aqeKey, v)
+      finally if (wasOn) {
+        if (wasExplicit) sess.conf.set(aqeKey, prior)
         // key was at its default: restore by unsetting, not by pinning
         // an explicit "true" into the session conf
-        case None => sess.conf.unset(aqeKey)
+        else sess.conf.unset(aqeKey)
       }
     }
   }

@@ -20,4 +20,15 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** True iff `key` was EXPLICITLY set on this session. The public
+    * `RuntimeConfig.getOption` falls back to a registered conf entry's
+    * DEFAULT (SQLConf.getConfString does), so it cannot distinguish
+    * "user set spark.sql.adaptive.enabled=true" from "never touched" —
+    * `SQLConf.contains` checks the explicit-settings map only. Needed
+    * by [[graft.ops.Pin.pinAligned]]'s restore-by-unset branch. */
+  def explicitlySet(spark: org.apache.spark.sql.SparkSession,
+      key: String): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.contains(key)
 }

@@ -44,6 +44,48 @@ class AlignedPinSpec extends SparkTestBase {
     }
   }
 
+  test("default resolves by master type; explicit conf always wins") {
+    // the pure rule (round 11): local[*] masters → off (in-process
+    // shuffle is free, aligning costs AQE coalescing); anything that
+    // crosses a process boundary → on (round-10 local-cluster pricing:
+    // wins both wall and bytes on the iterative kernels)
+    assert(!Pin.defaultAligned(masterIsLocal = true))
+    assert(Pin.defaultAligned(masterIsLocal = false))
+    // this suite runs local[4] → with no conf set, resolution says OFF
+    assert(!spark.conf.getOption(Pin.AlignConf).isDefined)
+    assert(spark.sparkContext.isLocal)
+    assert(!Pin.aligned(spark))
+    // explicit conf overrides the resolution in either direction
+    withAligned(true)(assert(Pin.aligned(spark)))
+    withAligned(false)(assert(!Pin.aligned(spark)))
+    // and after the override is unset, resolution is back in charge
+    assert(!Pin.aligned(spark))
+  }
+
+  test("AQE conf restored to its prior explicitness, not pinned") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.explicitlySet
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val df = spark.range(100)
+      .select((col("id") % 10).as("src"), (col("id") % 3).as("dst"))
+    withAligned(true) {
+      // case 1: key never explicitly set → must STAY unset after the
+      // aligned pin (RuntimeConfig.getOption can't see the difference;
+      // SQLConf.contains via the bridge can — round-10 ADVICE)
+      spark.conf.unset(aqeKey)
+      assert(!explicitlySet(spark, aqeKey))
+      df.pinnedBy(col("src"))
+      assert(!explicitlySet(spark, aqeKey),
+        "aligned pin must not pin an explicit value into an unset conf")
+      assert(spark.conf.get(aqeKey) == "true")
+      // case 2: key explicitly set → restored verbatim, still explicit
+      spark.conf.set(aqeKey, "true")
+      df.pinnedBy(col("src"))
+      assert(explicitlySet(spark, aqeKey))
+      assert(spark.conf.get(aqeKey) == "true")
+      spark.conf.unset(aqeKey)
+    }
+  }
+
   test("pageRank / HITS / BFS outputs are bit-identical under either mode") {
     val edges = (for {
       i <- 0L until 160L
