@@ -7,35 +7,65 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{Graph, Pin}
 
-/** Executor-loss chaos proof for the checkpoint modes (round 10, the
-  * property [[graft.ops.Pin]] exists for but had never exercised):
-  * under a `local-cluster[...]` master with REAL executor JVMs, run an
-  * iterative kernel, `kill -9` one executor mid-fixed-point, and
-  * compare the output to an unkilled baseline run.
+/** Executor/worker-loss chaos proof for the checkpoint modes (round 10,
+  * the property [[graft.ops.Pin]] exists for but had never exercised;
+  * widened round 11 past the pinned iterative kernels): under a
+  * multi-process master, run a kernel, `kill -9` one executor JVM (or
+  * one standalone WORKER process) mid-run, and compare the output to an
+  * unkilled baseline run.
   *
-  *  - mode=reliable (`spark.graft.checkpoint.dir` set): the kill must
-  *    NOT matter — lost tasks recompute from the shared-filesystem
-  *    checkpoint files and the job completes bit-identical.
-  *  - mode=local (the localCheckpoint default): the kernel's pinned
-  *    frames live only in executor block stores, so the kill makes the
-  *    lineage unrecoverable and the job MUST fail — the negative
-  *    control proving the experiment actually bites (a pass here would
-  *    mean the kill missed).
+  * Kernels × expected verdicts:
+  *  - `pr` / `cc` (pinned iterative fixed points):
+  *      mode=reliable (`spark.graft.checkpoint.dir` set) must complete
+  *      bit-identical — lost tasks recompute from the shared-filesystem
+  *      checkpoint files. mode=local (localCheckpoint default) MUST
+  *      FAIL — pinned frames live only in executor block stores, so the
+  *      negative control proves the kill actually bites.
+  *  - `shuffle` (round 11): a wide non-iterative join + aggregation
+  *      with ZERO pinned frames — the shape a real cluster loses
+  *      executors in most often. Expected to survive in EITHER mode:
+  *      lost shuffle output triggers ordinary FetchFailed stage
+  *      re-execution, no checkpoint involved. The lane runs it in
+  *      local mode to prove exactly that.
+  *  - `civic` (round 11): the q219 multi-stage civic composite
+  *      (multi-source ingest → entity resolution → spatial join →
+  *      warehouse merge, three pinned frames). Reliable mode must
+  *      survive bit-identical — the closest thing the surface has to a
+  *      production pipeline losing an executor mid-flight.
+  *
+  * Kill targets (round 11): `executor` kill -9s one
+  * CoarseGrainedExecutorBackend JVM of THIS app (the standalone worker
+  * then re-provisions a replacement); `worker` kill -9s a standalone
+  * `deploy.worker.Worker` PROCESS itself — its executor self-terminates
+  * via WorkerWatcher and the master can NOT re-provision on the dead
+  * worker, so the job must finish on the survivor's half capacity. The
+  * worker target needs a real `spark://` standalone master
+  * (`local-cluster` runs its workers in-process with the driver);
+  * tools/chaos_kill.sh stands one up. Worker victims are filtered on
+  * SPARK_GRAFT_WORKER_MARK (a unique --work-dir prefix) so only the
+  * lane's own cluster is ever touched.
   *
   * Usage (see tools/chaos_kill.sh for the full lane):
   *   SPARK_GRAFT_MASTER='local-cluster[2,4,3072]' \
-  *   java ... graft.ChaosKill <sfDir> <reliable|local> [iterations] [pr|cc]
+  *   java ... graft.ChaosKill <sfDir> <reliable|local> [iterations] \
+  *     [pr|cc|shuffle|civic] [executor|worker]
   *
   * Prints ONE JSON line:
-  *   {"mode":..,"baselineSec":..,"killedSec":..,"completed":..,
-  *    "hashMatch":..,"killedPid":..,"rows":..,"error":..}
+  *   {"mode":..,"kernel":..,"target":..,"baselineSec":..,"killedSec":..,
+  *    "completed":..,"hashMatch":..,"killedPid":..,"rows":..,"error":..}
   *
-  * The workload is [[Graph.pageRank]] over the q99 trade graph
-  * (customer⇄supplier, supplier ids offset by 2^40) with enough
-  * iterations that the kill lands mid-fixed-point (timed at 40% of the
-  * measured baseline wall). The kill targets only THIS app's executors
-  * (command line filtered on the application id), so a concurrent lane
-  * on the same host is never collateral.
+  * The kill is placed by STAGE COUNT, not wall-clock: the first (cold)
+  * run pays parquet-footer/codegen/broadcast warmup that the second
+  * doesn't, so a timer calibrated on the baseline can fire after the
+  * warm killed run already finished — a silent no-op "proof". Counting
+  * baseline stages and killing when the killed run completes half as
+  * many lands the kill mid-run deterministically; the verdict
+  * additionally REQUIRES the kill to have happened while the run was in
+  * flight. Each run registers a FRESH listener, drains the (async)
+  * listener bus, and removes it before the counter is read — a shared
+  * listener with a reset counter let baseline events still in flight
+  * bleed into the killed run's count and fire the kill early
+  * (round-10 ADVICE).
   */
 object ChaosKill {
   def main(args: Array[String]): Unit = {
@@ -44,12 +74,12 @@ object ChaosKill {
     require(mode == "reliable" || mode == "local",
       s"mode must be reliable|local, got $mode")
     val iterations = args.lift(2).map(_.toInt).getOrElse(20)
-    // pr = PageRank (fixed-width fixed point); cc = connected
-    // components (pointer jumping + per-round block cleanup — a
-    // DIFFERENT pin/unpersist pattern worth its own kill)
     val kernel = args.lift(3).getOrElse("pr")
-    require(kernel == "pr" || kernel == "cc",
-      s"kernel must be pr|cc, got $kernel")
+    require(Set("pr", "cc", "shuffle", "civic")(kernel),
+      s"kernel must be pr|cc|shuffle|civic, got $kernel")
+    val target = args.lift(4).getOrElse("executor")
+    require(target == "executor" || target == "worker",
+      s"target must be executor|worker, got $target")
 
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,3072]")
@@ -68,48 +98,68 @@ object ChaosKill {
 
     // q99's trade graph (GraphQueries.scala): symmetrized
     // customer⇄supplier edges, disjoint id spaces via the 2^40 offset
-    def rank(): (Long, String) = {
+    def tradeEdges() = {
       import graft.Tables.t
       val li = t(spark, sfDir, "lineitem")
       val orders = t(spark, sfDir, "orders")
       val base = li.join(orders, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
-      val edges = base
+      base
         .select(col("cust").as("src"), (col("supp") + 1099511627776L).as("dst"))
         .unionByName(base
           .select((col("supp") + 1099511627776L).as("src"), col("cust").as("dst")))
-      val out =
-        if (kernel == "cc")
+    }
+
+    def run(): (Long, String) = {
+      import graft.Tables.t
+      val out = kernel match {
+        case "cc" =>
           graft.ops.Dedup.connectedComponents(
-              edges.select(col("src").as("a_id"), col("dst").as("b_id")))
+              tradeEdges().select(col("src").as("a_id"), col("dst").as("b_id")))
             .orderBy(col("id"))
-        else Graph.pageRank(edges, "src", "dst", iterations,
-            assumeSimple = true)
-          .orderBy(col("node"))
+        case "pr" =>
+          Graph.pageRank(tradeEdges(), "src", "dst", iterations,
+              assumeSimple = true)
+            .orderBy(col("node"))
+        case "shuffle" =>
+          // wide non-iterative shuffle chain, zero pinned frames:
+          // lineitem⋈orders (shuffle join), two-key aggregation
+          // (another exchange), global sort (a third) — every stage's
+          // map output is at risk when the executor dies, and recovery
+          // is Spark's ordinary FetchFailed stage re-execution
+          t(spark, sfDir, "lineitem")
+            .join(t(spark, sfDir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_custkey"), col("l_returnflag"))
+            .agg(
+              sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+                .cast("decimal(22,2)").as("revenue"),
+              countDistinct(col("l_suppkey")).as("supps"),
+              max(col("o_orderdate")).as("last_order"))
+            .orderBy(col("o_custkey"), col("l_returnflag"))
+        case "civic" =>
+          val s = graft.pipelines.CivicE2e.summary(spark)
+          s.orderBy(s.columns.map(col).toSeq: _*)
+      }
       val rows = out.collect()
       val md = MessageDigest.getInstance("SHA-256")
       rows.foreach(r => md.update(r.toString.getBytes("UTF-8")))
       (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
     }
 
-    // The kill is placed by STAGE COUNT, not wall-clock: the first
-    // (cold) run pays parquet-footer/codegen/broadcast warmup that the
-    // second doesn't, so a timer calibrated on the baseline can fire
-    // after the warm killed run already finished — a silent no-op
-    // "proof". Counting baseline stages and killing when the killed
-    // run completes half as many lands the kill mid-fixed-point
-    // deterministically; the verdict additionally REQUIRES the kill to
-    // have happened while the run was in flight.
-    val stagesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
-    val killAt = new java.util.concurrent.atomic.AtomicInteger(Int.MaxValue)
     val killedPid = new java.util.concurrent.atomic.AtomicLong(-1L)
     val killNanos = new java.util.concurrent.atomic.AtomicLong(-1L)
-    def killOneExecutor(): Unit = {
+    def killOne(): Unit = {
+      val mark = sys.env.getOrElse("SPARK_GRAFT_WORKER_MARK", "")
       val victim = ProcessHandle.allProcesses()
-        .filter(p => p.info().commandLine().map[Boolean](c =>
-          c.contains("CoarseGrainedExecutorBackend") && c.contains(appId))
-          .orElse(false))
+        .filter(p => p.info().commandLine().map[Boolean] { c =>
+          if (target == "worker")
+            c.contains("org.apache.spark.deploy.worker.Worker") &&
+              mark.nonEmpty && c.contains(mark)
+          else
+            c.contains("CoarseGrainedExecutorBackend") && c.contains(appId)
+        }.orElse(false))
         .findFirst()
       victim.ifPresent { p =>
         killedPid.set(p.pid())
@@ -118,27 +168,38 @@ object ChaosKill {
         ()
       }
     }
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
+
+    // fresh listener per run: count stages, optionally kill at stage N;
+    // drained and REMOVED before the counter is read, so no events from
+    // one run ever land on another's account
+    def withStageCount[T](killAt: Int)(body: => T): (T, Int) = {
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          if (stagesSeen.incrementAndGet() == killAt.get())
-            new Thread(() => killOneExecutor()) { setDaemon(true); start() }
-      })
+          if (seen.incrementAndGet() == killAt)
+            new Thread(() => killOne()) { setDaemon(true); start() }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val r = body
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        (r, seen.get())
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
 
     // ---- baseline (unkilled; also counts the workload's stages) ----
     val t0 = System.nanoTime()
-    val (baseRows, baseHash) = rank()
+    val ((baseRows, baseHash), baselineStages) =
+      withStageCount(Int.MaxValue)(run())
     val baselineSec = (System.nanoTime() - t0) / 1e9
-    val baselineStages = stagesSeen.get()
 
-    // ---- killed run: arm the listener at half the baseline's stages ----
-    stagesSeen.set(0)
-    killAt.set((baselineStages / 2).max(1))
+    // ---- killed run: arm a fresh listener at half the baseline's stages ----
+    val killAt = (baselineStages / 2).max(1)
     val t1 = System.nanoTime()
-    val outcome =
-      try Right(rank())
-      catch { case e: Throwable => Left(e) }
+    val (outcome, _) = withStageCount(killAt)(
+      try Right(run())
+      catch { case e: Throwable => Left(e) })
     val endNanos = System.nanoTime()
     val killedSec = (endNanos - t1) / 1e9
     val killedDuringRun =
@@ -153,20 +214,25 @@ object ChaosKill {
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}")
     }
     // one machine-readable line for the lane script
-    println(s"""{"mode":"$mode","kernel":"$kernel","master":"${esc(master)}",""" +
+    println(s"""{"mode":"$mode","kernel":"$kernel","target":"$target",""" +
+      s""""master":"${esc(master)}",""" +
       s""""iterations":$iterations,"baselineSec":${"%.1f".format(baselineSec)},""" +
-      s""""baselineStages":$baselineStages,"killAtStage":${killAt.get},""" +
+      s""""baselineStages":$baselineStages,"killAtStage":$killAt,""" +
       s""""killedSec":${"%.1f".format(killedSec)},"killedPid":${killedPid.get},""" +
       s""""killedDuringRun":$killedDuringRun,""" +
       s""""completed":$completed,"hashMatch":$hashMatch,"rows":$rows,""" +
       s""""baselineRows":$baseRows,"error":"${esc(err)}"}""")
     spark.stop()
-    // exit code encodes the EXPECTED outcome per mode: reliable must
-    // survive bit-identical, local must fail (the negative control) —
-    // and in BOTH modes the kill must verifiably land mid-run, or the
-    // experiment proved nothing
+    // exit code encodes the EXPECTED outcome per kernel × mode — and in
+    // ALL cases the kill must verifiably land mid-run, or the
+    // experiment proved nothing:
+    //   pr/cc reliable: survive bit-identical (checkpoint recovery)
+    //   pr/cc local: MUST fail (negative control — kill bites)
+    //   shuffle (either mode): survive (plain task re-execution)
+    //   civic (reliable): survive bit-identical
+    val expectSurvive = kernel == "shuffle" || mode == "reliable"
     val ok =
-      if (mode == "reliable") completed && hashMatch && killedDuringRun
+      if (expectSurvive) completed && hashMatch && killedDuringRun
       else !completed && killedDuringRun
     sys.exit(if (ok) 0 else 1)
   }

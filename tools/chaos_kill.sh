@@ -1,22 +1,37 @@
 #!/bin/bash
-# Executor-loss chaos lane (round 10): prove the reliable-checkpoint
-# mode's reason to exist. Under a local-cluster master with real
-# executor JVMs, graft.ChaosKill runs PageRank, kill -9s one executor
-# mid-fixed-point, and checks the output against an unkilled baseline:
+# Executor/worker-loss chaos lane (round 10; widened round 11): prove
+# the recovery story at every layer a real cluster loses processes in.
 #
-#   reliable (spark.graft.checkpoint.dir set): must COMPLETE with a
-#     bit-identical hash — lost tasks recompute from the checkpoint
-#     files on the shared filesystem.
-#   local (localCheckpoint default): must FAIL — the pinned lineage
-#     lives only in executor block stores; this negative control proves
-#     the kill actually bites.
+# Legs (each a graft.ChaosKill run that kill -9s mid-run, placed by
+# stage count, and checks the output hash against an unkilled baseline):
 #
-# Runs both kernels: pr (PageRank fixed point) and cc (connected
-# components — pointer jumping with per-round block cleanup, a
-# different pin/unpersist pattern worth its own kill).
+#   pr/cc × reliable  — pinned iterative kernels MUST survive
+#     bit-identical: lost tasks recompute from the shared-filesystem
+#     checkpoint files (spark.graft.checkpoint.dir).
+#   pr/cc × local     — negative control: localCheckpoint pins live only
+#     in executor block stores, so the SAME kill MUST fail the job —
+#     proving the kill bites.
+#   shuffle × local   — round 11: a wide non-iterative join+agg+sort
+#     with ZERO pinned frames must survive in PLAIN local mode — lost
+#     shuffle output is recovered by ordinary FetchFailed stage
+#     re-execution, no checkpoint involved. This is the loss shape a
+#     real cluster sees most often.
+#   civic × reliable  — round 11: the q219 multi-stage civic composite
+#     (multi-source ingest → ER → spatial join → warehouse merge)
+#     survives an executor kill mid-pipeline, bit-identical.
+#   worker-kill       — round 11: stand up a REAL standalone master +
+#      2 worker PROCESSES (local-cluster can't exercise this: its
+#     workers live inside the driver JVM), kill -9 one WORKER
+#     mid-PageRank. Its executor self-terminates via WorkerWatcher, the
+#     master cannot re-provision on the dead worker, and the job must
+#     finish bit-identical on the survivor's half capacity.
+#   streaming         — graft.StreamChaos: executor kill mid-stream
+#     under the RocksDB state store; sink must be byte-identical
+#     (exactly-once under executor LOSS).
 #
-# Usage: tools/chaos_kill.sh          # sf0.1, 20 iterations
-#        SF=/root/testdata/sf0.01 ITERS=30 KERNELS=pr tools/chaos_kill.sh
+# Usage: tools/chaos_kill.sh          # sf0.1, all legs
+#        SF=/root/testdata/sf0.01 ITERS=30 KERNELS=pr LEGS=modes tools/chaos_kill.sh
+#        LEGS=worker tools/chaos_kill.sh   # just the worker-kill leg
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -24,6 +39,7 @@ SF=${SF:-/root/testdata/sf0.1}
 ITERS=${ITERS:-20}
 MASTER=${MASTER:-local-cluster[2,4,3072]}
 CKPT=${CKPT:-/tmp/graft_ckpt_chaos}
+LEGS=${LEGS:-modes shuffle civic worker stream}
 
 sbt -batch -error compile >/dev/null
 rm -rf "$CKPT" && mkdir -p "$CKPT"
@@ -34,40 +50,88 @@ JAVA_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   echo --add-opens=java.base/$p=ALL-UNNAMED; done)
 CLASSES="$PWD/target/scala-2.13/classes:$PWD/src/main/resources"
 
-run_mode() { # $1 = reliable|local, $2 = pr|cc
+run_kill() { # $1 = reliable|local, $2 = kernel, $3 = target, [$4 = master]
   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
-  SPARK_GRAFT_MASTER="$MASTER" SPARK_GRAFT_CKPT="$CKPT" \
+  SPARK_GRAFT_MASTER="${4:-$MASTER}" SPARK_GRAFT_CKPT="$CKPT" \
+  SPARK_GRAFT_WORKER_MARK="${WORKER_MARK:-}" \
   java $JAVA_OPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Dspark.executor.memory=2g \
     -Dspark.executor.extraClassPath="$CLASSES" \
     -Dspark.executor.extraJavaOptions="$(echo $JAVA_OPENS)" \
     -Xmx6g -cp "$CLASSES:/opt/spark/jars/*" \
-    graft.ChaosKill "$SF" "$1" "$ITERS" "$2" 2>/dev/null
+    graft.ChaosKill "$SF" "$1" "$ITERS" "$2" "$3" 2>/dev/null
 }
 
-for K in ${KERNELS:-pr cc}; do
-  echo "== kernel=$K mode=reliable (must survive the kill, bit-identical) =="
-  run_mode reliable "$K"
-  echo "== kernel=$K mode=local (negative control: must fail under the kill) =="
-  run_mode local "$K"
-done
+for LEG in $LEGS; do case "$LEG" in
+modes)
+  for K in ${KERNELS:-pr cc}; do
+    echo "== kernel=$K mode=reliable (must survive the kill, bit-identical) =="
+    run_kill reliable "$K" executor
+    echo "== kernel=$K mode=local (negative control: must fail under the kill) =="
+    run_kill local "$K" executor
+  done ;;
 
-# STREAMING leg (graft.StreamChaos): kill an executor mid-stream under
-# the RocksDB state store — failed tasks re-run on the survivor, keyed
-# state reloads from the checkpoint files, and the batch-id-keyed merge
-# sink must come out byte-identical to an unkilled run (exactly-once
-# under executor loss, not just across restarts). Kill placed by
-# micro-batch count. No localCheckpoint negative control here:
-# streaming state durability doesn't ride graft.ops.Pin.
-echo "== streaming funnel (must survive the kill, sink exactly-once) =="
-SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
-SPARK_GRAFT_MASTER="$MASTER" \
-java $JAVA_OPENS \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Dspark.executor.memory=2g \
-  -Dspark.executor.extraClassPath="$CLASSES" \
-  -Dspark.executor.extraJavaOptions="$(echo $JAVA_OPENS)" \
-  -Xmx6g -cp "$CLASSES:/opt/spark/jars/*" \
-  graft.StreamChaos 2>/dev/null
+shuffle)
+  echo "== kernel=shuffle mode=local (no pins: plain task re-execution must survive) =="
+  run_kill local shuffle executor ;;
+
+civic)
+  echo "== kernel=civic mode=reliable (q219 composite must survive, bit-identical) =="
+  run_kill reliable civic executor ;;
+
+worker)
+  # real standalone cluster: master + 2 worker PROCESSES, then kill a
+  # worker (not an executor) mid-PageRank. Unique work-dir prefix keys
+  # both the victim filter (SPARK_GRAFT_WORKER_MARK) and cleanup.
+  SA_DIR=$(mktemp -d /tmp/graft_chaos_sa.XXXXXX)
+  SA_PORT=$((17077 + RANDOM % 1000))
+  echo "== worker-kill: standalone master on port $SA_PORT, workers under $SA_DIR =="
+  java $JAVA_OPENS -Xmx512m -cp "/opt/spark/jars/*" \
+    -Dspark.ui.enabled=false \
+    org.apache.spark.deploy.master.Master \
+    --host 127.0.0.1 --port "$SA_PORT" --webui-port 0 \
+    >"$SA_DIR/master.log" 2>&1 &
+  SA_PIDS=($!)
+  cleanup_sa() { kill -9 "${SA_PIDS[@]}" 2>/dev/null || true; }
+  trap cleanup_sa EXIT
+  sleep 3
+  for i in 1 2; do
+    SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+    java $JAVA_OPENS -Xmx512m -cp "/opt/spark/jars/*" \
+      -Dspark.ui.enabled=false \
+      org.apache.spark.deploy.worker.Worker \
+      --cores 4 --memory 3g --work-dir "$SA_DIR/worker$i" --webui-port 0 \
+      "spark://127.0.0.1:$SA_PORT" \
+      >"$SA_DIR/worker$i.log" 2>&1 &
+    SA_PIDS+=($!)
+  done
+  sleep 5
+  echo "== kernel=pr mode=reliable target=worker (kill a WORKER process; survivor must finish, bit-identical) =="
+  WORKER_MARK="$SA_DIR/worker" \
+    run_kill reliable pr worker "spark://127.0.0.1:$SA_PORT"
+  cleanup_sa; trap - EXIT
+  rm -rf "$SA_DIR" ;;
+
+stream)
+  # STREAMING leg (graft.StreamChaos): kill an executor mid-stream under
+  # the RocksDB state store — failed tasks re-run on the survivor, keyed
+  # state reloads from the checkpoint files, and the batch-id-keyed merge
+  # sink must come out byte-identical to an unkilled run (exactly-once
+  # under executor loss, not just across restarts). Kill placed by
+  # micro-batch count. No localCheckpoint negative control here:
+  # streaming state durability doesn't ride graft.ops.Pin.
+  echo "== streaming funnel (must survive the kill, sink exactly-once) =="
+  SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  SPARK_GRAFT_MASTER="$MASTER" \
+  java $JAVA_OPENS \
+    -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Dspark.executor.memory=2g \
+    -Dspark.executor.extraClassPath="$CLASSES" \
+    -Dspark.executor.extraJavaOptions="$(echo $JAVA_OPENS)" \
+    -Xmx6g -cp "$CLASSES:/opt/spark/jars/*" \
+    graft.StreamChaos 2>/dev/null ;;
+
+*) echo "unknown leg '$LEG'"; exit 2 ;;
+esac; done
 echo "CHAOS LANE: all verdicts as expected"
