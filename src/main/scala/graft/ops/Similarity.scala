@@ -170,6 +170,73 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-blocked SELF-kNN — every vector a probe, NOTHING broadcast but
+    * the centroid table (round 11, the executable scale path for the
+    * q73/q109 exact all-pairs carve-outs). [[ivfTopK]] broadcasts its
+    * probe set, which is exactly wrong when probes = corpus; here both
+    * sides stay distributed and meet in a hash-partitioned equi-join on
+    * the cell id, so the plan survives a corpus that is 100 TB on both
+    * sides of the join.
+    *
+    * Mechanics: one broadcast-centroid scoring pass per vector feeds a
+    * single bounded-heap partial aggregate ([[graft.functions.TopKByScore]],
+    * so only nProbe rows per vector shuffle) that yields BOTH roles at
+    * once — the vector's top-`nProbe` probe cells, and its top-1 cell
+    * as corpus residence (multi-probe on the probe side recovers
+    * near-boundary neighbors; single residence keeps every candidate
+    * pair generated exactly once, no dedup pass). Cosine cell
+    * assignment (scale-invariant) matches [[graft.ops.Dedup.embeddingNearDupsIvf]].
+    * Candidates = probe-cells ⋈ corpus-cells on the cell id; exact
+    * cosine scores the candidates; per-probe ranking is the same
+    * bounded heap as [[rankTopK]] — O(n × k) rows cross the final
+    * exchange. Total candidate work is Σ_cells |cell| × |probes
+    * probing it| ≈ n × stride × nProbe: LINEAR in the corpus for a
+    * fixed stride, vs the exact kernel's n². A dense region making one
+    * cell giant is the planted-skew lane's shape — AQE skew-join
+    * splitting applies to the cell join; `kmeansIters` > 0 additionally
+    * moves boundaries to even the cells out.
+    *
+    * EXACT when nProbe ≥ the centroid count: every (probe, neighbor)
+    * pair is then scored exactly once, so the output equals the
+    * brute-force self-kNN bit-for-bit (same rounding, same tie-break) —
+    * IvfSelfTopKSpec pins that identity; recall at production nProbe is
+    * gauged by q223 against the exact twin (q92's discipline). Self
+    * matches are excluded (a probe's nearest neighbor is itself,
+    * useless to every downstream consumer of this kernel). */
+  def ivfSelfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidStride: Int = 50, nProbe: Int = 2,
+      kmeansIters: Int = 0): DataFrame = {
+    Guards.requireIntegralId(vecs, idCol, "ivfSelfTopK centroid-stride seeding")
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val seeds = base.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("centroid_id"), col("v").as("cv"))
+    require(!seeds.isEmpty,
+      s"ivfSelfTopK: centroidStride=$centroidStride selected zero centroid " +
+        "seeds (no id divisible by the stride) — lower the stride or remap " +
+        "ids so at least one seed exists")
+    val centroids =
+      if (kmeansIters <= 0) seeds
+      else refineCentroids(base, seeds, "id", "v", kmeansIters)
+    // one scoring pass, one partial aggregate, both roles; pinned —
+    // the corpus-residence and probe-cell branches both consume it
+    val assigned = base.join(broadcast(centroids))
+      .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
+      .groupBy(col("id"))
+      .agg(first(col("v")).as("v"),
+        topKByScore(col("sim"), col("centroid_id"), nProbe).as("cells"))
+      .pinned
+    val corpusSide = assigned.select(col("id").as("neighbor_id"),
+      col("v").as("cv2"), element_at(col("cells"), 1).getField("id").as("cell"))
+    val probeSide = assigned
+      .select(col("id").as("probe_id"), col("v").as("pv"),
+        explode(col("cells")).as("c"))
+      .select(col("probe_id"), col("pv"), col("c.id").as("cell"))
+    val scored = corpusSide.join(probeSide, Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosineSimilarity(col("pv"), col("cv2")), 6))
+    rankTopK(scored, k)
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou, Douze, Schmid — "Product Quantization
   // for Nearest Neighbor Search", TPAMI 2011). The MEMORY scale path:
@@ -458,12 +525,34 @@ object Similarity {
     * agreement rollup with [[ivfTopK]]/[[ivfPqTopK]] output. The label
     * joins key O(n × k) ranked rows by id — never a corpus broadcast. */
   def knnLabelAgreement(vecs: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int): DataFrame = {
+      labelCol: String, k: Int): DataFrame =
+    labelAgreementOver(exactSelfTopK(vecs, idCol, vecCol, k),
+      vecs, idCol, labelCol)
+
+  /** Exact SELF-kNN (cosine, self excluded, every vector a probe) —
+    * the brute-force twin of [[ivfSelfTopK]], named so audits (q223)
+    * and rollups can rank once and compose. Same plan as
+    * [[bruteForceTopK]] with probes = corpus: the probe side broadcasts,
+    * which is exactly what caps this kernel at oracle scale — the
+    * indexed sibling is the deployment path. Output is rankTopK-shaped
+    * (probe_id, rank, neighbor_id, score). */
+  def exactSelfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val p = vecs.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val c = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosineSimilarity(col("pv"), col("cv")), 6))
-    val ranked = rankTopK(scored, k)
+    rankTopK(scored, k)
+  }
+
+  /** The agreement rollup of [[knnLabelAgreement]] over ANY
+    * rankTopK-shaped frame (probe_id, rank, neighbor_id, score) — the
+    * composition point that makes the scale path a query, not a
+    * sentence: feed it [[ivfSelfTopK]] (round 11, q222) or
+    * [[ivfPqTopK]] output instead of the exact ranking. The label
+    * joins key O(n × k) ranked rows by id — never a corpus broadcast. */
+  def labelAgreementOver(ranked: DataFrame, vecs: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
     val nLab = vecs.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label"))
     val own = vecs.select(col(idCol).as("probe_id"), col(labelCol).as("label"))
     ranked.join(nLab, Seq("neighbor_id")).join(own, Seq("probe_id"))

@@ -301,6 +301,86 @@ object VectorQueries {
           floor(col("score") * 1e6 + lit(0.5)).cast("long").as("sim_micro"))
         .withColumn("contaminated", col("sim_micro") >= 400000L)
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- round 11: the EXECUTABLE scale path for the exact all-pairs
+    // carve-outs. q73/q109 are exact by oracle design (O(n²), 23% of
+    // the sf1 bench with q218); these twins run the same downstream
+    // semantics over Similarity.ivfSelfTopK — corpus meets corpus in a
+    // cell-keyed shuffle join, nothing broadcast but the centroid
+    // table, ≈ n·stride·nProbe candidate work (LINEAR for the fixed
+    // nProbe=6, stride=50, 2-Lloyd-round config — 300 exact scores per
+    // probe at any corpus size). Golden-pinned at both SFs; the sf1
+    // lane holds them to the LINEAR ratio gate the exact twins are
+    // exempted from. Recall context (q223 measures it): the synthetic
+    // embeddings are near-ISOTROPIC (mean pairwise cosine ≈ 0.0004) —
+    // ANN's adversarial case, where ANY index's recall tracks the
+    // scanned fraction because there is no cluster structure to
+    // exploit; measured 0.84 directed-pair recall at sf0.01 and 0.51
+    // at sf0.1. On a real (clustered) embedding corpus the same plan
+    // concentrates true neighbors into probed cells — that is the IVF
+    // bet, and nProbe is the deployment's recall/cost dial. ----
+
+    // q73's mutual k-NN graph over the indexed ranking
+    "q221_mutual_knn_indexed" -> ((s, dir) => {
+      Similarity.mutualTopK(Similarity.ivfSelfTopK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 4, centroidStride = 50, nProbe = 6,
+          kmeansIters = 2))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // q109's leave-one-out label-agreement rollup composed over the
+    // indexed ranking (labelAgreementOver — the same rollup code path
+    // the exact kernel uses)
+    "q222_knn_agreement_indexed" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      Similarity.labelAgreementOver(
+          Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 5,
+            centroidStride = 50, nProbe = 6, kmeansIters = 2),
+          vecs, "vec_id", "label")
+        .orderBy(col("vec_id"))
+    }),
+
+    // Index-vs-exact audit (q92's recall discipline in q218's score
+    // shape): the indexed kernel's directed kNN pairs, its mutual
+    // edges, and its per-vector agreement counts, each
+    // precision/recall-scored against the exact brute-force twin on
+    // the same corpus — the gauge that says what stride-50 2-probe
+    // cells actually buy and cost before a deployment swaps them in
+    "q223_knn_index_eval" -> ((s, dir) => {
+      import graft.ops.Pin.PinSyntax
+      val vecs = t(s, dir, "embeddings")
+      val exactR = Similarity.exactSelfTopK(vecs, "vec_id", "embedding",
+        k = 4).pinned // truth: consumed by the pair AND agreement gauges
+      val idxR = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding",
+        k = 4, centroidStride = 50, nProbe = 6, kmeansIters = 2).pinned
+      def score(method: String, truth: DataFrame, found: DataFrame) = {
+        val tp = found.join(truth, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("tp"))
+        val nF = found.agg(count(lit(1)).as("n_found"))
+        val nT = truth.agg(count(lit(1)).as("n_truth"))
+        tp.crossJoin(nF).crossJoin(nT)
+          .select(lit(method).as("method"), col("n_truth"), col("n_found"),
+            col("tp"), (col("n_found") - col("tp")).as("fp"),
+            (col("n_truth") - col("tp")).as("fn"),
+            expr("CASE WHEN n_found = 0 THEN 0 ELSE (tp * 1000000) div n_found END")
+              .as("precision_micro"),
+            expr("CASE WHEN n_truth = 0 THEN 0 ELSE (tp * 1000000) div n_truth END")
+              .as("recall_micro"))
+      }
+      def pairs(r: DataFrame) = r.select(col("probe_id").as("a_id"),
+        col("neighbor_id").as("b_id"))
+      // agreement counts compared as (vec_id, n_agree) pairs: tp = rows
+      // where the indexed rollup lands the exact per-vector count
+      def agree(r: DataFrame) = Similarity
+        .labelAgreementOver(r, vecs, "vec_id", "label")
+        .select(col("vec_id").as("a_id"), col("n_agree").as("b_id"))
+      score("knn_pairs", pairs(exactR), pairs(idxR))
+        .unionByName(score("mutual_edges",
+          Similarity.mutualTopK(exactR).select(col("a_id"), col("b_id")),
+          Similarity.mutualTopK(idxR).select(col("a_id"), col("b_id"))))
+        .unionByName(score("agree_exact", agree(exactR), agree(idxR)))
+        .orderBy(col("method"))
     })
   )
 

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The IVF-blocked self-kNN kernel (round 11 — the executable scale
+  * path for the q73/q109 exact all-pairs carve-outs). Pins:
+  *  - EXACTNESS AT FULL PROBE: nProbe ≥ centroid count means every
+  *    (probe, neighbor) pair is scored exactly once, so the kernel must
+  *    equal the brute-force twin bit-for-bit (same rounding, same
+  *    tie-break) — the differential identity everything else leans on;
+  *  - self-exclusion and candidate-pair uniqueness (each neighbor lives
+  *    in exactly one cell, so no rank position repeats a neighbor);
+  *  - the refactored [[Similarity.knnLabelAgreement]] is the same
+  *    function as [[Similarity.labelAgreementOver]] ∘
+  *    [[Similarity.exactSelfTopK]] (q109's pinned oracle rides it);
+  *  - the loud-failure contract on a stride that seeds nothing.
+  */
+class IvfSelfTopKSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // three well-separated direction clusters + a little in-cluster spread:
+  // cluster structure makes low-probe recall meaningful, determinism
+  // comes from the integer construction
+  private lazy val vecs: DataFrame = (0L until 60L).map { i =>
+    val c = (i % 3).toInt
+    val base = Array.fill(8)(0.05f)
+    base(c * 2) = 1.0f + (i % 5) * 0.01f
+    base(c * 2 + 1) = 0.3f + (i % 7) * 0.02f
+    (i, base.toSeq, s"label${c}")
+  }.toDF("vec_id", "embedding", "label")
+
+  test("nProbe >= centroid count reproduces the exact kernel bit-for-bit") {
+    // stride 10 over ids 0..59 → 6 seeds; nProbe 6 probes every cell
+    val exact = Similarity.exactSelfTopK(vecs, "vec_id", "embedding", k = 4)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val full = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 4,
+        centroidStride = 10, nProbe = 6)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(full === exact)
+  }
+
+  test("production probes: self excluded, neighbors unique, recall sane") {
+    val r = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 4,
+        centroidStride = 10, nProbe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(r.nonEmpty)
+    assert(r.forall { case (p, _, n, _) => p != n }, "self match leaked")
+    // one cell per neighbor → a probe can never see a neighbor twice
+    val dupPairs = r.groupBy(t => (t._1, t._3)).filter(_._2.size > 1)
+    assert(dupPairs.isEmpty, s"duplicate candidate pairs: ${dupPairs.keys}")
+    // directed-pair recall vs exact on this clustered corpus must be
+    // high (cells align with the planted clusters); gate loosely — the
+    // sharp number is the q223 gauge's job
+    val exact = Similarity.exactSelfTopK(vecs, "vec_id", "embedding", k = 4)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(t => (t._1, t._3)).toSet
+    val got = r.map(t => (t._1, t._3)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall > 0.8, s"recall $recall unexpectedly low")
+  }
+
+  test("knnLabelAgreement == labelAgreementOver(exactSelfTopK) (refactor identity)") {
+    val direct = Similarity.knnLabelAgreement(vecs, "vec_id", "embedding",
+        "label", k = 5)
+      .as[(Long, String, Long, Double)].collect().sorted.toSeq
+    val composed = Similarity.labelAgreementOver(
+        Similarity.exactSelfTopK(vecs, "vec_id", "embedding", k = 5),
+        vecs, "vec_id", "label")
+      .as[(Long, String, Long, Double)].collect().sorted.toSeq
+    assert(direct === composed)
+  }
+
+  test("mutual composition yields canonical undirected edges") {
+    val edges = Similarity.mutualTopK(
+        Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 4,
+          centroidStride = 10, nProbe = 2))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (a, b, _) => a < b })
+    assert(edges.map(e => (e._1, e._2)).distinct.size == edges.size)
+  }
+
+  test("a stride that seeds no centroid fails loudly") {
+    val noSeed = vecs.filter(col("vec_id") % 97 =!= 0 || col("vec_id") === 0)
+      .filter(col("vec_id") > 0) // ids 1..59, stride 97 hits none
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfSelfTopK(noSeed, "vec_id", "embedding", k = 2,
+        centroidStride = 97, nProbe = 2).collect()
+    }
+    assert(e.getMessage.contains("zero centroid seeds"))
+  }
+}

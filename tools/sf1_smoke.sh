@@ -39,7 +39,8 @@ q99_pagerank,q208_ppr,q213_hits,q171_bfs_reach,q180_modularity,q155_triangles,q1
 q87_merge_components,q191_lsh_eval,q199_dedup_curve,q73_mutual_knn,q109_knn_label_agreement,\
 q89_ann_pq,q91_ann_ivfpq,q92_ann_recall,q95_ann_refine,q93_bm25_retrieval,q96_retrieval_eval,\
 q103_pca_spectrum,q104_pca_whiten,q105_pca_ann_recall,q218_embedding_eval,q219_civic_e2e,\
-q121_rfm,q143_auc,q150_ks_test,q153_survival,q167_weighted_quantiles,q148_decile_lift"
+q121_rfm,q143_auc,q150_ks_test,q153_survival,q167_weighted_quantiles,q148_decile_lift,\
+q221_mutual_knn_indexed,q222_knn_agreement_indexed"
 
 # exact all-pairs relations BY ORACLE DESIGN (q73 mutual kNN, q109
 # leave-one-out kNN, q218's exact-cosine truth stack): O(n^2) compute,
@@ -47,8 +48,9 @@ q121_rfm,q143_auc,q150_ks_test,q153_survival,q167_weighted_quantiles,q148_decile
 # gate would flag the DESIGN, not a pathology. They get their own gate
 # at RATIO_MAX_QUAD (default 40: today's measured constants are
 # 10-19x, so 40 still catches a >2x engine regression while staying
-# far under the n^2 ceiling). Their documented scale path swaps the
-# exact kernel for the ANN index output (Similarity Scaladoc).
+# far under the n^2 ceiling). Their scale path is EXECUTABLE since
+# round 11 — q221/q222 run the same semantics over the IVF-blocked
+# Similarity.ivfSelfTopK kernel and are held to the LINEAR gate here.
 QUAD="q73_mutual_knn,q109_knn_label_agreement,q218_embedding_eval"
 RATIO_MAX_QUAD=${RATIO_MAX_QUAD:-40}
 
