@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -74,14 +74,64 @@ object ScaleData {
       "grey wolf watches the bright red hen peck at the dry brown corn " +
       "near the old stone wall under the pale blue sky"
 
+  /** Zipf(s≈1) rank from a deterministic per-row hash: u uniform in
+    * [0,1) → floor(D^u) is log-uniform over 1..D, i.e. P(rank r) =
+    * (ln(r+1)−ln(r))/ln(D) ∝ 1/r — the classical inverse-CDF sampling
+    * of a Zipf-1 law. Top rank carries ln2/ln(D) of the rows (~7.5% at
+    * D=10⁴) and rank r carries ~1/r of that: MANY medium-hot keys, the
+    * distribution AQE's skew-JOIN splitting cannot rescue a hash
+    * AGGREGATE from (round-11 adversarial plant). */
+  private def zipfRank(driving: Column, domain: Long): Column = {
+    val u = pmod(xxhash64(driving), lit(1000000L)).cast("double") / 1000000.0
+    least(greatest(floor(pow(lit(domain.toDouble), u)), lit(1.0)),
+      lit(domain.toDouble)).cast("long")
+  }
+
+  /** Round-11 adversarial plant (`--skew2`) — the shapes the round-10
+    * single-hot-KEY plant (`--skew`) is friendly to:
+    *
+    *   - KEY domain, full Zipf: `o_custkey` / `l_partkey` / `user_id`
+    *     remapped through [[zipfRank]] over their whole per-copy
+    *     domain. Unlike one 10% key (which AQE's skew-join handling
+    *     can split), a Zipf law puts ~7.5% on rank 1, ~4% on rank 2,
+    *     ~2.5% on rank 3… — dozens of medium-hot keys that land in a
+    *     few hash partitions TOGETHER, the real shape of customers,
+    *     parts and users at 100 TB;
+    *   - VALUE domain: one cents value (4999.99 → 499999) planted on
+    *     10% of `l_extendedprice` rows — a point mass the
+    *     order-statistics family (q36/q142/q149/q167 ride
+    *     `Stats.rangePrefixSums`) must absorb into ONE histogram
+    *     bucket / prefix range; kernels rebuilt since the round-10
+    *     lane (q36) have never seen a skewed value domain;
+    *   - TOKEN domain: one token appended to 10% of documents AFTER
+    *     the copy cipher (so it is the same token in every copy) — a
+    *     posting list spanning 10% of the whole corpus for q93 BM25 /
+    *     q96's postings groupBy.
+    *
+    * Independent of `--skew` (both can be planted at once; the lane
+    * runs them separately so a failure names its cause). */
+  private val hotCents = 4999.99
+
   def scaled(spark: SparkSession, baseDir: String, name: String,
-      copies: Int, skew: Boolean = false): DataFrame = {
+      copies: Int, skew: Boolean = false): DataFrame =
+    scaled(spark, baseDir, name, copies, skew, skew2 = false)
+
+  def scaled(spark: SparkSession, baseDir: String, name: String,
+      copies: Int, skew: Boolean, skew2: Boolean): DataFrame = {
     val base = Tables.t(spark, baseDir, name)
     if (!idCols.contains(name)) base
     else {
       val dim = if (name == "embeddings")
         base.select(max(size(col("embedding")))).head().getInt(0)
       else 0
+      // per-copy key domain for the Zipf remap (one tiny column-pruned
+      // agg on the base table; 0 when the table has no zipfed key)
+      val zipfDomain: Long = if (!skew2) 0L else name match {
+        case "orders" => base.agg(max(col("o_custkey"))).head().getLong(0)
+        case "lineitem" => base.agg(max(col("l_partkey"))).head().getLong(0)
+        case "events" => base.agg(max(col("user_id"))).head().getLong(0)
+        case _ => 0L
+      }
       (0 until copies).map { c =>
         val offset = c.toLong << 50
         var df = idCols(name).foldLeft(base) { (d, k) =>
@@ -120,6 +170,30 @@ object ScaleData {
               .otherwise(col("text")))
           case _ => ()
         }
+        if (skew2) name match {
+          // Zipf keys stay inside the copy's id space (offset + rank),
+          // so joins/graphs still see N disjoint replicas — the law is
+          // planted within each copy, scaling stays linear
+          case "orders" => df = df.withColumn("o_custkey",
+            lit(offset) + zipfRank(col("o_orderkey"), zipfDomain))
+          case "lineitem" =>
+            df = df.withColumn("l_partkey",
+              lit(offset) + zipfRank(col("l_orderkey") * 8
+                + col("l_linenumber"), zipfDomain))
+            df = df.withColumn("l_extendedprice",
+              when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey")), lit(10)) === 0, lit(hotCents))
+                .otherwise(col("l_extendedprice")))
+          case "events" => df = df.withColumn("user_id",
+            lit(offset) + zipfRank(col("event_id"), zipfDomain))
+          // appended AFTER the copy cipher → the identical token in
+          // every copy: one posting list spanning 10% of the corpus
+          case "documents" => df = df.withColumn("text",
+            when(pmod(col("doc_id"), lit(10)) === 0,
+              concat(col("text"), lit(" zqhotterm")))
+              .otherwise(col("text")))
+          case _ => ()
+        }
         df
       }.reduce(_.unionByName(_))
     }
@@ -127,11 +201,12 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleData <baseSfDir> <outDir> [copies=10] [--skew]")
+      "usage: ScaleData <baseSfDir> <outDir> [copies=10] [--skew] [--skew2]")
     val (baseDir, outDir) = (args(0), args(1))
-    val copies = args.lift(2).filterNot(_ == "--skew").map(_.toInt)
+    val copies = args.lift(2).filterNot(_.startsWith("--")).map(_.toInt)
       .getOrElse(10)
     val skew = args.contains("--skew")
+    val skew2 = args.contains("--skew2")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -139,10 +214,10 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.Names.foreach { name =>
-      scaled(spark, baseDir, name, copies, skew)
+      scaled(spark, baseDir, name, copies, skew, skew2)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"scaled $name x$copies${if (skew) " +skew" else ""}" +
-        s" -> $outDir/$name.parquet")
+        s"${if (skew2) " +skew2" else ""} -> $outDir/$name.parquet")
     }
     spark.stop()
   }

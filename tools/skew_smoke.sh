@@ -15,21 +15,48 @@
 # for a uniform 1/32 task, so a healthy kernel's worst stage straggles
 # ~3x; a kernel that FALLS OVER on the hot key shows 10x+ or an error).
 #
-# Usage: tools/skew_smoke.sh
+# Round-11 ADVERSARIAL mode (MODE=zipf): the 10%-single-hot-key plant
+# is the friendly version — AQE's skew-join splitting can handle ONE
+# oversized partition, and one hot key hits one reducer. ScaleData
+# --skew2 plants instead:
+#   - a full Zipf(s≈1) law over the WHOLE o_custkey / l_partkey /
+#     user_id domains (many medium-hot keys landing in a few hash
+#     partitions together — unsplittable for hash AGGREGATES);
+#   - a point mass in the VALUE domain (one cents value on 10% of
+#     l_extendedprice — one giant histogram bucket for the
+#     rangePrefixSums order-statistics family, q36/q142/q149/q167);
+#   - one hot TOKEN in 10% of documents across ALL copies (a corpus-
+#     spanning posting list for q93 BM25 / q96).
+# and the lane swaps to the consumers of those domains.
+#
+# Usage: tools/skew_smoke.sh               # round-10 hot-key plant
+#        MODE=zipf tools/skew_smoke.sh     # round-11 adversarial plant
 #        SKEW_MAX=4 RUNS=2 tools/skew_smoke.sh
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 SF01=${SF01:-/root/testdata/sf0.1}
 SF1=${SF1:-/tmp/graft_sf1}
-SKEWDIR=${SKEWDIR:-/tmp/graft_sf1_skew}
 CPUS=${CPUS:-32}
 RUNS=${RUNS:-1}
 SKEW_MAX=${SKEW_MAX:-3}
+MODE=${MODE:-hotkey}
 
-LANE="q99_pagerank,q208_ppr,q213_hits,q171_bfs_reach,\
+if [ "$MODE" = "zipf" ]; then
+  SKEWDIR=${SKEWDIR:-/tmp/graft_sf1_zipf}
+  SKEWFLAG="--skew2"
+  LANE="q99_pagerank,q208_ppr,q213_hits,q171_bfs_reach,\
+q186_cc_exact,q134_salted_join,\
+q36_percentile,q142_exact_quantiles,q149_cont_quantiles,\
+q167_weighted_quantiles,q148_decile_lift,q121_rfm,\
+q93_bm25_retrieval,q96_retrieval_eval"
+else
+  SKEWDIR=${SKEWDIR:-/tmp/graft_sf1_skew}
+  SKEWFLAG="--skew"
+  LANE="q99_pagerank,q208_ppr,q213_hits,q171_bfs_reach,\
 q186_cc_exact,q87_merge_components,q47_dedup_apply,q50_leakage_split,\
 q15_minhash_lsh,q134_salted_join"
+fi
 
 JAVA_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -47,7 +74,7 @@ build() { # $1 = outDir, $2 = extra flag
   fi
 }
 build "$SF1" ""
-build "$SKEWDIR" "--skew"
+build "$SKEWDIR" "$SKEWFLAG"
 
 bench() { # $1 = sf dir, $2 = out json
   SPARK_GRAFT_BENCH_ONLY="$LANE" SPARK_GRAFT_BENCH_RUNS="$RUNS" \
