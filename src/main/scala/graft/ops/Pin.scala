@@ -75,6 +75,19 @@ object Pin {
             applied = (sc, dir)
           }
         }
+      // Deliberately NOT persist-before-checkpoint (measured twice,
+      // round 11): Spark's RDD.checkpoint Scaladoc recommends caching
+      // so the checkpoint write job reads blocks instead of re-running
+      // the lineage, but pricing MEMORY_AND_DISK-persist-then-unpersist
+      // same-window showed it LOSES or ties everywhere we run — sf0.1
+      // local[32] reliable: 1.15x total (q121/q99 1.59x — columnar
+      // cache serialization swamps the cheap recompute; q99 even grew
+      // shuffle bytes, the cached boundary blocks AQE); sf1
+      // local-cluster[2,8] reliable: wall 0.84–1.12x ≈ noise with
+      // strictly WORSE cpu on every query (q191 +28%, q121 +76%).
+      // The double compute is real but cheaper than caching columnar
+      // blocks it would avoid; revisit only with a storage level that
+      // skips columnar serialization.
       ds.checkpoint()
     }
   }
