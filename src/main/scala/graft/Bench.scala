@@ -61,11 +61,21 @@ object Bench {
     val shufWrite = new java.util.concurrent.atomic.AtomicLong()
     val cpuNs = new java.util.concurrent.atomic.AtomicLong()
     val nTasks = new java.util.concurrent.atomic.AtomicLong()
+    // failed/killed task ends land in the SAME metrics stream: a stage
+    // retry re-reads its shuffle input, so a query's byte counters can
+    // inflate over the plan-deterministic value for execution (not
+    // plan) reasons. Counting them separately lets a work-channel diff
+    // distinguish "the plan changed" from "tasks were retried in this
+    // window" (round 11: a full sf1 run showed q61 +25 MB that three
+    // identical-prefix partial runs did not reproduce).
+    val nFailed = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
+          if (t.taskInfo != null && !t.taskInfo.successful)
+            nFailed.incrementAndGet()
           if (m != null) {
             memSpill.addAndGet(m.memoryBytesSpilled)
             diskSpill.addAndGet(m.diskBytesSpilled)
@@ -94,13 +104,14 @@ object Bench {
     // per-query WORK from the last successful run (plan-deterministic,
     // so any run's numbers are THE numbers; the last overwrite keeps
     // the code a counter diff, no min-tracking)
-    val work = scala.collection.mutable.Map[String, (Long, Long, Long, Long)]()
+    val work = scala.collection.mutable.Map[String, (Long, Long, Long, Long, Long)]()
     def drain(): Unit =
       org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     for (_ <- 1 to runs; name <- names) {
       val fn = SparkEntry.queries(name)
       drain()
-      val (r0, w0, c0, k0) = (shufRead.get, shufWrite.get, cpuNs.get, nTasks.get)
+      val (r0, w0, c0, k0, f0) =
+        (shufRead.get, shufWrite.get, cpuNs.get, nTasks.get, nFailed.get)
       val t0 = System.nanoTime()
       try {
         // harness v2: materialize EVERY output column via a noop-format
@@ -115,7 +126,7 @@ object Bench {
         if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
         drain()
         work(name) = (shufRead.get - r0, shufWrite.get - w0,
-          cpuNs.get - c0, nTasks.get - k0)
+          cpuNs.get - c0, nTasks.get - k0, nFailed.get - f0)
       } catch {
         case e: Throwable => errors(name) = e.getClass.getName
       }
@@ -132,9 +143,9 @@ object Bench {
     // the deterministic work channel goes in the ARTIFACT only: the
     // round driver keeps a 2000-char truncated tail of stdout, and
     // bloating the line would push the per-query timings out of it
-    val workJson = names.flatMap(k => work.get(k).map { case (r, w, c, t) =>
+    val workJson = names.flatMap(k => work.get(k).map { case (r, w, c, t, f) =>
       "\"" + k + "\":" +
-        s"""{"shuffleReadBytes":$r,"shuffleWriteBytes":$w,"cpuNs":$c,"tasks":$t}"""
+        s"""{"shuffleReadBytes":$r,"shuffleWriteBytes":$w,"cpuNs":$c,"tasks":$t,"failedTasks":$f}"""
     }).mkString("{", ",", "}")
     // stable full artifact: the round driver's BENCH_r*.json keeps only
     // a 2000-char truncated tail of stdout, so the complete per-query

@@ -85,6 +85,16 @@ object CorpusQueries {
       val toks = docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         .filter(length(col("term")) > 0)
+      // tf feeds BOTH the df aggregation and the score join, via AQE's
+      // exchange-reuse cache — which is BEST-EFFORT: when the two
+      // consumers' identical stages materialize concurrently (observed
+      // reproducibly in full-surface sf1 runs, never in partial runs)
+      // the race computes the tf subtree twice (+25 MB read at sf1).
+      // Priced both explicit alternatives and kept the reuse anyway:
+      // pinning tf = 47.1 MB / 2.1x wall ALWAYS (block-store write +
+      // lost AQE through the pin) vs 33.5 clean / 58.5 raced; a
+      // count-over-Window(term) df = an unsplittable hot-term
+      // partition where the join's term skew stays AQE-splittable.
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
