@@ -97,8 +97,21 @@ def main():
               "with changed shuffle volume")
         for k, ob, nb in sorted(changed, key=lambda x: x[2] - x[1]):
             d = nb - ob
+            # annotate execution-level explanations (round 11): retried
+            # tasks re-read shuffle input (failedTasks > 0), and AQE's
+            # BEST-EFFORT exchange-reuse can double a shared subtree on
+            # busy-window thread timing (failedTasks == 0, full-run
+            # only — see BASELINE.md "q61 and the exchange-reuse race").
+            # Either way a byte diff here may not be a plan change.
+            fo = ow[k].get("failedTasks")
+            fn = nw[k].get("failedTasks")
+            note = ""
+            if fn:
+                note = f"  [new side retried {fn} task(s) — execution, not plan]"
+            elif fo:
+                note = f"  [old side retried {fo} task(s) — execution, not plan]"
             print(f"  {k:38s} {ob/1e6:10.1f} MB -> {nb/1e6:10.1f} MB "
-                  f"({'+' if d > 0 else ''}{d/1e6:.1f} MB)")
+                  f"({'+' if d > 0 else ''}{d/1e6:.1f} MB){note}")
     if regressions:
         sys.exit(f"{len(regressions)} regression(s) beyond {threshold}x: "
                  + ", ".join(regressions))
