@@ -67,15 +67,24 @@ object Bench {
     // plan) reasons. Counting them separately lets a work-channel diff
     // distinguish "the plan changed" from "tasks were retried in this
     // window" (round 11: a full sf1 run showed q61 +25 MB that three
-    // identical-prefix partial runs did not reproduce).
+    // identical-prefix partial runs did not reproduce). Only ends whose
+    // REASON implies a re-execution count (TaskFailedReason that the
+    // scheduler resubmits) — a TaskKilled from speculative execution or
+    // an intentional job cancel does not inflate any byte counter, and
+    // counting it would make bench_compare's "[retried N task(s)]"
+    // annotation fire on runs with no retry-driven inflation
+    // (round-11 ADVICE).
     val nFailed = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
-          if (t.taskInfo != null && !t.taskInfo.successful)
-            nFailed.incrementAndGet()
+          t.reason match {
+            case _: org.apache.spark.TaskKilled => () // speculation/cancel
+            case org.apache.spark.Success => ()
+            case _ => nFailed.incrementAndGet() // failed → will be retried
+          }
           if (m != null) {
             memSpill.addAndGet(m.memoryBytesSpilled)
             diskSpill.addAndGet(m.diskBytesSpilled)

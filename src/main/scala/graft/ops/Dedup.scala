@@ -650,26 +650,23 @@ object Dedup {
     * scored rows map-side, so only nProbe rows per vector shuffle.
     * Candidates equi-join on bucket id; the exact cosine verifies each
     * deduped candidate pair (vectors re-joined by id, never carried
-    * through the bucket explode). Centroids start stride-picked like
-    * [[Similarity.ivfTopK]]; `kmeansIters` > 0 refines them with the same
+    * through the bucket explode). Centroids start as the bounded
+    * [[Similarity.ivfSeeds]] pick (≤ MaxIvfCells, default ⌈√n⌉ — the
+    * geometry that keeps the broadcast and assignment pass scale-safe);
+    * `kmeansIters` > 0 refines them with the same
     * honest Lloyd rounds ([[Similarity.refineCentroids]] — map-side
     * argmin assignment, only (cluster, dim, sum) rows shuffle). The plan
     * shape downstream is identical either way — refinement only moves
     * bucket boundaries, which matters when the corpus is clustered and a
     * stride pick would land several centroids in one dense region. */
   def embeddingNearDupsIvf(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.99, centroidStride: Int = 50,
+      threshold: Double = 0.99, nCells: Int = 0,
       nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
-    // a string id nulls the stride modulo → zero seeds → silently empty
-    // index; fail loudly instead (same contract as the LSH kernels)
-    Guards.requireIntegralId(vecs, idCol, "embeddingNearDupsIvf centroid-stride seeding")
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val seeds = base.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("centroid_id"), col("v").as("cv"))
-    require(!seeds.isEmpty,
-      s"embeddingNearDupsIvf: centroidStride=$centroidStride selected zero " +
-        "centroid seeds (no id divisible by the stride) — lower the stride " +
-        "or remap ids so at least one seed exists")
+    // the bounded-by-construction seed pick (id guard + derived stride +
+    // explicit limit, ≤ Similarity.MaxIvfCells) — see its geometry note
+    val seeds = Similarity.ivfSeeds(base, "id", "v", nCells,
+      "embeddingNearDupsIvf")
     val centroids =
       if (kmeansIters <= 0) seeds
       else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
@@ -705,20 +702,13 @@ object Dedup {
     * within-cluster O(|c|²) cosine scan is exactly what the capped
     * bucket join + exact verify replaces at corpus scale. */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, centroidStride: Int = 50,
+      threshold: Double = 0.95, nCells: Int = 0,
       nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
-    Guards.requireIntegralId(vecs, idCol, "semDedup centroid-stride seeding")
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val seeds = base.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("centroid_id"), col("v").as("cv"))
-    // An empty seed set (no id ≡ 0 mod stride — e.g. a small corpus whose
-    // ids start at 1) would empty the inner centroid join and make EVERY
-    // input id vanish from the result, violating the every-id contract.
-    // Fail loudly, matching the requireIntegralId convention.
-    require(!seeds.isEmpty,
-      s"semDedup: centroidStride=$centroidStride selected zero centroid " +
-        "seeds (no id divisible by the stride) — lower the stride or " +
-        "remap ids so at least one seed exists")
+    // the bounded-by-construction seed pick; its loud zero-seed failure
+    // also protects this kernel's every-id contract (an empty centroid
+    // join would make EVERY input id vanish from the result)
+    val seeds = Similarity.ivfSeeds(base, "id", "v", nCells, "semDedup")
     val centroids =
       if (kmeansIters <= 0) seeds
       else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)

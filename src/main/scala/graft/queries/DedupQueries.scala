@@ -66,7 +66,7 @@ object DedupQueries {
       val scaled = vecs.withColumn("vec_id", col("vec_id") + 1099511627776L)
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
       Dedup.embeddingNearDupsIvf(vecs.unionByName(scaled), "vec_id", "embedding",
-        threshold = 0.999, centroidStride = 50, nProbe = 2)
+        threshold = 0.999, nProbe = 2)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -246,7 +246,7 @@ object DedupQueries {
               .as("recall_micro"))
       }
       score("ivf", Dedup.embeddingNearDupsIvf(corpus, "vec_id", "embedding",
-          threshold = 0.999, centroidStride = 50, nProbe = 2))
+          threshold = 0.999, nProbe = 2))
         .unionByName(score("srp", Dedup.embeddingNearDupsSrp(corpus,
           "vec_id", "embedding", threshold = 0.999, bits = 32, bands = 4)))
         .orderBy(col("method"))
@@ -257,7 +257,7 @@ object DedupQueries {
       val scaled = vecs.withColumn("vec_id", col("vec_id") + 1099511627776L)
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.5f)))
       Dedup.semDedup(vecs.unionByName(scaled), "vec_id", "embedding",
-        threshold = 0.999, centroidStride = 50, nProbe = 2)
+        threshold = 0.999, nProbe = 2)
         .orderBy(col("id"))
     })
   )

@@ -42,12 +42,12 @@ object VectorQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // IVF-flat approximate top-3: stride-seeded centroids refined with
-    // two Lloyd k-means rounds (the honest index-build path)
+    // IVF-flat approximate top-3: bounded ⌈√n⌉-cell seed pick refined
+    // with two Lloyd k-means rounds (the honest index-build path)
     "q20_ann_ivf" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
       Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 20),
-        "vec_id", "embedding", k = 3, centroidStride = 50, kmeansIters = 2)
+        "vec_id", "embedding", k = 3, kmeansIters = 2)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -70,7 +70,7 @@ object VectorQueries {
       val vecs = t(s, dir, "embeddings")
       Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
-        nProbe = 2, centroidStride = 50, kmeansIters = 2, pqIters = 2)
+        nProbe = 2, kmeansIters = 2, pqIters = 2)
         .orderBy(col("probe_id"), col("rank"))
     }),
 
@@ -86,7 +86,7 @@ object VectorQueries {
         "vec_id", "embedding", k = 5)
       val approx = Similarity.ivfPqTopK(vecs, probes,
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
-        nProbe = 2, centroidStride = 50, kmeansIters = 2, pqIters = 2)
+        nProbe = 2, kmeansIters = 2, pqIters = 2)
       Similarity.recallAtK(exact, approx, k = 5)
         .orderBy(col("probe_id"))
     }),
@@ -100,7 +100,7 @@ object VectorQueries {
       val probes = vecs.filter(col("vec_id") < 20)
       val cand = Similarity.ivfPqTopK(vecs, probes, "vec_id", "embedding",
         k = 20, dim = 64, m = 8, ksub = 16, nProbe = 2,
-        centroidStride = 50, kmeansIters = 2, pqIters = 2)
+        kmeansIters = 2, pqIters = 2)
       Similarity.refineTopK(cand, vecs, probes, "vec_id", "embedding", k = 5)
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -303,28 +303,34 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // ---- round 11: the EXECUTABLE scale path for the exact all-pairs
-    // carve-outs. q73/q109 are exact by oracle design (O(n²), 23% of
-    // the sf1 bench with q218); these twins run the same downstream
-    // semantics over Similarity.ivfSelfTopK — corpus meets corpus in a
-    // cell-keyed shuffle join, nothing broadcast but the centroid
-    // table, ≈ n·stride·nProbe candidate work (LINEAR for the fixed
-    // nProbe=6, stride=50, 2-Lloyd-round config — 300 exact scores per
-    // probe at any corpus size). Golden-pinned at both SFs; the sf1
-    // lane holds them to the LINEAR ratio gate the exact twins are
-    // exempted from. Recall context (q223 measures it): the synthetic
-    // embeddings are near-ISOTROPIC (mean pairwise cosine ≈ 0.0004) —
-    // ANN's adversarial case, where ANY index's recall tracks the
-    // scanned fraction because there is no cluster structure to
-    // exploit; measured 0.84 directed-pair recall at sf0.01 and 0.51
-    // at sf0.1. On a real (clustered) embedding corpus the same plan
-    // concentrates true neighbors into probed cells — that is the IVF
-    // bet, and nProbe is the deployment's recall/cost dial. ----
+    // ---- round 11 (geometry fixed round 12): the EXECUTABLE scale
+    // path for the exact all-pairs carve-outs. q73/q109 are exact by
+    // oracle design (O(n²), 23% of the sf1 bench with q218); these
+    // twins run the same downstream semantics over
+    // Similarity.ivfSelfTopK — corpus meets corpus in a cell-keyed
+    // shuffle join, nothing broadcast but the BOUNDED centroid table.
+    // Work: n·C assignment + n·(n/C)·nProbe candidates; the default
+    // C = ⌈√n⌉ (clamped to MaxIvfCells) balances the two at
+    // O(n^1.5·nProbe) — the round-11 fixed stride made C grow linearly
+    // with the corpus and the assignment pass quadratic (VERDICT r11
+    // finding #1; the old comment's "LINEAR at any corpus size"
+    // counted only the candidate join). Golden-pinned at both SFs; the
+    // sf1 lane holds them to a sub-quadratic ratio gate the exact
+    // twins are exempted from. Recall context (q223 measures it): the
+    // synthetic embeddings are near-ISOTROPIC (mean pairwise cosine
+    // ≈ 0.0004) — ANN's adversarial case, where ANY index's recall
+    // tracks the scanned fraction because there is no cluster
+    // structure to exploit; the √n default scans a SMALLER fraction
+    // than round 11's stride-50 geometry, so the isotropic recall
+    // gauge reads lower while the clustered-corpus gauge (the
+    // ScaleData --clustered lane, BASELINE.md) shows what the same
+    // probe budget buys when cluster structure exists — that is the
+    // IVF bet, and nProbe is the deployment's recall/cost dial. ----
 
     // q73's mutual k-NN graph over the indexed ranking
     "q221_mutual_knn_indexed" -> ((s, dir) => {
       Similarity.mutualTopK(Similarity.ivfSelfTopK(t(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 4, centroidStride = 50, nProbe = 6,
+          "vec_id", "embedding", k = 4, nProbe = 6,
           kmeansIters = 2))
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -336,7 +342,7 @@ object VectorQueries {
       val vecs = t(s, dir, "embeddings")
       Similarity.labelAgreementOver(
           Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 5,
-            centroidStride = 50, nProbe = 6, kmeansIters = 2),
+            nProbe = 6, kmeansIters = 2),
           vecs, "vec_id", "label")
         .orderBy(col("vec_id"))
     }),
@@ -345,15 +351,16 @@ object VectorQueries {
     // shape): the indexed kernel's directed kNN pairs, its mutual
     // edges, and its per-vector agreement counts, each
     // precision/recall-scored against the exact brute-force twin on
-    // the same corpus — the gauge that says what stride-50 2-probe
-    // cells actually buy and cost before a deployment swaps them in
+    // the same corpus — the gauge that says what the default √n-cell,
+    // 6-probe geometry actually buys and costs before a deployment
+    // swaps it in
     "q223_knn_index_eval" -> ((s, dir) => {
       import graft.ops.Pin.PinSyntax
       val vecs = t(s, dir, "embeddings")
       val exactR = Similarity.exactSelfTopK(vecs, "vec_id", "embedding",
         k = 4).pinned // truth: consumed by the pair AND agreement gauges
       val idxR = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding",
-        k = 4, centroidStride = 50, nProbe = 6, kmeansIters = 2).pinned
+        k = 4, nProbe = 6, kmeansIters = 2).pinned
       def score(method: String, truth: DataFrame, found: DataFrame) = {
         val tp = found.join(truth, Seq("a_id", "b_id"), "left_semi")
           .agg(count(lit(1)).as("tp"))

@@ -117,7 +117,29 @@ object ScaleData {
     scaled(spark, baseDir, name, copies, skew, skew2 = false)
 
   def scaled(spark: SparkSession, baseDir: String, name: String,
-      copies: Int, skew: Boolean, skew2: Boolean): DataFrame = {
+      copies: Int, skew: Boolean, skew2: Boolean): DataFrame =
+    scaled(spark, baseDir, name, copies, skew, skew2,
+      clustered = false, giant = false)
+
+  /** Round-12 ANN-geometry plants (VERDICT r12 mandate #2). The driver
+    * embeddings are near-isotropic — ANN's adversarial case, where any
+    * index's recall tracks the scanned fraction. `clustered` replaces
+    * the embedding column with 32 WELL-SEPARATED direction clusters
+    * (the IvfSelfTopKSpec fixture at corpus scale: cluster
+    * c = hash(vec_id) mod 32 puts its mass on dims (2c, 2c+1) with a
+    * small integer-derived within-cluster spread), so the IVF bet has
+    * actual structure to exploit and q223 measures what the index buys
+    * on a REAL-shaped corpus. `giant` additionally collapses ~30% of
+    * all vectors into cluster 0 — one dense direction region → one
+    * giant IVF cell → the corpus⋈corpus cell equi-join's skew leg,
+    * which `Similarity.ivfSelfTopK`'s Scaladoc claims AQE skew-split
+    * absorbs but (before this lane) nothing measured. Construction is
+    * per-FINAL-id and integer-deterministic, so copies stay disjoint
+    * in id space while sharing the 32 cluster directions — cells do
+    * not align with copies, which is the honest (harder) layout. */
+  def scaled(spark: SparkSession, baseDir: String, name: String,
+      copies: Int, skew: Boolean, skew2: Boolean,
+      clustered: Boolean, giant: Boolean): DataFrame = {
     val base = Tables.t(spark, baseDir, name)
     if (!idCols.contains(name)) base
     else {
@@ -154,6 +176,25 @@ object ScaleData {
           df = df.withColumn("embedding",
             concat(slice(col("embedding"), s + 1, dim - s),
               slice(col("embedding"), 1, s)))
+        }
+        if ((clustered || giant) && name == "embeddings") {
+          // 32 direction clusters on dim pairs (2k, 2k+1); `giant`
+          // routes ~30% of ids to cluster 0 (hash-spread, not id-block,
+          // so the dense region is interleaved across the id space)
+          val k = 32
+          val uniform = pmod(xxhash64(col("vec_id")), lit(k.toLong))
+          val cl = if (!giant) uniform
+            else when(pmod(xxhash64(col("vec_id") + 7), lit(10L)) < 3, lit(0L))
+              .otherwise(uniform)
+          val d0 = (cl * 2) % dim
+          val d1 = (cl * 2 + 1) % dim
+          df = df.withColumn("embedding",
+            transform(sequence(lit(0), lit(dim - 1)), d =>
+              when(d === d0, (lit(1.0) + pmod(col("vec_id"), lit(5L))
+                .cast("double") * 0.01).cast("float"))
+                .when(d === d1, (lit(0.3) + pmod(col("vec_id"), lit(7L))
+                  .cast("double") * 0.02).cast("float"))
+                .otherwise(lit(0.05f))))
         }
         if (skew) name match {
           case "orders" => df = df.withColumn("o_custkey",
@@ -201,12 +242,15 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleData <baseSfDir> <outDir> [copies=10] [--skew] [--skew2]")
+      "usage: ScaleData <baseSfDir> <outDir> [copies=10] [--skew] " +
+        "[--skew2] [--clustered] [--giant]")
     val (baseDir, outDir) = (args(0), args(1))
     val copies = args.lift(2).filterNot(_.startsWith("--")).map(_.toInt)
       .getOrElse(10)
     val skew = args.contains("--skew")
     val skew2 = args.contains("--skew2")
+    val clustered = args.contains("--clustered")
+    val giant = args.contains("--giant")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -214,10 +258,12 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.Names.foreach { name =>
-      scaled(spark, baseDir, name, copies, skew, skew2)
+      scaled(spark, baseDir, name, copies, skew, skew2, clustered, giant)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"scaled $name x$copies${if (skew) " +skew" else ""}" +
-        s"${if (skew2) " +skew2" else ""} -> $outDir/$name.parquet")
+        s"${if (skew2) " +skew2" else ""}" +
+        s"${if (clustered) " +clustered" else ""}" +
+        s"${if (giant) " +giant" else ""} -> $outDir/$name.parquet")
     }
     spark.stop()
   }

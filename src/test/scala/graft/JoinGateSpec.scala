@@ -67,8 +67,6 @@ class JoinGateSpec extends SparkTestBase {
       "contingency marginals broadcast - bounded by event_type x hour-of-day dimensions",
     "q98_source_overlap" ->
       "per-SOURCE gram profiles under a source_a < source_b triangular condition - bounded by source count",
-    "q18_embedding_neardup" ->
-      "broadcast side is the IVF centroid frame (n/centroidStride rows) - the stride is the knob that keeps C broadcastable; deployment sets it so C stays thousands at any corpus size (embeddingNearDupsIvf Scaladoc)",
     "q89_ann_pq" ->
       "broadcast side is the 20-probe slice joined with its M x ksub ADC lookup tables (probes x tiny codebook cross) - the q19 probe-slice class; the corpus side streams as (id, M codes)",
     "q187_gap_fill" ->

@@ -1,5 +1,10 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
+  Distinct, Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan,
+  OneRowRelation, Project, RepartitionOperation, ResolvedHint, Sample, Sort,
+  SubqueryAlias, Union, Window => LogicalWindow, BROADCAST}
+import org.apache.spark.sql.catalyst.expressions.NamedExpression
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
 
@@ -33,6 +38,10 @@ object PlanGates {
         if a.groupingExpressions.isEmpty || partitionAxisOnly(a) => true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
     case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    // orderBy+limit plans as these two instead of Global/LocalLimit;
+    // both output ≤ the literal limit (the ivfSeeds centroid pick)
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.CollectLimitExec => true
     case _: LocalTableScanExec => true
     // any other aggregate's output never exceeds its input
     case a: BaseAggregateExec => boundedByConstruction(a.child)
@@ -55,4 +64,60 @@ object PlanGates {
       boundedByConstruction(p.children.head)
     case _ => false
   }
+
+  /** The [[boundedByConstruction]] dominance walk over LOGICAL plans —
+    * the shape the broadcast-growth gate ([[BroadcastGateSpec]]) sweeps,
+    * because an explicit `broadcast()` hint lives on the optimized
+    * logical `Join`, not on a physical node. Same semantics: recurse
+    * from the root only through nodes whose output cardinality cannot
+    * exceed the bound established below them. Scans (files, JDBC,
+    * streaming) and cardinality-multiplying nodes (Generate, Expand)
+    * fall through to `false`. */
+  def boundedByConstructionLogical(p: LogicalPlan): Boolean = p match {
+    // bounding shapes
+    case _: GlobalLimit | _: LocalLimit => true
+    case _: LocalRelation | _: OneRowRelation => true
+    case a: Aggregate
+        if a.groupingExpressions.isEmpty || partitionAxisOnlyLogical(a) => true
+    // any other aggregate's output never exceeds its input
+    case a: Aggregate => boundedByConstructionLogical(a.child)
+    case d: Distinct => boundedByConstructionLogical(d.child)
+    case d: Deduplicate => boundedByConstructionLogical(d.child)
+    case s: Sample => boundedByConstructionLogical(s.child)
+    // a join or union of all-bounded inputs stays bounded
+    case j: Join =>
+      boundedByConstructionLogical(j.left) && boundedByConstructionLogical(j.right)
+    case u: Union => u.children.forall(boundedByConstructionLogical)
+    // single-child output-cardinality-preserving wrappers
+    case w @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias
+        | _: ResolvedHint | _: LogicalWindow | _: RepartitionOperation) =>
+      boundedByConstructionLogical(w.children.head)
+    case _ => false
+  }
+
+  /** Logical twin of [[partitionAxisOnly]]: grouping only on
+    * `spark_partition_id()`-minted columns. */
+  def partitionAxisOnlyLogical(a: Aggregate): Boolean =
+    a.groupingExpressions.nonEmpty && a.groupingExpressions.forall {
+      case n: NamedExpression =>
+        n.name.startsWith("__pid") || n.name.startsWith("__tp")
+      case _ => false
+    }
+
+  /** Joins in `plan` carrying an explicit BROADCAST hint whose hinted
+    * side is NOT bounded by construction — the scale-killer class a
+    * stats-driven auto-broadcast can't produce (the planner stops
+    * broadcasting when the side outgrows the threshold, but a hint
+    * FORCES the broadcast at any size; VERDICT r11 finding #1 was
+    * exactly such a hint on a corpus-growing centroid table). */
+  def unboundedBroadcastHints(plan: LogicalPlan): Seq[String] = plan.collect {
+    case j: Join =>
+      Seq((j.hint.leftHint, j.left, "left"),
+          (j.hint.rightHint, j.right, "right")).collect {
+        case (Some(h), side, label)
+            if h.strategy.contains(BROADCAST) &&
+              !boundedByConstructionLogical(side) =>
+          s"broadcast-hint:$label(${side.nodeName})"
+      }
+  }.flatten
 }

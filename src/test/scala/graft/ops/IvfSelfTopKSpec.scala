@@ -16,7 +16,10 @@ import graft.SparkTestBase
   *  - the refactored [[Similarity.knnLabelAgreement]] is the same
   *    function as [[Similarity.labelAgreementOver]] ∘
   *    [[Similarity.exactSelfTopK]] (q109's pinned oracle rides it);
-  *  - the loud-failure contract on a stride that seeds nothing.
+  *  - the loud-failure contract on an id layout that seeds nothing;
+  *  - the round-12 geometry bound: the cell count is the parameter
+  *    (default ⌈√n⌉), clamped to MaxIvfCells whatever the caller asks
+  *    for or the corpus grows to.
   */
 class IvfSelfTopKSpec extends SparkTestBase {
 
@@ -34,18 +37,19 @@ class IvfSelfTopKSpec extends SparkTestBase {
   }.toDF("vec_id", "embedding", "label")
 
   test("nProbe >= centroid count reproduces the exact kernel bit-for-bit") {
-    // stride 10 over ids 0..59 → 6 seeds; nProbe 6 probes every cell
+    // nCells 6 over ids 0..59 → stride 10 → seeds 0,10..50; nProbe 6
+    // probes every cell
     val exact = Similarity.exactSelfTopK(vecs, "vec_id", "embedding", k = 4)
       .as[(Long, Int, Long, Double)].collect().sorted.toSeq
     val full = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 4,
-        centroidStride = 10, nProbe = 6)
+        nCells = 6, nProbe = 6)
       .as[(Long, Int, Long, Double)].collect().sorted.toSeq
     assert(full === exact)
   }
 
   test("production probes: self excluded, neighbors unique, recall sane") {
     val r = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 4,
-        centroidStride = 10, nProbe = 2)
+        nCells = 6, nProbe = 2)
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(r.nonEmpty)
     assert(r.forall { case (p, _, n, _) => p != n }, "self match leaked")
@@ -77,19 +81,44 @@ class IvfSelfTopKSpec extends SparkTestBase {
   test("mutual composition yields canonical undirected edges") {
     val edges = Similarity.mutualTopK(
         Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 4,
-          centroidStride = 10, nProbe = 2))
+          nCells = 6, nProbe = 2))
       .as[(Long, Long, Double)].collect().toSeq
     assert(edges.nonEmpty)
     assert(edges.forall { case (a, b, _) => a < b })
     assert(edges.map(e => (e._1, e._2)).distinct.size == edges.size)
   }
 
-  test("a stride that seeds no centroid fails loudly") {
-    val noSeed = vecs.filter(col("vec_id") % 97 =!= 0 || col("vec_id") === 0)
-      .filter(col("vec_id") > 0) // ids 1..59, stride 97 hits none
+  test("cell-count bound: ⌈√n⌉ default, MaxIvfCells clamp, limit-enforced") {
+    // the default geometry: ⌈√n⌉ cells, never more than MaxIvfCells —
+    // the parameterization that keeps the assignment pass O(n^1.5), the
+    // centroid broadcast bounded, and refineCentroids' per-round driver
+    // collect bounded at ANY corpus size (VERDICT r11 finding #1)
+    assert(Similarity.ivfCells(0L) == 1)
+    assert(Similarity.ivfCells(100L) == 10)
+    assert(Similarity.ivfCells(2000L) == 45)     // sf0.1 embeddings
+    assert(Similarity.ivfCells(1000L * 1000 * 1000) == 31623) // 10⁹: √n, not n/stride
+    assert(Similarity.ivfCells(Long.MaxValue) == Similarity.MaxIvfCells)
+    // an over-seeding stride is trimmed by the explicit limit: 60 ids,
+    // nCells 7 → stride 8 → 8 stride-hits, limited to exactly 7
+    val seeds = Similarity.ivfSeeds(
+      vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+      "id", "v", nCells = 7, "spec")
+    assert(seeds.count() == 7L)
+    // an absurd explicit request is clamped to the hard ceiling: the
+    // derived stride stays ≥ 1 and the limit stays ≤ MaxIvfCells, so
+    // the seed frame can never exceed min(n, MaxIvfCells)
+    val clamped = Similarity.ivfSeeds(
+      vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+      "id", "v", nCells = Int.MaxValue, "spec")
+    assert(clamped.count() == 60L) // all of n=60, NOT Int.MaxValue cells
+  }
+
+  test("an id layout that seeds no centroid fails loudly") {
+    // 30 odd ids, nCells 15 → derived stride 2 → no odd id is divisible
+    val noSeed = vecs.filter(col("vec_id") % 2 === 1)
     val e = intercept[IllegalArgumentException] {
       Similarity.ivfSelfTopK(noSeed, "vec_id", "embedding", k = 2,
-        centroidStride = 97, nProbe = 2).collect()
+        nCells = 15, nProbe = 2).collect()
     }
     assert(e.getMessage.contains("zero centroid seeds"))
   }

@@ -48,9 +48,11 @@ class KMeansSpec extends SparkTestBase {
   }
 
   test("embeddingNearDupsIvf with k-means refinement: balanced buckets, full twin recall") {
-    // adversarial id layout: EVERY stride-300 seed lands in blob 0, so the
-    // unrefined index has no centroid near blobs 1/2 and their vectors
-    // pile into blob-0 buckets; Lloyd rounds must migrate centroids out
+    // adversarial id layout: EVERY seed the derived stride picks lands
+    // in blob 0 (only blob 0 owns multiples; nCells 4 → stride 30 over
+    // n=120 → seeds 0,150,300,450), so the unrefined index has no
+    // centroid near blobs 1/2 and their vectors pile into blob-0
+    // buckets; Lloyd rounds must migrate centroids out
     val anchors = Seq(Seq(0.0, 0.0, 10.0), Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0))
     val rows = for {
       (a, b) <- anchors.zipWithIndex
@@ -79,7 +81,7 @@ class KMeansSpec extends SparkTestBase {
 
     // with refinement on, every planted scaled twin is recovered
     val pairs = Dedup.embeddingNearDupsIvf(union, "vec_id", "embedding",
-      threshold = 0.999, centroidStride = 300, nProbe = 2, kmeansIters = 3)
+      threshold = 0.999, nCells = 4, nProbe = 2, kmeansIters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = rows.map { case (id, _) => (id, id + 100001) }.toSet
     assert(want.subsetOf(pairs),
@@ -99,7 +101,7 @@ class KMeansSpec extends SparkTestBase {
 
   test("ivfTopK with k-means refinement: rank-1 neighbor of a corpus probe is itself") {
     val out = Similarity.ivfTopK(blobs, blobs.filter(col("vec_id") < 3),
-      "vec_id", "embedding", k = 2, centroidStride = 25, kmeansIters = 2)
+      "vec_id", "embedding", k = 2, nCells = 3, kmeansIters = 2)
       .filter(col("rank") === 1).collect()
     assert(out.nonEmpty)
     out.foreach(r =>
@@ -179,8 +181,8 @@ class KMeansSpec extends SparkTestBase {
   }
 
   test("ivfPqTopK: neighbors of a blob probe come from the probe's blob") {
-    // 4-dim, 3 well-separated blobs; stride 50 seeds one centroid in
-    // blob 0 (ids 0, 100, 200 → after Lloyd one per blob); residual PQ
+    // 4-dim, 3 well-separated blobs; nCells 3 → derived stride 20 →
+    // seeds 0, 100, 200 (one per blob); residual PQ
     // error is tiny next to inter-blob distance, so ranking stays in-blob
     val anchors = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(50.0, 50.0, 50.0, 50.0),
       Seq(100.0, 100.0, 0.0, 0.0))
@@ -193,7 +195,7 @@ class KMeansSpec extends SparkTestBase {
     val out = Similarity.ivfPqTopK(vecs,
       vecs.filter(col("vec_id").isin(0L, 105L, 210L)),
       "vec_id", "embedding", k = 5, dim = 4, m = 2, ksub = 4,
-      nProbe = 2, centroidStride = 50, kmeansIters = 2, pqIters = 3)
+      nProbe = 2, nCells = 3, kmeansIters = 2, pqIters = 3)
       .collect()
     assert(out.length == 15, s"expected 3 probes × 5: ${out.length}")
     out.foreach { r =>
@@ -240,7 +242,7 @@ class KMeansSpec extends SparkTestBase {
     val probes = vecs.filter(col("vec_id") % 25 === 0)
     val exact = Similarity.bruteForceTopKL2(vecs, probes, "vec_id", "embedding", k = 5)
     val approx = Similarity.ivfPqTopK(vecs, probes, "vec_id", "embedding",
-      k = 5, dim = 4, m = 2, ksub = 4, nProbe = 2, centroidStride = 50,
+      k = 5, dim = 4, m = 2, ksub = 4, nProbe = 2, nCells = 3,
       kmeansIters = 2, pqIters = 3)
     val rec = Similarity.recallAtK(exact, approx, k = 5)
       .agg(avg("recall")).collect()(0).getDouble(0)
@@ -279,7 +281,7 @@ class KMeansSpec extends SparkTestBase {
       Similarity.recallAtK(exact, approx, k = 5)
         .agg(avg("recall")).collect()(0).getDouble(0)
     val cand = Similarity.ivfPqTopK(vecs, probes, "vec_id", "embedding",
-      k = 15, dim = 4, m = 2, ksub = 4, nProbe = 2, centroidStride = 50,
+      k = 15, dim = 4, m = 2, ksub = 4, nProbe = 2, nCells = 3,
       kmeansIters = 2, pqIters = 3)
     val unrefined = meanRecall(cand.filter(col("rank") <= 5))
     val refined = meanRecall(

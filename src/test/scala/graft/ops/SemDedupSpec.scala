@@ -8,8 +8,9 @@ import graft.SparkTestBase
   * duplicate cluster keep the member LEAST similar to its own centroid
   * (ties → smaller id), singletons pass through kept, and every input id
   * comes back exactly once. Geometry: 2-D unit vectors at chosen angles
-  * from the single stride-seeded centroid id 0 = (1,0), so cosine
-  * similarities are exact trigonometry. */
+  * from the single seeded centroid id 0 = (1,0) (nCells = 1 → derived
+  * stride n → only id 0 seeds), so cosine similarities are exact
+  * trigonometry. */
 class SemDedupSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -29,7 +30,7 @@ class SemDedupSpec extends SparkTestBase {
 
   test("keep-least-central rule, min-id tie-break, singleton passthrough") {
     val out = Dedup.semDedup(corpus, "vec_id", "embedding",
-        threshold = 0.999, centroidStride = 50, nProbe = 2)
+        threshold = 0.999, nCells = 1, nProbe = 2)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
 
@@ -56,16 +57,19 @@ class SemDedupSpec extends SparkTestBase {
 
   test("dropping kept=false rows never empties a cluster") {
     val kept = Dedup.semDedup(corpus, "vec_id", "embedding",
-        threshold = 0.999, centroidStride = 50, nProbe = 2)
+        threshold = 0.999, nCells = 1, nProbe = 2)
       .filter(col("kept")).select("component").distinct().count()
     // 4 clusters: {0}, {1,2}, {3,4}, {5} — one keeper each
     assert(kept === 4L)
   }
 
   test("zero centroid seeds fails loudly instead of returning empty") {
-    val noSeeds = corpus.filter($"vec_id" > 0) // ids 1..5, stride 50 → no seed
+    // 5 odd ids, nCells 1 → derived stride 5; none of 1,3,7,9,11 is a
+    // multiple of 5 → zero seeds → the every-id contract must fail loud
+    val noSeeds = Seq(1L, 3L, 7L, 9L, 11L).map(i => (i, vec(i * 3.0)))
+      .toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
-      Dedup.semDedup(noSeeds, "vec_id", "embedding", centroidStride = 50)
+      Dedup.semDedup(noSeeds, "vec_id", "embedding", nCells = 1)
     }
     assert(e.getMessage.contains("zero centroid seeds"))
   }

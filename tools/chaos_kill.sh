@@ -85,17 +85,36 @@ worker)
   # worker (not an executor) mid-PageRank. Unique work-dir prefix keys
   # both the victim filter (SPARK_GRAFT_WORKER_MARK) and cleanup.
   SA_DIR=$(mktemp -d /tmp/graft_chaos_sa.XXXXXX)
-  SA_PORT=$((17077 + RANDOM % 1000))
-  echo "== worker-kill: standalone master on port $SA_PORT, workers under $SA_DIR =="
-  java $JAVA_OPENS -Xmx512m -cp "/opt/spark/jars/*" \
-    -Dspark.ui.enabled=false \
-    org.apache.spark.deploy.master.Master \
-    --host 127.0.0.1 --port "$SA_PORT" --webui-port 0 \
-    >"$SA_DIR/master.log" 2>&1 &
-  SA_PIDS=($!)
   cleanup_sa() { kill -9 "${SA_PIDS[@]}" 2>/dev/null || true; }
   trap cleanup_sa EXIT
-  sleep 3
+  SA_PIDS=()
+  # Readiness by EVIDENCE, not fixed sleeps (round-11 ADVICE): on a
+  # loaded host the app could start before both workers register —
+  # skewing the baseline stage count, or leaving ONE worker so the kill
+  # removes all capacity and a true-positive recovery flakes. Retry the
+  # master bind on port collision; poll the master log until it serves,
+  # then until BOTH workers are registered.
+  for attempt in 1 2 3; do
+    SA_PORT=$((17077 + RANDOM % 1000))
+    echo "== worker-kill: standalone master on port $SA_PORT, workers under $SA_DIR =="
+    java $JAVA_OPENS -Xmx512m -cp "/opt/spark/jars/*" \
+      -Dspark.ui.enabled=false \
+      org.apache.spark.deploy.master.Master \
+      --host 127.0.0.1 --port "$SA_PORT" --webui-port 0 \
+      >"$SA_DIR/master.log" 2>&1 &
+    SA_PIDS=($!)
+    up=""
+    for _ in $(seq 1 30); do
+      if grep -q "Starting Spark master at" "$SA_DIR/master.log" 2>/dev/null; then up=1; break; fi
+      if grep -qiE "Address already in use|Failed to bind" "$SA_DIR/master.log" 2>/dev/null; then break; fi
+      sleep 1
+    done
+    [ -n "$up" ] && break
+    echo "master failed to bind on $SA_PORT (attempt $attempt), retrying"
+    kill -9 "${SA_PIDS[@]}" 2>/dev/null || true
+    SA_PIDS=()
+    [ "$attempt" = 3 ] && { echo "standalone master never bound"; exit 1; }
+  done
   for i in 1 2; do
     SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
     java $JAVA_OPENS -Xmx512m -cp "/opt/spark/jars/*" \
@@ -106,7 +125,17 @@ worker)
       >"$SA_DIR/worker$i.log" 2>&1 &
     SA_PIDS+=($!)
   done
-  sleep 5
+  registered=0
+  for _ in $(seq 1 60); do
+    registered=$(grep -c "Registering worker" "$SA_DIR/master.log" 2>/dev/null || true)
+    [ "${registered:-0}" -ge 2 ] && break
+    sleep 1
+  done
+  if [ "${registered:-0}" -lt 2 ]; then
+    echo "only ${registered:-0}/2 workers registered with the master — aborting (a 1-worker kill would remove all capacity)"
+    exit 1
+  fi
+  echo "== both workers registered (master log confirms) =="
   echo "== kernel=pr mode=reliable target=worker (kill a WORKER process; survivor must finish, bit-identical) =="
   WORKER_MARK="$SA_DIR/worker" \
     run_kill reliable pr worker "spark://127.0.0.1:$SA_PORT"

@@ -29,9 +29,14 @@ MASTER=${MASTER:-local-cluster[2,8,16384]}
 CKPT=${CKPT:-/tmp/graft_ckpt_sf1lane}
 CLUSTER_MAX=${CLUSTER_MAX:-3}
 
-# the sf1_smoke heavy-tail lane (single source of truth for its list)
-LANE=$(grep -A7 '^LANE="' tools/sf1_smoke.sh | head -8 | tr -d '\\"' \
-  | sed 's/^LANE=//' | tr -d '\n' | tr -d ' ')
+# the sf1_smoke heavy-tail lane (single source of truth for its list).
+# Extracted by the closing quote, not a fixed line count — a grep -A<n>
+# window silently drops queries the moment the LANE grows past it
+# (round-11 ADVICE: the list had grown to the window's exact boundary).
+LANE=$(awk '/^LANE="/{f=1} f{printf "%s",$0; if(/"$/){exit}}' \
+  tools/sf1_smoke.sh | tr -d '\\" ' | sed 's/^LANE=//')
+[ -n "$LANE" ] || { echo "failed to extract LANE from tools/sf1_smoke.sh" >&2; exit 1; }
+case "$LANE" in *,,*|,*|*,) echo "malformed LANE extraction: $LANE" >&2; exit 1;; esac
 echo "lane: $LANE"
 
 JAVA_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
