@@ -75,8 +75,8 @@ object ChaosKill {
       s"mode must be reliable|local, got $mode")
     val iterations = args.lift(2).map(_.toInt).getOrElse(20)
     val kernel = args.lift(3).getOrElse("pr")
-    require(Set("pr", "cc", "shuffle", "civic")(kernel),
-      s"kernel must be pr|cc|shuffle|civic, got $kernel")
+    require(Set("pr", "cc", "shuffle", "civic", "knn")(kernel),
+      s"kernel must be pr|cc|shuffle|civic|knn, got $kernel")
     val target = args.lift(4).getOrElse("executor")
     require(target == "executor" || target == "worker",
       s"target must be executor|worker, got $target")
@@ -141,6 +141,18 @@ object ChaosKill {
         case "civic" =>
           val s = graft.pipelines.CivicE2e.summary(spark)
           s.orderBy(s.columns.map(col).toSeq: _*)
+        case "knn" =>
+          // the q221 pipeline (round 12, mandate #4: the composed
+          // memory-pressure x checkpoint-I/O x kill interaction at
+          // sf1): IVF-blocked self-kNN -> mutual edges. The kernel's
+          // one pinned frame (the cell-assignment aggregate) rides
+          // Pin, so reliable mode must recover it from checkpoint
+          // files and localCheckpoint mode must die with the executor.
+          graft.ops.Similarity.mutualTopK(
+              graft.ops.Similarity.ivfSelfTopK(
+                t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+                k = 4, nProbe = 6, kmeansIters = 2))
+            .orderBy(col("a_id"), col("b_id"))
       }
       val rows = out.collect()
       val md = MessageDigest.getInstance("SHA-256")
@@ -226,8 +238,8 @@ object ChaosKill {
     // exit code encodes the EXPECTED outcome per kernel × mode — and in
     // ALL cases the kill must verifiably land mid-run, or the
     // experiment proved nothing:
-    //   pr/cc reliable: survive bit-identical (checkpoint recovery)
-    //   pr/cc local: MUST fail (negative control — kill bites)
+    //   pr/cc/knn reliable: survive bit-identical (checkpoint recovery)
+    //   pr/cc/knn local: MUST fail (negative control — kill bites)
     //   shuffle (either mode): survive (plain task re-execution)
     //   civic (reliable): survive bit-identical
     val expectSurvive = kernel == "shuffle" || mode == "reliable"

@@ -56,10 +56,10 @@ run_kill() { # $1 = reliable|local, $2 = kernel, $3 = target, [$4 = master]
   SPARK_GRAFT_WORKER_MARK="${WORKER_MARK:-}" \
   java $JAVA_OPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -Dspark.executor.memory=2g \
+    -Dspark.executor.memory=${EXEC_MEM:-2g} \
     -Dspark.executor.extraClassPath="$CLASSES" \
     -Dspark.executor.extraJavaOptions="$(echo $JAVA_OPENS)" \
-    -Xmx6g -cp "$CLASSES:/opt/spark/jars/*" \
+    -Xmx${DRIVER_MEM:-6g} -cp "$CLASSES:/opt/spark/jars/*" \
     graft.ChaosKill "$SF" "$1" "$ITERS" "$2" "$3" 2>/dev/null
 }
 
@@ -155,10 +155,10 @@ stream)
   SPARK_GRAFT_MASTER="$MASTER" \
   java $JAVA_OPENS \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -Dspark.executor.memory=2g \
+    -Dspark.executor.memory=${EXEC_MEM:-2g} \
     -Dspark.executor.extraClassPath="$CLASSES" \
     -Dspark.executor.extraJavaOptions="$(echo $JAVA_OPENS)" \
-    -Xmx6g -cp "$CLASSES:/opt/spark/jars/*" \
+    -Xmx${DRIVER_MEM:-6g} -cp "$CLASSES:/opt/spark/jars/*" \
     graft.StreamChaos 2>/dev/null ;;
 
 *) echo "unknown leg '$LEG'"; exit 2 ;;
