@@ -39,7 +39,7 @@ SF=${SF:-/root/testdata/sf0.1}
 ITERS=${ITERS:-20}
 MASTER=${MASTER:-local-cluster[2,4,3072]}
 CKPT=${CKPT:-/tmp/graft_ckpt_chaos}
-LEGS=${LEGS:-modes shuffle civic worker stream}
+LEGS=${LEGS:-modes shuffle civic knn worker stream}
 
 sbt -batch -error compile >/dev/null
 rm -rf "$CKPT" && mkdir -p "$CKPT"
@@ -79,6 +79,19 @@ shuffle)
 civic)
   echo "== kernel=civic mode=reliable (q219 composite must survive, bit-identical) =="
   run_kill reliable civic executor ;;
+
+knn)
+  # q221's IVF self-kNN pipeline (round 12) — RELIABLE-ONLY leg, like
+  # civic. No localCheckpoint negative control here: the kernel's
+  # half-way-by-stage-count kill lands in the EAGER Lloyd/seed stages
+  # that run before the one pinned frame materializes, and those
+  # recover by ordinary task retry in ANY mode (measured at sf1:
+  # local-mode run killed at stage 14/28 survives hash-identical), so
+  # "must fail" would encode the kill placement, not the durability
+  # contract. The pr/cc modes leg already proves the negative control
+  # for pin-backed kernels.
+  echo "== kernel=knn mode=reliable (q221 pipeline must survive, bit-identical) =="
+  run_kill reliable knn executor ;;
 
 worker)
   # real standalone cluster: master + 2 worker PROCESSES, then kill a
