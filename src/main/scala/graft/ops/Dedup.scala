@@ -652,7 +652,14 @@ object Dedup {
     * deduped candidate pair (vectors re-joined by id, never carried
     * through the bucket explode). Centroids start as the bounded
     * [[Similarity.ivfSeeds]] pick (≤ MaxIvfCells, default ⌈√n⌉ — the
-    * geometry that keeps the broadcast and assignment pass scale-safe);
+    * geometry that keeps the broadcast and assignment pass scale-safe).
+    * Candidate accounting under that geometry: bucket size ≈ n/C = √n,
+    * so in-bucket pairs total O(n^1.5) — capped per bucket by
+    * [[cappedBuckets]] — while assignment costs n·C = n^1.5 too; a
+    * fixed BUCKET size would make candidates linear but assignment
+    * quadratic (the round-11 trap). When candidate volume, not recall,
+    * is the binding constraint, [[embeddingNearDupsSrp]]'s banding is
+    * the linear-candidate scale path (q53/q218 audit both).
     * `kmeansIters` > 0 refines them with the same
     * honest Lloyd rounds ([[Similarity.refineCentroids]] — map-side
     * argmin assignment, only (cluster, dim, sum) rows shuffle). The plan

@@ -113,6 +113,24 @@ class IvfSelfTopKSpec extends SparkTestBase {
     assert(clamped.count() == 60L) // all of n=60, NOT Int.MaxValue cells
   }
 
+  test("refineCentroids never grows the cell count (bounds the driver collect)") {
+    // Lloyd rounds can only merge cells (empty clusters drop out), never
+    // mint new ones — so refineCentroids' per-round driver collect is
+    // bounded by |init| for ANY number of rounds. ivfSeeds bounds |init|
+    // at MaxIvfCells; together these bound the collect at any corpus
+    // size (VERDICT r11 finding #1's third leg).
+    val base = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val init = Similarity.ivfSeeds(base, "id", "v", nCells = 12, "spec")
+    val initN = init.count()
+    var prev = initN
+    for (iters <- 1 to 3) {
+      val n = Similarity.refineCentroids(base, init, "id", "v", iters).count()
+      assert(n <= prev,
+        s"round $iters grew the centroid count: $prev -> $n")
+      prev = n
+    }
+  }
+
   test("an id layout that seeds no centroid fails loudly") {
     // 30 odd ids, nCells 15 → derived stride 2 → no odd id is divisible
     val noSeed = vecs.filter(col("vec_id") % 2 === 1)
