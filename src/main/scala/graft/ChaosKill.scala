@@ -128,13 +128,20 @@ object ChaosKill {
           // (another exchange), global sort (a third) — every stage's
           // map output is at risk when the executor dies, and recovery
           // is Spark's ordinary FetchFailed stage re-execution
+          // revenue in integer cents, rounded PER ROW before the sum: a
+          // double sum's value depends on partial-aggregation order, and
+          // a kill reshuffles that order — a decimal cast of the final
+          // double can flip at a rounding boundary and fail the
+          // hash-identity verdict for execution (not correctness)
+          // reasons (flaked exactly once in round 12; integer sums are
+          // order-free, the repo-wide oracle discipline)
           t(spark, sfDir, "lineitem")
             .join(t(spark, sfDir, "orders"),
               col("l_orderkey") === col("o_orderkey"))
             .groupBy(col("o_custkey"), col("l_returnflag"))
             .agg(
-              sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-                .cast("decimal(22,2)").as("revenue"),
+              sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                * 100 + lit(0.5)).cast("long")).as("revenue_cents"),
               countDistinct(col("l_suppkey")).as("supps"),
               max(col("o_orderdate")).as("last_order"))
             .orderBy(col("o_custkey"), col("l_returnflag"))
