@@ -668,19 +668,23 @@ object Dedup {
     * stride pick would land several centroids in one dense region. */
   def embeddingNearDupsIvf(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, nCells: Int = 0,
-      nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
+      nProbe: Int = 2, kmeansIters: Int = 0,
+      scanFraction: Double = 0.0): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     // the bounded-by-construction seed pick (id guard + derived stride +
-    // explicit limit, ≤ Similarity.MaxIvfCells) — see its geometry note
-    val seeds = Similarity.ivfSeeds(base, "id", "v", nCells,
-      "embeddingNearDupsIvf")
+    // collected ≤ Similarity.MaxIvfCells rows) — see its geometry note
+    val (seeds, cells) = Similarity.ivfSeedsWithCells(base, "id", "v",
+      nCells, "embeddingNearDupsIvf")
+    // the recall/cost dial (Similarity.steeredProbes): f = 0 keeps the
+    // fixed probe budget, f > 0 pins the scanned fraction
+    val probes = Similarity.steeredProbes(nProbe, cells, scanFraction)
     val centroids =
       if (kmeansIters <= 0) seeds
       else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
     val assigned = base.join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
       .groupBy(col("id"))
-      .agg(topKByScore(col("sim"), col("centroid_id"), nProbe).as("bks"))
+      .agg(topKByScore(col("sim"), col("centroid_id"), probes).as("bks"))
       .select(col("id"), explode(col("bks")).as("bk"))
       .select(col("id"), col("bk.id").as("bk"))
     verifyCosinePairs(bucketPairs(assigned), base, threshold)
@@ -710,12 +714,15 @@ object Dedup {
     * bucket join + exact verify replaces at corpus scale. */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 0,
-      nProbe: Int = 2, kmeansIters: Int = 0): DataFrame = {
+      nProbe: Int = 2, kmeansIters: Int = 0,
+      scanFraction: Double = 0.0): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
     // the bounded-by-construction seed pick; its loud zero-seed failure
     // also protects this kernel's every-id contract (an empty centroid
     // join would make EVERY input id vanish from the result)
-    val seeds = Similarity.ivfSeeds(base, "id", "v", nCells, "semDedup")
+    val (seeds, cells) = Similarity.ivfSeedsWithCells(base, "id", "v",
+      nCells, "semDedup")
+    val probes = Similarity.steeredProbes(nProbe, cells, scanFraction)
     val centroids =
       if (kmeansIters <= 0) seeds
       else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
@@ -725,7 +732,7 @@ object Dedup {
     val assigned = base.join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
       .groupBy(col("id"))
-      .agg(topKByScore(col("sim"), col("centroid_id"), nProbe).as("bks"),
+      .agg(topKByScore(col("sim"), col("centroid_id"), probes).as("bks"),
         max(col("sim")).as("centroid_sim"))
       .pinned
     val buckets = assigned.select(col("id"), explode(col("bks")).as("bk"))

@@ -185,32 +185,75 @@ object Similarity {
   /** The shared centroid-seed pick for every IVF-family kernel
     * ([[ivfTopK]], [[ivfSelfTopK]], [[ivfPqTopK]],
     * [[graft.ops.Dedup.embeddingNearDupsIvf]], [[graft.ops.Dedup.semDedup]]):
-    * every (n/C)-th id, explicitly `limit`-ed to C rows so the seed
-    * frame is bounded BY CONSTRUCTION (the plan carries the limit —
-    * the broadcast-growth gate proves it structurally, not by trust).
-    * One counting scan sizes the index — the standard price of an
-    * auto-sized nlist. `nCells` ≤ 0 means the ⌈√n⌉ default; explicit
-    * values are clamped to [[MaxIvfCells]]. */
-  private[graft] def ivfSeeds(vecs: DataFrame, idCol: String,
-      vecCol: String, nCells: Int, what: String): DataFrame = {
+    * every (n/C)-th id, `limit`-ed to C rows and then COLLECTED ONCE
+    * into a driver-local relation. The limit bounds the collect at
+    * ≤ [[MaxIvfCells]] rows by construction, and the LocalRelation it
+    * becomes is the strongest bounded shape the broadcast-growth gate
+    * recognizes — plus every downstream consumer (the centroid
+    * broadcast, each Lloyd round's init) now reads driver-local rows
+    * instead of re-running the filter+limit corpus scan per use.
+    * Exactly two eager scans at build time: the count that sizes the
+    * index (the standard price of an auto-sized nlist) and the seed
+    * collect itself; the emptiness check rides the collected size for
+    * free (round 12 ran count + isEmpty + one rescan per consumer).
+    * `nCells` ≤ 0 means the ⌈√n⌉ default; explicit values are clamped
+    * to [[MaxIvfCells]]. Returns the seed frame AND the seed count
+    * actually materialized (≤ the requested cell count when the
+    * stride over-shoots) — the denominator the [[steeredProbes]]
+    * scanned-fraction mode needs. */
+  private[graft] def ivfSeedsWithCells(vecs: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, what: String): (DataFrame, Int) = {
     // a string id nulls the stride modulo → zero seeds → silently empty
     // index; fail loudly instead (same contract as the LSH kernels)
     Guards.requireIntegralId(vecs, idCol, s"$what centroid seeding")
     val n = vecs.count()
     val cells = if (nCells > 0) math.min(nCells, MaxIvfCells) else ivfCells(n)
     val stride = math.max(1L, n / cells)
-    val seeds = vecs
+    val rows = vecs
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
       .filter(col("centroid_id") % stride === 0)
       .orderBy(col("centroid_id")).limit(cells)
     // an empty seed set would empty the centroid join and silently
     // vanish every row downstream; fail loudly (reachable only with
     // sparse/offset ids that dodge every stride multiple)
-    require(!seeds.isEmpty,
+    val collected = rows.collect()
+    require(collected.nonEmpty,
       s"$what: derived stride $stride (n=$n, nCells=$cells) selected " +
         "zero centroid seeds — no id is divisible by the stride; remap " +
         "ids toward a dense integral range so at least one seed exists")
-    seeds
+    val local = vecs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(collected: _*), rows.schema)
+    (local, collected.length)
+  }
+
+  /** [[ivfSeedsWithCells]] without the cell count — the shape the
+    * callers that keep their own probe budget use. */
+  private[graft] def ivfSeeds(vecs: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, what: String): DataFrame =
+    ivfSeedsWithCells(vecs, idCol, vecCol, nCells, what)._1
+
+  /** Recall steering (round 13): the probe budget actually used by an
+    * IVF kernel given the index's REAL cell count. With the default
+    * C = ⌈√n⌉ geometry a FIXED `nProbe` scans fraction nProbe/C ∝
+    * n^(-1/2) of the corpus — so isotropic recall decays as the corpus
+    * grows (q223 measured: 0.630 at n=200, 0.475 at n=2,000 — the
+    * BASELINE.md recall-vs-n table), while clustered-corpus recall
+    * holds (1.000 at every measured shape) because true neighbors
+    * concentrate into probed cells. `scanFraction` > 0 pins the
+    * scanned fraction instead: nProbe = max(floor, ⌈f·C⌉), clamped to
+    * C. The honest price: candidate work n·(n/C)·nProbe becomes
+    * f·n² — there is NO sub-quadratic constant-recall index on a
+    * structureless (isotropic) corpus, so f is the recall/cost dial a
+    * deployment sets per corpus (FAISS's nprobe convention). Fixed
+    * nProbe (f = 0) keeps the O(n^1.5·nProbe) work model and is the
+    * right mode when the corpus is clustered — which real embedding
+    * corpora are. */
+  def steeredProbes(nProbe: Int, cells: Int, scanFraction: Double): Int = {
+    require(scanFraction <= 1.0,
+      s"scanFraction must be in (0, 1] or 0 to disable, got $scanFraction")
+    if (scanFraction <= 0.0) math.min(math.max(1, nProbe), math.max(1, cells))
+    else math.min(math.max(1, cells),
+      math.max(nProbe, math.ceil(scanFraction * cells).toInt))
   }
 
   /** IVF-flat approximate top-k: probes only score corpus vectors in
@@ -222,7 +265,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 0,
       kmeansIters: Int = 0): DataFrame = {
-    val centroids0 = ivfSeeds(corpus, idCol, vecCol, nCells, "ivfTopK")
+    val (centroids0, _) =
+      ivfSeedsWithCells(corpus, idCol, vecCol, nCells, "ivfTopK")
     val centroids =
       if (kmeansIters <= 0) centroids0
       else refineCentroids(corpus, centroids0, idCol, vecCol, kmeansIters)
@@ -272,14 +316,23 @@ object Similarity {
     * pair is then scored exactly once, so the output equals the
     * brute-force self-kNN bit-for-bit (same rounding, same tie-break) —
     * IvfSelfTopKSpec pins that identity; recall at production nProbe is
-    * gauged by q223 against the exact twin (q92's discipline). Self
+    * gauged by q223 against the exact twin (q92's discipline).
+    * `scanFraction` > 0 switches the probe budget to the
+    * pinned-scanned-fraction mode ([[steeredProbes]] — roughly constant
+    * isotropic recall as the corpus grows, at f·n² candidate cost);
+    * scanFraction = 1 probes every cell and reproduces the exact twin
+    * bit-for-bit through the same identity. Self
     * matches are excluded (a probe's nearest neighbor is itself,
     * useless to every downstream consumer of this kernel). */
   def ivfSelfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       nCells: Int = 0, nProbe: Int = 2,
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0, scanFraction: Double = 0.0): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val seeds = ivfSeeds(base, "id", "v", nCells, "ivfSelfTopK")
+    val (seeds, cells) = ivfSeedsWithCells(base, "id", "v", nCells,
+      "ivfSelfTopK")
+    // the deployment recall/cost dial (see steeredProbes): f = 0 keeps
+    // the caller's fixed probe budget, f > 0 pins the scanned fraction
+    val probes = steeredProbes(nProbe, cells, scanFraction)
     val centroids =
       if (kmeansIters <= 0) seeds
       else refineCentroids(base, seeds, "id", "v", kmeansIters)
@@ -289,7 +342,7 @@ object Similarity {
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
       .groupBy(col("id"))
       .agg(first(col("v")).as("v"),
-        topKByScore(col("sim"), col("centroid_id"), nProbe).as("cells"))
+        topKByScore(col("sim"), col("centroid_id"), probes).as("cells"))
       .pinned
     val corpusSide = assigned.select(col("id").as("neighbor_id"),
       col("v").as("cv2"), element_at(col("cells"), 1).getField("id").as("cell"))

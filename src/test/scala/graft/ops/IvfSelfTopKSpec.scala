@@ -113,6 +113,46 @@ class IvfSelfTopKSpec extends SparkTestBase {
     assert(clamped.count() == 60L) // all of n=60, NOT Int.MaxValue cells
   }
 
+  test("scanFraction steering: f = 1 reproduces the exact kernel " +
+    "bit-for-bit; steeredProbes pins the scanned fraction") {
+    // the round-13 recall dial: scanFraction = 1 must probe every cell,
+    // which lands in the existing nProbe >= C exactness identity — the
+    // steering mode inherits the differential proof, not a new one
+    val exact = Similarity.exactSelfTopK(vecs, "vec_id", "embedding", k = 4)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    val steered = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding", k = 4,
+        nCells = 6, nProbe = 1, scanFraction = 1.0)
+      .as[(Long, Int, Long, Double)].collect().sorted.toSeq
+    assert(steered === exact)
+    // the budget arithmetic: f = 0 keeps the caller's fixed budget
+    // (clamped to the cell count), f > 0 takes max(floor, ceil(f*C))
+    assert(Similarity.steeredProbes(6, 142, 0.0) == 6)
+    assert(Similarity.steeredProbes(6, 4, 0.0) == 4) // nProbe > C clamps
+    assert(Similarity.steeredProbes(1, 142, 0.133) == 19) // ceil(18.9)
+    assert(Similarity.steeredProbes(6, 142, 0.01) == 6) // floor wins
+    assert(Similarity.steeredProbes(1, 45, 1.0) == 45) // full scan
+    intercept[IllegalArgumentException] {
+      Similarity.steeredProbes(1, 45, 1.5)
+    }
+  }
+
+  test("ivfSeeds materializes as a driver-local relation (one collect, " +
+    "no per-consumer rescans)") {
+    // round-13 ADVICE: the seed frame is <= MaxIvfCells rows by the
+    // explicit limit, so it is collected once and re-emitted as a
+    // LocalRelation — the strongest bounded shape the broadcast gate
+    // recognizes, and downstream consumers stop re-running the
+    // filter+limit corpus scan per use
+    val seeds = Similarity.ivfSeeds(
+      vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+      "id", "v", nCells = 6, "spec")
+    assert(seeds.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"expected LocalRelation, got:\n${seeds.queryExecution.optimizedPlan}")
+    assert(graft.PlanGates.boundedByConstructionLogical(
+      seeds.queryExecution.optimizedPlan))
+  }
+
   test("refineCentroids never grows the cell count (bounds the driver collect)") {
     // Lloyd rounds can only merge cells (empty clusters drop out), never
     // mint new ones — so refineCentroids' per-round driver collect is
