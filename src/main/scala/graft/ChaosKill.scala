@@ -80,6 +80,19 @@ object ChaosKill {
     val target = args.lift(4).getOrElse("executor")
     require(target == "executor" || target == "worker",
       s"target must be executor|worker, got $target")
+    // knn is RELIABLE-ONLY: its index build runs eager seed-collect and
+    // Lloyd stages at query-construction time, so a local-mode kill
+    // armed at half the baseline stage count usually lands in those
+    // eager stages and is survived by ordinary task retry — the
+    // negative control would then report a spurious harness failure
+    // (tools/chaos_kill.sh measured exactly this and runs knn
+    // reliable-only; the pr/cc kernels carry the local negative
+    // control instead)
+    require(kernel != "knn" || mode == "reliable",
+      "kernel=knn supports mode=reliable only — a local-mode kill " +
+        "lands in the kernel's eager index-build stages and survives " +
+        "by task retry, proving nothing (use pr/cc for the negative " +
+        "control)")
 
     val master =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,3072]")
@@ -154,7 +167,8 @@ object ChaosKill {
           // sf1): IVF-blocked self-kNN -> mutual edges. The kernel's
           // one pinned frame (the cell-assignment aggregate) rides
           // Pin, so reliable mode must recover it from checkpoint
-          // files and localCheckpoint mode must die with the executor.
+          // files. Reliable-only (see the arg-parse require): a
+          // local-mode kill lands in the eager index-build stages.
           graft.ops.Similarity.mutualTopK(
               graft.ops.Similarity.ivfSelfTopK(
                 t(spark, sfDir, "embeddings"), "vec_id", "embedding",
@@ -246,7 +260,10 @@ object ChaosKill {
     // ALL cases the kill must verifiably land mid-run, or the
     // experiment proved nothing:
     //   pr/cc/knn reliable: survive bit-identical (checkpoint recovery)
-    //   pr/cc/knn local: MUST fail (negative control — kill bites)
+    //   pr/cc local: MUST fail (negative control — kill bites)
+    //   knn local: rejected at arg-parse above (kills land in the
+    //     eager index-build stages and survive by task retry — see the
+    //     require and tools/chaos_kill.sh)
     //   shuffle (either mode): survive (plain task re-execution)
     //   civic (reliable): survive bit-identical
     val expectSurvive = kernel == "shuffle" || mode == "reliable"
