@@ -118,20 +118,27 @@ class BroadcastGateSpec extends SparkTestBase {
   test("every explicit broadcast hint on the query surface has a " +
     "provably bounded hinted side — including eager index-build plans") {
     val eager = new ConcurrentLinkedQueue[(String, Seq[String])]()
+    val eagerHints = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = {
         val bad = PlanGates.unboundedBroadcastHints(qe.optimizedPlan)
         if (bad.nonEmpty) eager.add(funcName -> bad)
+        eagerHints.addAndGet(PlanGates.broadcastHintCount(qe.optimizedPlan))
       }
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
     try {
+      // per query: unbounded hinted sides (the offense) AND the total
+      // explicit-hint count bounded or not (the whitelist-hygiene
+      // denominator — distinguishes "hint gone" from "hint now bounded")
+      val hintCounts = scala.collection.mutable.Map[String, Int]()
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, mk) =>
           eager.clear()
+          eagerHints.set(0)
           val df =
             try mk(spark, sf)
             catch { case e: Throwable =>
@@ -140,6 +147,8 @@ class BroadcastGateSpec extends SparkTestBase {
             df.queryExecution.optimizedPlan)
           // flush in-flight listener events before attributing them
           ListenerBridge.drain(spark.sparkContext)
+          hintCounts(name) = PlanGates.broadcastHintCount(
+            df.queryExecution.optimizedPlan) + eagerHints.get()
           val eagerBad = eager.asScala.toSeq.flatMap { case (fn, hints) =>
             hints.map(h => s"eager[$fn] $h") }
           val all = planned ++ eagerBad
@@ -153,7 +162,16 @@ class BroadcastGateSpec extends SparkTestBase {
           "the hinted side (limit / aggregate / local relation), drop the " +
           "hint (let stats decide), or whitelist it here with a " +
           "justification")
-      val stale = bounded.keySet -- offenders.map(_._1).toSet
+      // staleness, BOTH ways (round-13 mandate #5): an entry whose
+      // query stopped planning ANY explicit hint is stale in a louder
+      // way than one whose hinted side became structurally bounded —
+      // name each class separately so the fix is obvious
+      val noHint = bounded.keySet.filter(n => hintCounts.getOrElse(n, 0) == 0)
+      assert(noHint.isEmpty,
+        s"whitelist entries whose query no longer plans ANY explicit " +
+          s"broadcast hint (planned or eager): ${noHint.mkString(", ")} — " +
+          "the query stopped broadcasting; remove the entries")
+      val stale = bounded.keySet -- offenders.map(_._1).toSet -- noHint
       assert(stale.isEmpty,
         s"stale whitelist entries (every hinted side is now structurally " +
           s"bounded): ${stale.mkString(", ")} — remove them so the gate " +
@@ -173,13 +191,66 @@ class BroadcastGateSpec extends SparkTestBase {
     assert(PlanGates.unboundedBroadcastHints(
       oldShape.queryExecution.optimizedPlan).nonEmpty,
       "the gate must flag the round-11 unbounded centroid broadcast")
-    // round-12 shape: the ivfSeeds pick — same stride filter, but
-    // explicitly limit-ed, so the bound dominates the hinted side
+    // round-12/13 shape: the ivfSeeds pick — stride filter + limit,
+    // collected once into a LocalRelation (round 13), the strongest
+    // bounded shape the gate recognizes
     val boundedSeeds = graft.ops.Similarity.ivfSeeds(
       corpus, "id", "v", nCells = 0, "gate-spec")
     val newShape = corpus.join(broadcast(boundedSeeds))
     assert(PlanGates.unboundedBroadcastHints(
       newShape.queryExecution.optimizedPlan).isEmpty,
       "the bounded ivfSeeds pick must pass the gate structurally")
+  }
+
+  test("negative control for the EAGER sweep: a Lloyd-round-shaped " +
+    "unbounded broadcast inside an eager action is flagged") {
+    // Round 11's actual bug lived here, not in any final plan: the
+    // first refineCentroids round joined the corpus against a
+    // broadcast centroid table whose row count grew with the corpus,
+    // executed EAGERLY at query-construction time and collected to the
+    // driver — no returned DataFrame ever carried the shape. The main
+    // gate's QueryExecutionListener sweep exists for exactly this;
+    // this control proves the listener path actually fires on it
+    // (the final-plan control above cannot — its plan never executes).
+    val eager = new ConcurrentLinkedQueue[(String, Seq[String])]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        val bad = PlanGates.unboundedBroadcastHints(qe.optimizedPlan)
+        if (bad.nonEmpty) eager.add(funcName -> bad)
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      // the round-11 Lloyd round: assignment join against UNBOUNDED
+      // broadcast centroids, per-cluster means, driver collect
+      val unboundedCentroids = corpus.filter(col("id") % 50 === 0)
+        .select(col("id").as("centroid_id"), col("v").as("cv"))
+      corpus.join(broadcast(unboundedCentroids))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      ListenerBridge.drain(spark.sparkContext)
+      assert(!eager.isEmpty,
+        "the eager-execution sweep must flag a Lloyd-round-shaped " +
+          "unbounded broadcast executed at construction time")
+      // green arm: the same eager shape through the BOUNDED seed pick
+      // must pass — the real refineCentroids rounds ride this
+      eager.clear()
+      val boundedSeeds = graft.ops.Similarity.ivfSeeds(
+        corpus, "id", "v", nCells = 0, "gate-spec-eager")
+      corpus.join(broadcast(
+          boundedSeeds.withColumnRenamed("cv", "cv2")))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+      ListenerBridge.drain(spark.sparkContext)
+      assert(eager.isEmpty,
+        s"bounded eager shape falsely flagged: ${eager.asScala.toSeq}")
+    } finally spark.listenerManager.unregister(listener)
   }
 }

@@ -110,6 +110,17 @@ object PlanGates {
     * broadcasting when the side outgrows the threshold, but a hint
     * FORCES the broadcast at any size; VERDICT r11 finding #1 was
     * exactly such a hint on a corpus-growing centroid table). */
+  /** Count of explicit BROADCAST-hinted join sides in `plan`, bounded
+    * or not — the whitelist-hygiene denominator: a whitelisted query
+    * whose hint disappears entirely is stale in a DIFFERENT way than
+    * one whose hinted side became structurally bounded, and the gate
+    * should name which. */
+  def broadcastHintCount(plan: LogicalPlan): Int = plan.collect {
+    case j: Join =>
+      Seq(j.hint.leftHint, j.hint.rightHint).count(
+        _.exists(_.strategy.contains(BROADCAST)))
+  }.sum
+
   def unboundedBroadcastHints(plan: LogicalPlan): Seq[String] = plan.collect {
     case j: Join =>
       Seq((j.hint.leftHint, j.left, "left"),
