@@ -243,7 +243,7 @@ object ScaleData {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: ScaleData <baseSfDir> <outDir> [copies=10] [--skew] " +
-        "[--skew2] [--clustered] [--giant]")
+        "[--skew2] [--clustered] [--giant] [--tables=a,b,...]")
     val (baseDir, outDir) = (args(0), args(1))
     val copies = args.lift(2).filterNot(_.startsWith("--")).map(_.toInt)
       .getOrElse(10)
@@ -251,13 +251,23 @@ object ScaleData {
     val skew2 = args.contains("--skew2")
     val clustered = args.contains("--clustered")
     val giant = args.contains("--giant")
+    // --tables=embeddings,region: build only the named tables — the
+    // third-decade kNN lane needs a 300-copy corpus of ONE table, and
+    // scaling 180M lineitem rows nobody reads would dominate the build
+    val tables = args.find(_.startsWith("--tables="))
+      .map(_.stripPrefix("--tables=").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq)
+      .getOrElse(Tables.Names)
+    val unknown = tables.filterNot(Tables.Names.contains)
+    require(unknown.isEmpty, s"unknown --tables entries: $unknown " +
+      s"(known: ${Tables.Names.mkString(",")})")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.Names.foreach { name =>
+    tables.foreach { name =>
       scaled(spark, baseDir, name, copies, skew, skew2, clustered, giant)
         .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"scaled $name x$copies${if (skew) " +skew" else ""}" +

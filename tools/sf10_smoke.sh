@@ -13,7 +13,18 @@
 #   - the LSH/dedup pair (q15/q17) — banded keys and capped buckets;
 #   - the INDEXED kNN twins (q221/q222) — the round-12 ⌈√n⌉-cell
 #     geometry, whose work model is O(n^1.5·nProbe): a second decade is
-#     the test that separates that from "quadratic plus small constant".
+#     the test that separates that from "quadratic plus small constant";
+#   - (round 13, VERDICT r12 mandate #1) the near-dup IVF family
+#     (q18/q100) — the three queries whose sf1 shuffle grew 2.8–3.5×
+#     under the √n-cell geometry were exactly the ones this lane
+#     skipped; their candidate term is O(n^1.5) with per-bucket caps,
+#     so they ride the INDEXED gate. q218 itself stays excluded (its
+#     exact-truth arm is n² by oracle design) — its two index arms ARE
+#     q18's kernel (embeddingNearDupsIvf) and q53's (SrP banding), both
+#     in the lane on the identical twin corpus shape. q53 rides the
+#     LINEAR gate: SRP banding is the documented linear-candidate
+#     alternative when the IVF candidate term dominates, and this lane
+#     is the measurement that claim stands on.
 #
 # Excluded BY DESIGN: the exact all-pairs oracle twins (q73/q109/q218)
 # and q223's exact-truth arm — n² by construction, 100× per decade;
@@ -40,9 +51,11 @@ INDEXED_MAX=${INDEXED_MAX:-40}
 
 LANE="q99_pagerank,q208_ppr,q213_hits,q171_bfs_reach,\
 q121_rfm,q143_auc,q150_ks_test,q153_survival,q167_weighted_quantiles,\
-q148_decile_lift,q15_minhash_lsh,q17_ngram_jaccard,\
-q221_mutual_knn_indexed,q222_knn_agreement_indexed"
-INDEXED="q221_mutual_knn_indexed,q222_knn_agreement_indexed"
+q148_decile_lift,q15_minhash_lsh,q17_ngram_jaccard,q53_embedding_srp,\
+q221_mutual_knn_indexed,q222_knn_agreement_indexed,\
+q18_embedding_neardup,q100_semdedup"
+INDEXED="q221_mutual_knn_indexed,q222_knn_agreement_indexed,\
+q18_embedding_neardup,q100_semdedup"
 
 JAVA_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io \
   java.net java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -53,7 +66,17 @@ CP="target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*"
 sbt -batch -error compile >/dev/null
 
 build() { # $1 = dir, $2 = copies
-  if [ ! -f "$1/embeddings.parquet/_SUCCESS" ]; then
+  # built = EVERY table's _SUCCESS present (round-13 ADVICE: gating on
+  # embeddings alone left an interrupted build — embeddings done, later
+  # tables missing — permanently "built" and the lane failing until a
+  # manual delete; ScaleData writes tables in Tables.Names order, so
+  # any missing _SUCCESS means rebuild)
+  local complete=1 t
+  for t in region nation customer supplier part orders lineitem \
+      events documents embeddings; do
+    [ -f "$1/$t.parquet/_SUCCESS" ] || { complete=0; break; }
+  done
+  if [ "$complete" -ne 1 ]; then
     echo "building $1 (${2}x $SF01)..."
     SPARK_GRAFT_CPUS=$CPUS java $JAVA_OPENS -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -Xmx24g -cp "$CP" \
