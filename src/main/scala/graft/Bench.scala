@@ -137,7 +137,19 @@ object Bench {
         work(name) = (shufRead.get - r0, shufWrite.get - w0,
           cpuNs.get - c0, nTasks.get - k0, nFailed.get - f0)
       } catch {
-        case e: Throwable => errors(name) = e.getClass.getName
+        case e: Throwable =>
+          errors(name) = e.getClass.getName
+          // the JSON line carries only the class name (stable, short);
+          // the WHY goes to stderr — a swallowed root cause turns every
+          // at-scale failure into a blind reproduction hunt
+          System.err.println(s"BENCH ERROR $name: $e")
+          e.getStackTrace.take(12).foreach(f => System.err.println(s"    at $f"))
+          var cause = e.getCause
+          while (cause != null) {
+            System.err.println(s"  caused by: $cause")
+            cause.getStackTrace.take(6).foreach(f => System.err.println(s"    at $f"))
+            cause = if (cause.getCause eq cause) null else cause.getCause
+          }
       }
     }
     // a query with no successful run reports -1 and an error marker
@@ -149,6 +161,23 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
         s""""spill":{"memBytes":${memSpill.get},"diskBytes":${diskSpill.get}},"sf":"$sfDir"}"""
     println(line)
+    // The round driver's BENCH_r*.json snapshot keeps only the LAST
+    // 2000 chars of stdout, and the full line above is ~6 KB at 223
+    // queries — so the snapshot's head (and the opening brace) is cut
+    // and the snapshot has recorded `parsed: null` since round 7. The
+    // full line stays first (it IS the documented contract, and a
+    // driver that captures unbounded stdout parses it); this second,
+    // ≤ ~700-char line is COMPLETE inside any 2000-char tail: the
+    // headline numbers, the 8 slowest queries, and the path of the
+    // committed artifact holding the untruncated per-query record.
+    val slowest = names.flatMap(k => best.get(k).map(k -> _))
+      .sortBy(-_._2).take(8)
+      .map { case (k, v) => s"\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+        s""""nQueries":${names.size},"nOk":${best.size},"nErrors":${errors.size},""" +
+        s""""spill":{"memBytes":${memSpill.get},"diskBytes":${diskSpill.get}},""" +
+        s""""slowest":$slowest,"perQueryArtifact":"BENCH_full_latest.json"}""")
     // the deterministic work channel goes in the ARTIFACT only: the
     // round driver keeps a 2000-char truncated tail of stdout, and
     // bloating the line would push the per-query timings out of it

@@ -299,7 +299,15 @@ object SrpHash {
   // one splitmix64 kernel for the whole package — see NgramHash
   private def splitmix(i: Long): Long = NgramHash.splitmix(i)
 
-  def signature(v: ArrayData, bits: Int, isFloat: Boolean): Long = {
+  def signature(v: ArrayData, bits: Int, isFloat: Boolean): Long =
+    signature(v, bits, isFloat, 0)
+
+  /** `planeOffset` selects a disjoint hyperplane family (plane index =
+    * offset + b): a signature used as a near-dup PREFILTER must not
+    * share planes with one used for BUCKETING, or in-bucket pairs
+    * auto-agree on the shared bits and the prefilter loses exactly
+    * that much discriminating power. */
+  def signature(v: ArrayData, bits: Int, isFloat: Boolean, planeOffset: Int): Long = {
     val n = v.numElements()
     var sig = 0L
     var b = 0
@@ -308,7 +316,7 @@ object SrpHash {
       var d = 0
       while (d < n) {
         val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
-        acc += (if (splitmix(b.toLong * 131071L + d) < 0) -x else x)
+        acc += (if (splitmix((planeOffset + b).toLong * 131071L + d) < 0) -x else x)
         d += 1
       }
       if (acc >= 0) sig |= (1L << b)
@@ -318,15 +326,18 @@ object SrpHash {
   }
 }
 
-case class SrpSignature(child: Expression, bits: Int) extends UnaryExpression {
+case class SrpSignature(child: Expression, bits: Int, planeOffset: Int = 0)
+    extends UnaryExpression {
   require(bits >= 1 && bits <= 64, s"srp_signature: bits must be in [1, 64], got $bits")
+  require(planeOffset >= 0, s"srp_signature: planeOffset must be >= 0, got $planeOffset")
   private lazy val isFloat: Boolean = VectorOps.isFloatArray(child)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
-    SrpHash.signature(input.asInstanceOf[ArrayData], bits, isFloat)
+    SrpHash.signature(input.asInstanceOf[ArrayData], bits, isFloat, planeOffset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SrpHash.signature($c, $bits, $isFloat)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SrpHash.signature($c, $bits, $isFloat, $planeOffset)")
   override protected def withNewChildInternal(newChild: Expression): SrpSignature =
     copy(child = newChild)
   override def prettyName: String = "srp_signature"

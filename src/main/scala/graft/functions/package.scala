@@ -317,9 +317,11 @@ package object functions {
     expr2col(CosineSim(col2expr(a), col2expr(b)))
 
   /** Signed-random-projection LSH signature (scale-invariant, bit b =
-    * sign of a deterministic pseudo-random projection). */
-  def srpSignature(v: Column, bits: Int): Column =
-    expr2col(SrpSignature(col2expr(v), bits))
+    * sign of a deterministic pseudo-random projection). `planeOffset`
+    * picks a disjoint hyperplane family — a prefilter signature must
+    * not reuse the bucketing signature's planes (see [[SrpHash]]). */
+  def srpSignature(v: Column, bits: Int, planeOffset: Int = 0): Column =
+    expr2col(SrpSignature(col2expr(v), bits, planeOffset))
 
   /** Viterbi unigram-LM encode (see [[UnigramKernel]]): vocab is
     * (piece, micro-nat logprob) pairs; the map rides the plan as a

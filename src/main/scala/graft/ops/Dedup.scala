@@ -106,6 +106,60 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Hyperplane-family offset for the 64-bit PREFILTER signature the
+    * embedding near-dup kernels thread through their buckets: planes
+    * 64..127, disjoint from any bucketing signature's planes 0..63
+    * ([[embeddingNearDupsSrp]] buckets on planes 0..31 — shared planes
+    * would make in-bucket pairs auto-agree on the shared bits and
+    * blunt the filter by exactly that much). */
+  private[graft] val PrefilterPlaneOffset = 64
+
+  /** Conservative Hamming cap for the 64-bit SRP prefilter at cosine
+    * `threshold`: a true pair at exactly the threshold flips each
+    * signature bit independently with p = angle/π (Charikar), so its
+    * Hamming distance is Binomial(64, acos(t)/π) with mean μ; the cap
+    * 3μ+3 puts the false-drop tail below ~2·10⁻⁴ at t = 0.999 (μ =
+    * 0.91) and ~10⁻⁷ at t = 0.95 (μ = 6.5), while a random pair (μ =
+    * 32) passes with ~10⁻¹¹ / ~2% respectively — the asymmetry that
+    * lets the prefilter run BEFORE the candidate exchange. Pairs ABOVE
+    * the threshold flip strictly fewer bits, so the cap is loosest
+    * exactly at the boundary. 64 disables the filter (Hamming can
+    * never exceed 64). */
+  private[graft] def srpHamMax(threshold: Double): Int = {
+    val mu = 64.0 * math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    math.min(64, math.ceil(3.0 * mu).toInt + 3)
+  }
+
+  /** [[bucketPairs]] with the simHashPairs discipline applied to
+    * embeddings (round 13): the banded frame carries a 64-bit SRP
+    * prefilter signature (`psig`, planes [[PrefilterPlaneOffset]]..)
+    * as the bucket payload, and candidate pairs are Hamming-filtered
+    * IN THE EXPLODE STAGE — before the dropDuplicates exchange and
+    * before any vector rejoin. The round-13 sf10 lane measured why
+    * this is load-bearing, twice over: (a) the in-bucket pair
+    * expansion is invisible to Catalyst's Generate stats (a 12 MiB
+    * bucket stage was estimated to stay 12 MiB while really exploding
+    * to 7.4 GiB / 331 M pairs), so AQE broadcast the candidate side
+    * and died on spark.driver.maxResultSize; (b) carrying 64-float
+    * vectors through the candidate joins put ~100 GB on the shuffle
+    * channel at n = 400 k. Post-filter, the surviving pair set is
+    * within a hair of the TRUE near-dup set (see [[srpHamMax]] for the
+    * tail bounds), so whatever join strategy AQE picks for the verify
+    * rejoin is cheap — candidates never carry vectors to the wire. */
+  private def prefilteredBucketPairs(banded: DataFrame, hamMax: Int,
+      maxBucket: Int = 1024): DataFrame = {
+    require(hamMax >= 0 && hamMax <= 64,
+      s"prefilter hamMax must be in [0, 64], got $hamMax")
+    cappedBuckets(banded, col("psig"), maxBucket)
+      .drop("bk")
+      .select(explode(selfPairs(withPayload = true)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        bit_count(col("p.av").bitwiseXOR(col("p.bv"))).as("ham"))
+      .filter(col("a_id") < col("b_id") && col("ham") <= hamMax)
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"))
+  }
+
   /** MinHash+LSH near-dup pairs: fused word-shingle rolling hash → k
     * minhashes → `bands` band keys → equi-join on band key → exact
     * hashed-shingle-set Jaccard verify. Returns (a_id, b_id, jaccard)
@@ -404,16 +458,28 @@ object Dedup {
     * on almost every signature bit (P[bit differs] = angle/π), so they
     * collide in at least one band with near-certainty, while unrelated
     * vectors (~half the bits differ) rarely do. Same shuffle shape as
-    * [[simHashPairs]]: ids + one long cross the candidate exchange. */
+    * [[simHashPairs]], including its prefilter discipline (round 13):
+    * a 64-bit disjoint-plane SRP signature rides the buckets and the
+    * Hamming cap fires inside the explode stage, so only near-dup
+    * SURVIVORS — not the O(bucket²) candidate set — reach the
+    * candidate exchange and the vector-verify rejoin. */
   def embeddingNearDupsSrp(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.99, bits: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double = 0.99, bits: Int = 16, bands: Int = 4,
+      prefilterHamMax: Int = -1): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    verifyCosinePairs(bucketPairs(srpBanded(base, bits, bands)), base, threshold)
+    val hamMax =
+      if (prefilterHamMax == -1) srpHamMax(threshold) else prefilterHamMax
+    verifyCosinePairs(
+      prefilteredBucketPairs(srpBanded(base, bits, bands), hamMax),
+      base, threshold)
   }
 
   /** SRP band keys for a (id, v) frame — shared by the in-corpus and
     * cross-corpus SRP paths (same hyperplanes: srpSignature is
-    * fixed-seed, so both sides of a cross pairing band identically). */
+    * fixed-seed, so both sides of a cross pairing band identically).
+    * Also computes the 64-bit prefilter signature (`psig`) in the same
+    * projection — disjoint planes ([[PrefilterPlaneOffset]]), one pass
+    * over the vector components alongside the bucketing signature. */
   private def srpBanded(base: DataFrame, bits: Int, bands: Int): DataFrame = {
     require(bands >= 1 && bits % bands == 0,
       s"bits ($bits) must divide evenly into bands ($bands)")
@@ -422,8 +488,9 @@ object Dedup {
     // chunk collide — i.e. a silent full cross join
     require(rowsPerBand <= 63, s"bits/bands must be <= 63, got $rowsPerBand")
     val mask = (1L << rowsPerBand) - 1
-    base.select(col("id"), srpSignature(col("v"), bits).as("sig"))
-      .select(col("id"),
+    base.select(col("id"), srpSignature(col("v"), bits).as("sig"),
+        srpSignature(col("v"), 64, PrefilterPlaneOffset).as("psig"))
+      .select(col("id"), col("psig"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("sig"), b * rowsPerBand)
@@ -648,9 +715,14 @@ object Dedup {
     * assignment uses the bounded-heap [[graft.functions.TopKByScore]]
     * aggregate — partial aggregation collapses the corpus×centroids
     * scored rows map-side, so only nProbe rows per vector shuffle.
-    * Candidates equi-join on bucket id; the exact cosine verifies each
-    * deduped candidate pair (vectors re-joined by id, never carried
-    * through the bucket explode). Centroids start as the bounded
+    * Candidates equi-join on bucket id, pass the 64-bit SRP Hamming
+    * PREFILTER inside the explode stage ([[prefilteredBucketPairs]] —
+    * round 13: candidate volume is O(n^1.5) and must not reach the
+    * candidate exchange, let alone carry vectors), and the exact
+    * cosine verifies each surviving pair (vectors re-joined by id,
+    * never carried through the bucket explode; only survivors — a
+    * whisker above the true near-dup set, [[srpHamMax]] — pay the
+    * rejoin). Centroids start as the bounded
     * [[Similarity.ivfSeeds]] pick (≤ MaxIvfCells, default ⌈√n⌉ — the
     * geometry that keeps the broadcast and assignment pass scale-safe).
     * Candidate accounting under that geometry: bucket size ≈ n/C = √n,
@@ -669,8 +741,10 @@ object Dedup {
   def embeddingNearDupsIvf(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.99, nCells: Int = 0,
       nProbe: Int = 2, kmeansIters: Int = 0,
-      scanFraction: Double = 0.0): DataFrame = {
+      scanFraction: Double = 0.0, prefilterHamMax: Int = -1): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val hamMax =
+      if (prefilterHamMax == -1) srpHamMax(threshold) else prefilterHamMax
     // the bounded-by-construction seed pick (id guard + derived stride +
     // collected ≤ Similarity.MaxIvfCells rows) — see its geometry note
     val (seeds, cells) = Similarity.ivfSeedsWithCells(base, "id", "v",
@@ -681,13 +755,19 @@ object Dedup {
     val centroids =
       if (kmeansIters <= 0) seeds
       else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
-    val assigned = base.join(broadcast(centroids))
+    // the prefilter signature is computed ONCE per corpus row, before
+    // the centroid cross join (it rides the scored rows as 8 bytes and
+    // comes out of the assignment aggregate as a per-id constant)
+    val assigned = base
+      .withColumn("psig", srpSignature(col("v"), 64, PrefilterPlaneOffset))
+      .join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
       .groupBy(col("id"))
-      .agg(topKByScore(col("sim"), col("centroid_id"), probes).as("bks"))
-      .select(col("id"), explode(col("bks")).as("bk"))
-      .select(col("id"), col("bk.id").as("bk"))
-    verifyCosinePairs(bucketPairs(assigned), base, threshold)
+      .agg(topKByScore(col("sim"), col("centroid_id"), probes).as("bks"),
+        max(col("psig")).as("psig"))
+      .select(col("id"), col("psig"), explode(col("bks")).as("bk"))
+      .select(col("id"), col("psig"), col("bk.id").as("bk"))
+    verifyCosinePairs(prefilteredBucketPairs(assigned, hamMax), base, threshold)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -715,8 +795,10 @@ object Dedup {
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 0,
       nProbe: Int = 2, kmeansIters: Int = 0,
-      scanFraction: Double = 0.0): DataFrame = {
+      scanFraction: Double = 0.0, prefilterHamMax: Int = -1): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val hamMax =
+      if (prefilterHamMax == -1) srpHamMax(threshold) else prefilterHamMax
     // the bounded-by-construction seed pick; its loud zero-seed failure
     // also protects this kernel's every-id contract (an empty centroid
     // join would make EVERY input id vanish from the result)
@@ -729,15 +811,19 @@ object Dedup {
     // Materialized once: the scoring aggregate below is consumed by three
     // branches (bucket explode → pairs, members join, singles anti-join);
     // without this the full corpus×centroids scan recomputes per branch.
-    val assigned = base.join(broadcast(centroids))
+    val assigned = base
+      .withColumn("psig", srpSignature(col("v"), 64, PrefilterPlaneOffset))
+      .join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
       .groupBy(col("id"))
       .agg(topKByScore(col("sim"), col("centroid_id"), probes).as("bks"),
-        max(col("sim")).as("centroid_sim"))
+        max(col("sim")).as("centroid_sim"), max(col("psig")).as("psig"))
       .pinned
-    val buckets = assigned.select(col("id"), explode(col("bks")).as("bk"))
-      .select(col("id"), col("bk.id").as("bk"))
-    val pairs = verifyCosinePairs(bucketPairs(buckets), base, threshold)
+    val buckets = assigned
+      .select(col("id"), col("psig"), explode(col("bks")).as("bk"))
+      .select(col("id"), col("psig"), col("bk.id").as("bk"))
+    val pairs = verifyCosinePairs(
+      prefilteredBucketPairs(buckets, hamMax), base, threshold)
     val comps = connectedComponents(pairs)
     val members = comps.join(
       assigned.select(col("id"), col("centroid_sim")), Seq("id"))

@@ -236,10 +236,21 @@ object Similarity {
     * IVF kernel given the index's REAL cell count. With the default
     * C = ⌈√n⌉ geometry a FIXED `nProbe` scans fraction nProbe/C ∝
     * n^(-1/2) of the corpus — so isotropic recall decays as the corpus
-    * grows (q223 measured: 0.630 at n=200, 0.475 at n=2,000 — the
-    * BASELINE.md recall-vs-n table), while clustered-corpus recall
-    * holds (1.000 at every measured shape) because true neighbors
-    * concentrate into probed cells. `scanFraction` > 0 pins the
+    * grows, while clustered-corpus recall holds because true neighbors
+    * concentrate into probed cells. Measured over three corpus decades
+    * (`tools/recall_steering_lane.sh`, k=4; BASELINE.md round-13
+    * recall-vs-n table):
+    *
+    * {{{
+    * n        C     p6 iso   f0.133 iso   p6 clustered
+    *    500   23    0.630    0.508        1.000
+    *  2,000   45    0.475    0.475        1.000
+    * 20,000   142   0.306    0.570        1.000
+    * }}}
+    *
+    * Fixed p6 on isotropic data tracks the nProbe/√n law down; the
+    * steered f0.133 column is flat; clustered recall is exact at every
+    * shape under the FIXED budget — the IVF bet. `scanFraction` > 0 pins the
     * scanned fraction instead: nProbe = max(floor, ⌈f·C⌉), clamped to
     * C. The honest price: candidate work n·(n/C)·nProbe becomes
     * f·n² — there is NO sub-quadratic constant-recall index on a

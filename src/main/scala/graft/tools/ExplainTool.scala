@@ -13,8 +13,19 @@ object ExplainTool {
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.count() // execute so AQE finalizes, without buffering rows on the driver
-    println(df.queryExecution.executedPlan.toString)
+    if (args.contains("--static")) {
+      // static plan only — no execution: the shape Catalyst picked from
+      // size ESTIMATES (a misestimated broadcast shows here even when
+      // running the query would blow the driver)
+      println(df.queryExecution.sparkPlan.toString)
+    } else {
+      // execute so AQE finalizes, without buffering rows on the driver;
+      // on failure STILL print the plan — the materialized QueryStages
+      // show which exchange was being built when it died
+      val r = scala.util.Try(df.count())
+      println(df.queryExecution.executedPlan.toString)
+      r.failed.foreach { e => println(s"EXECUTION FAILED: $e") }
+    }
     spark.stop()
   }
 }
