@@ -48,6 +48,12 @@ SF10=${SF10:-/tmp/graft_sf10}
 CPUS=${CPUS:-32}
 RATIO_MAX=${RATIO_MAX:-14}
 INDEXED_MAX=${INDEXED_MAX:-40}
+# min-of-N per query (round 13): a single pass prices whichever query
+# catches the host's slow window — q17 read 14.2x on a single-pass leg
+# whose sf1 half ran 1.8x slower than the same binary an hour earlier,
+# then 8.8x back-to-back min-of-2; ratios of single samples compound
+# both windows' noise
+LANE_RUNS=${LANE_RUNS:-2}
 
 LANE="q99_pagerank,q208_ppr,q213_hits,q171_bfs_reach,\
 q121_rfm,q143_auc,q150_ks_test,q153_survival,q167_weighted_quantiles,\
@@ -87,7 +93,7 @@ build "$SF1" 10
 build "$SF10" 100
 
 run_lane() { # $1 = sf dir, $2 = out json, $3 = heap
-  SPARK_GRAFT_BENCH_ONLY="$LANE" SPARK_GRAFT_BENCH_RUNS=1 \
+  SPARK_GRAFT_BENCH_ONLY="$LANE" SPARK_GRAFT_BENCH_RUNS=$LANE_RUNS \
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=$CPUS SPARK_GRAFT_BENCH_OUT="$2" \
   java $JAVA_OPENS -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC -Xmx"$3" -cp "$CP" \
