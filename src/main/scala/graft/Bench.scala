@@ -8,6 +8,32 @@ object Bench {
   val DefaultSfDir = "/root/testdata/sf0.1"
   private def canon(p: String): java.nio.file.Path =
     java.nio.file.Path.of(p).toAbsolutePath.normalize
+
+  /** The snapshot-survivable summary line: COMPLETE inside any
+    * 2000-char stdout tail (the round driver keeps only that much, and
+    * the full per-query line is ~6 KB at 223 queries). Budget is pinned
+    * at ≤ [[CompactLineBudget]] chars by BenchLineSpec over the REAL
+    * query-name surface, so a growing surface (8 slowest × long names)
+    * cannot silently push the one readable record out of the window.
+    * Locale.ROOT throughout — a comma-decimal host must not emit
+    * invalid JSON in exactly the line built to stay machine-parseable. */
+  val CompactLineBudget = 700
+  def compactLine(total: Double, sfDir: String, nQueries: Int, nOk: Int,
+      nErrors: Int, memSpill: Long, diskSpill: Long,
+      slowest: Seq[(String, Double)]): String = {
+    val slowJson = slowest
+      .map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
+    // distinct metric key vs the full line's "total": two stdout lines
+    // sharing "metric":"total" with different schemas let a key-matching
+    // consumer nondeterministically pick either shape
+    s"""{"metric":"total_compact","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""nQueries":$nQueries,"nOk":$nOk,"nErrors":$nErrors,""" +
+      s""""spill":{"memBytes":$memSpill,"diskBytes":$diskSpill},""" +
+      s""""slowest":$slowJson,"perQueryArtifact":"BENCH_full_latest.json"}"""
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -144,11 +170,16 @@ object Bench {
           // at-scale failure into a blind reproduction hunt
           System.err.println(s"BENCH ERROR $name: $e")
           e.getStackTrace.take(12).foreach(f => System.err.println(s"    at $f"))
+          // identity-set guard: a cycle longer than a direct self-link
+          // (A→B→A) must not hang the error handler mid-bench
+          val seen = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+          seen.add(e)
           var cause = e.getCause
-          while (cause != null) {
+          while (cause != null && seen.add(cause)) {
             System.err.println(s"  caused by: $cause")
             cause.getStackTrace.take(6).foreach(f => System.err.println(s"    at $f"))
-            cause = if (cause.getCause eq cause) null else cause.getCause
+            cause = cause.getCause
           }
       }
     }
@@ -172,12 +203,8 @@ object Bench {
     // committed artifact holding the untruncated per-query record.
     val slowest = names.flatMap(k => best.get(k).map(k -> _))
       .sortBy(-_._2).take(8)
-      .map { case (k, v) => s"\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-        s""""nQueries":${names.size},"nOk":${best.size},"nErrors":${errors.size},""" +
-        s""""spill":{"memBytes":${memSpill.get},"diskBytes":${diskSpill.get}},""" +
-        s""""slowest":$slowest,"perQueryArtifact":"BENCH_full_latest.json"}""")
+    println(compactLine(total, sfDir, names.size, best.size, errors.size,
+      memSpill.get, diskSpill.get, slowest))
     // the deterministic work channel goes in the ARTIFACT only: the
     // round driver keeps a 2000-char truncated tail of stdout, and
     // bloating the line would push the per-query timings out of it

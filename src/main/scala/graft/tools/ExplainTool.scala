@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
   * the .explain feedback loop for shuffle/reuse/pushdown iteration. */
 object ExplainTool {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    // flags must not be consumed as positionals: `ExplainTool q18
+    // --static` otherwise reads "--static" as the sfDir path
+    val pos = args.filterNot(_.startsWith("--"))
+    val name = pos(0)
+    val sfDir = if (pos.length > 1) pos(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", false).getOrCreate()
@@ -25,6 +28,7 @@ object ExplainTool {
       val r = scala.util.Try(df.count())
       println(df.queryExecution.executedPlan.toString)
       r.failed.foreach { e => println(s"EXECUTION FAILED: $e") }
+      if (r.isFailure) { spark.stop(); sys.exit(1) } // callers check status
     }
     spark.stop()
   }
