@@ -354,42 +354,73 @@ object VectorQueries {
     // the same corpus — the gauge that says what the default √n-cell,
     // 6-probe geometry actually buys and costs before a deployment
     // swaps it in
-    "q223_knn_index_eval" -> ((s, dir) => {
-      import graft.ops.Pin.PinSyntax
-      val vecs = t(s, dir, "embeddings")
-      val exactR = Similarity.exactSelfTopK(vecs, "vec_id", "embedding",
-        k = 4).pinned // truth: consumed by the pair AND agreement gauges
-      val idxR = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding",
-        k = 4, nProbe = 6, kmeansIters = 2).pinned
-      def score(method: String, truth: DataFrame, found: DataFrame) = {
-        val tp = found.join(truth, Seq("a_id", "b_id"), "left_semi")
-          .agg(count(lit(1)).as("tp"))
-        val nF = found.agg(count(lit(1)).as("n_found"))
-        val nT = truth.agg(count(lit(1)).as("n_truth"))
-        tp.crossJoin(nF).crossJoin(nT)
-          .select(lit(method).as("method"), col("n_truth"), col("n_found"),
-            col("tp"), (col("n_found") - col("tp")).as("fp"),
-            (col("n_truth") - col("tp")).as("fn"),
-            expr("CASE WHEN n_found = 0 THEN 0 ELSE (tp * 1000000) div n_found END")
-              .as("precision_micro"),
-            expr("CASE WHEN n_truth = 0 THEN 0 ELSE (tp * 1000000) div n_truth END")
-              .as("recall_micro"))
-      }
-      def pairs(r: DataFrame) = r.select(col("probe_id").as("a_id"),
-        col("neighbor_id").as("b_id"))
-      // agreement counts compared as (vec_id, n_agree) pairs: tp = rows
-      // where the indexed rollup lands the exact per-vector count
-      def agree(r: DataFrame) = Similarity
-        .labelAgreementOver(r, vecs, "vec_id", "label")
-        .select(col("vec_id").as("a_id"), col("n_agree").as("b_id"))
-      score("knn_pairs", pairs(exactR), pairs(idxR))
-        .unionByName(score("mutual_edges",
-          Similarity.mutualTopK(exactR).select(col("a_id"), col("b_id")),
-          Similarity.mutualTopK(idxR).select(col("a_id"), col("b_id"))))
-        .unionByName(score("agree_exact", agree(exactR), agree(idxR)))
-        .orderBy(col("method"))
-    })
+    "q223_knn_index_eval" -> ((s, dir) => knnIndexAudit(s, dir,
+      scanFraction = 0.0)),
+
+    // The STEERED arm of the same audit (round 13's `scanFraction`
+    // knob on the graded surface — VERDICT r13 next-round #1): the
+    // identical exact-vs-indexed precision/recall gauge, but the IVF
+    // twin runs in pinned-scanned-fraction mode (floor 1, the
+    // tools/recall_steering_lane.sh `fX` convention: nProbe = ⌈f·C⌉).
+    // f = 0.3 rather than the lane's calibrated 0.133 BECAUSE the
+    // graded corpora are small (n = 500/2,000 → C = 23/45 cells):
+    // 0.133 is by construction the sf0.1 operating point's scanned
+    // fraction, so at sf0.1 it reproduces the fixed-p6 budget exactly
+    // and the golden would not distinguish steered from fixed — it
+    // would lock nothing. At f = 0.3 the steered budget is 7 probes
+    // at sf0.01 and 14 at sf0.1 (vs the fixed 6), so the golden pins
+    // the knob's arithmetic, the candidate-join shape under a steered
+    // budget, and the steering effect itself: q224's recall_micro
+    // must read ≥ q223's on the same corpus (more cells scanned under
+    // identical tie-breaks — SteeredAuditSpec asserts the dominance,
+    // the pinned hash locks the exact values).
+    "q224_knn_index_eval_steered" -> ((s, dir) => knnIndexAudit(s, dir,
+      scanFraction = 0.3))
   )
+
+  /** Index-vs-exact audit body shared by q223 (fixed probe budget) and
+    * q224 (steered): directed kNN pairs, mutual edges, and per-vector
+    * label-agreement counts of the IVF kernel, each precision/recall
+    * scored against the exact brute-force twin on the same corpus. */
+  private def knnIndexAudit(s: SparkSession, dir: String,
+      scanFraction: Double): DataFrame = {
+    import graft.ops.Pin.PinSyntax
+    val vecs = t(s, dir, "embeddings")
+    val exactR = Similarity.exactSelfTopK(vecs, "vec_id", "embedding",
+      k = 4).pinned // truth: consumed by the pair AND agreement gauges
+    // fixed mode keeps the production p6 budget; steered mode floors at
+    // 1 so ⌈f·C⌉ alone sets the budget (the recall-lane fX convention)
+    val idxR = Similarity.ivfSelfTopK(vecs, "vec_id", "embedding",
+      k = 4, nProbe = if (scanFraction > 0) 1 else 6, kmeansIters = 2,
+      scanFraction = scanFraction).pinned
+    def score(method: String, truth: DataFrame, found: DataFrame) = {
+      val tp = found.join(truth, Seq("a_id", "b_id"), "left_semi")
+        .agg(count(lit(1)).as("tp"))
+      val nF = found.agg(count(lit(1)).as("n_found"))
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      tp.crossJoin(nF).crossJoin(nT)
+        .select(lit(method).as("method"), col("n_truth"), col("n_found"),
+          col("tp"), (col("n_found") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          expr("CASE WHEN n_found = 0 THEN 0 ELSE (tp * 1000000) div n_found END")
+            .as("precision_micro"),
+          expr("CASE WHEN n_truth = 0 THEN 0 ELSE (tp * 1000000) div n_truth END")
+            .as("recall_micro"))
+    }
+    def pairs(r: DataFrame) = r.select(col("probe_id").as("a_id"),
+      col("neighbor_id").as("b_id"))
+    // agreement counts compared as (vec_id, n_agree) pairs: tp = rows
+    // where the indexed rollup lands the exact per-vector count
+    def agree(r: DataFrame) = Similarity
+      .labelAgreementOver(r, vecs, "vec_id", "label")
+      .select(col("vec_id").as("a_id"), col("n_agree").as("b_id"))
+    score("knn_pairs", pairs(exactR), pairs(idxR))
+      .unionByName(score("mutual_edges",
+        Similarity.mutualTopK(exactR).select(col("a_id"), col("b_id")),
+        Similarity.mutualTopK(idxR).select(col("a_id"), col("b_id"))))
+      .unionByName(score("agree_exact", agree(exactR), agree(idxR)))
+      .orderBy(col("method"))
+  }
 
   val oracle: Map[String, String] = Map(
     // unnest+group twin of the in-row folds; per-element micro ints
