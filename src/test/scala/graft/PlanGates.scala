@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate,
-  Distinct, Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan,
-  OneRowRelation, Project, RepartitionOperation, ResolvedHint, Sample, Sort,
-  SubqueryAlias, Union, Window => LogicalWindow, BROADCAST}
+  Distinct, Filter, Generate, GlobalLimit, Join, LocalLimit, LocalRelation,
+  LogicalPlan, OneRowRelation, Project, RepartitionOperation, ResolvedHint,
+  Sample, Sort, SubqueryAlias, Union, Window => LogicalWindow, BROADCAST}
 import org.apache.spark.sql.catalyst.expressions.NamedExpression
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
@@ -120,6 +120,133 @@ object PlanGates {
       Seq(j.hint.leftHint, j.hint.rightHint).count(
         _.exists(_.strategy.contains(BROADCAST)))
   }.sum
+
+  /** Gate #5 predicate (round 14 — the CLASS the round-13 sf10 failure
+    * lived in): join sides whose Catalyst size estimate flows through a
+    * `Generate` (explode) OF A GROUPED COLLECTION with no structural
+    * cardinality bound above it. Two facts define the class:
+    * (a) Catalyst's `Generate` stats do not model fan-out, and
+    * aggregates/deduplicates above the explode do NOT re-ground the
+    * estimate — pre-prefilter q18's candidate side ran explode →
+    * dropDuplicates → join, AQE re-estimated the exploded side at the
+    * 12 MiB its bucket-aggregate stage had really measured, converted
+    * the verify sort-merge join to a broadcast, and collected the true
+    * 7.4 GiB / 3.31e8 pairs into the driver (BASELINE.md round-13);
+    * (b) only GROUPED collections make that mis-estimate catastrophic.
+    * Exploding a column-derived array (tokens of a text column, a
+    * literal dim list) keeps total output bytes ≈ the input bytes the
+    * scan already counted — the estimate is off by a constant. But an
+    * array BUILT by an aggregate (collect_list/collect_set/
+    * collectMinK/topKByScore bucket payloads) then expanded —
+    * especially into in-bucket PAIRS — makes output bytes superlinear
+    * in the input bytes, the blind spot that killed q18 at sf10. So:
+    * flag a join side iff, descending through estimate-preserving
+    * wrappers (projects/filters/windows/aggregates/dedups — the walk
+    * deliberately passes THROUGH aggregates per (a)), stopping at a
+    * structural bound ([[boundedByConstructionLogical]]) or another
+    * Join (audited as its own case), we reach a `Generate` whose own
+    * subtree (same walk) contains a collection-BUILDING aggregate.
+    * Every flagged query must justify in ExplodeJoinGateSpec's
+    * whitelist WHY its exploded side cannot be row-explosive at the
+    * join (e.g. the Hamming prefilter capping pairs inside the explode
+    * stage, a per-bucket combination cap with measured-at-scale pair
+    * volume, a fixed per-row probe budget). */
+  def explodeFedJoinSides(plan: LogicalPlan): Seq[String] = plan.collect {
+    case j: Join =>
+      Seq((j.left, "left"), (j.right, "right")).collect {
+        case (side, label) if estimateDescendsFromGroupedExplode(side) =>
+          s"grouped-explode-join:$label(${side.nodeName})"
+      }
+  }.flatten
+
+  private def estimateDescendsFromGroupedExplode(p: LogicalPlan): Boolean =
+    if (boundedByConstructionLogical(p)) false
+    else p match {
+      case g: Generate => generatorIsGrouped(g)
+      case _: Join => false // each join is audited as its own case
+      case other => other.children.exists(estimateDescendsFromGroupedExplode)
+    }
+
+  /** Does `g`'s generator expand a GROUPED collection? Traces the
+    * generator's referenced attributes by exprId down the child plan —
+    * through Project/Aggregate aliases and lower Generates — to their
+    * producers, and answers true iff one of them is a
+    * collection-building aggregate expression. Tracing the generator's
+    * OWN inputs (not scanning the subtree for any array aggregate) is
+    * what keeps the graph kernels' `explode(array(u, v))` — fan-out
+    * exactly 2 over plain edge columns — out of the flag set while the
+    * in-bucket pair expansions stay in. Deliberately no stop at Join:
+    * the cross-corpus kernels meet two bucket frames in a band-key
+    * equi-join and explode the id-list PRODUCT above it — the grouped
+    * arrays flow through that join into the explode, same hazard. */
+  private def generatorIsGrouped(g: Generate): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId}
+    def aliasHit(ids: Set[ExprId],
+        exprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+        : (Boolean, Set[ExprId]) = {
+      val hit = exprs.exists {
+        case a: Alias if ids.contains(a.exprId) => buildsCollection(a.child)
+        case _ => false
+      }
+      val next = exprs.flatMap {
+        case a: Alias if ids.contains(a.exprId) =>
+          a.child.references.map(_.exprId)
+        case ne if ids.contains(ne.exprId) => Seq(ne.exprId)
+        case _ => Nil
+      }.toSet
+      (hit, next)
+    }
+    def walk(p: LogicalPlan, ids: Set[ExprId]): Boolean =
+      ids.nonEmpty && (p match {
+        case pr: Project =>
+          val (hit, next) = aliasHit(ids, pr.projectList)
+          hit || walk(pr.child, next)
+        case a: Aggregate =>
+          val (hit, next) = aliasHit(ids, a.aggregateExpressions)
+          hit || walk(a.child, next)
+        case g2: Generate =>
+          // a traced id minted by a lower generator re-routes to that
+          // generator's own inputs (explode of an exploded band key)
+          val next =
+            if (g2.generatorOutput.exists(a => ids.contains(a.exprId)))
+              ids -- g2.generatorOutput.map(_.exprId) ++
+                g2.generator.references.map(_.exprId)
+            else ids
+          walk(g2.child, next)
+        // exprIds are globally unique, so walking every child and
+        // keying by id routes each attribute to its producing side
+        case other => other.children.exists(c => walk(c, ids))
+      })
+    walk(g.child, g.generator.references.map(_.exprId).toSet)
+  }
+
+  private def hasNestedArray(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.ArrayType => true
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasNestedArray(f.dataType))
+      case _ => false
+    }
+
+  private def buildsCollection(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.exists {
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+        (ae.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          ae.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          // struct-wrapped arrays (collectMinK returns (items, n))
+          hasNestedArray(ae.dataType)) &&
+          !(ae.aggregateFunction
+              .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.First] ||
+            ae.aggregateFunction
+              .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Last] ||
+            ae.aggregateFunction
+              .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Max] ||
+            ae.aggregateFunction
+              .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.Min])
+      case _ => false
+    }
 
   def unboundedBroadcastHints(plan: LogicalPlan): Seq[String] = plan.collect {
     case j: Join =>
