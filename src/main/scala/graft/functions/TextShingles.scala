@@ -292,6 +292,28 @@ object NgramHash {
 
   def wordJaccard(a: UTF8String, b: UTF8String, n: Int): Double =
     hashedJaccard(wordWindowHashes(a, n), wordWindowHashes(b, n))
+
+  /** DISTINCT window-hash count — |A| in the sets [[hashedJaccard]]
+    * compares (the verify dedups both sides, so this is the exact
+    * cardinality the Jaccard length filter needs, NOT the multiset
+    * window count, which over-counts duplicated windows and would make
+    * the filter lossy). Sort + unique over the same rolling-hash walk
+    * the signature pass runs — one extra linear pass per document. */
+  private def distinctCount(ws0: Array[Long]): Long = {
+    if (ws0.isEmpty) return 0L
+    val ws = ws0 // charWindowHashes/wordWindowHashes return fresh arrays
+    java.util.Arrays.sort(ws)
+    var c = 1L
+    var i = 1
+    while (i < ws.length) { if (ws(i) != ws(i - 1)) c += 1; i += 1 }
+    c
+  }
+
+  def charDistinctWindows(s: UTF8String, n: Int): Long =
+    distinctCount(charWindowHashes(s, n))
+
+  def wordDistinctWindows(s: UTF8String, n: Int): Long =
+    distinctCount(wordWindowHashes(s, n))
 }
 
 case class NgramMinHash(child: Expression, n: Int, k: Int, word: Boolean)
@@ -312,6 +334,29 @@ case class NgramMinHash(child: Expression, n: Int, k: Int, word: Boolean)
   override protected def withNewChildInternal(newChild: Expression): NgramMinHash =
     copy(child = newChild)
   override def prettyName: String = "ngram_minhash"
+}
+
+/** Distinct n-gram window count of a text — the exact set cardinality
+  * the Jaccard LENGTH FILTER prunes candidate pairs with (j >= tau ⟹
+  * tau·max(|A|,|B|) <= min(|A|,|B|), so a failing pair is provably
+  * below threshold and dropping it cannot change any verified pair
+  * set). Rides the LSH bucket payload so the prune runs INSIDE the
+  * candidate explode stage, before the dedup exchange. */
+case class NgramDistinctCount(child: Expression, n: Int, word: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"ngram_distinct_count: n must be >= 1, got $n")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    if (word) NgramHash.wordDistinctWindows(input.asInstanceOf[UTF8String], n)
+    else NgramHash.charDistinctWindows(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (word) "wordDistinctWindows" else "charDistinctWindows"
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramHash.$fn($c, $n)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NgramDistinctCount =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_distinct_count"
 }
 
 case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {

@@ -290,6 +290,15 @@ package object functions {
   def wordNgramHashes(text: Column, n: Int): Column =
     expr2col(WordNgramHashes(col2expr(text), n))
 
+  /** Distinct char n-gram window count — the exact |A| for the Jaccard
+    * length filter ([[graft.ops.Dedup]]'s in-explode candidate prune). */
+  def charNgramDistinctCount(text: Column, n: Int): Column =
+    expr2col(NgramDistinctCount(col2expr(text), n, word = false))
+
+  /** Word-n-gram variant of [[charNgramDistinctCount]]. */
+  def wordNgramDistinctCount(text: Column, n: Int): Column =
+    expr2col(NgramDistinctCount(col2expr(text), n, word = true))
+
   /** Exact set-Jaccard of two texts' char n-gram hash sets (verify-side
     * twin of [[charNgramMinHash]]; runs on candidate pairs only). */
   def charNgramJaccard(a: Column, b: Column, n: Int): Column =

@@ -12,7 +12,7 @@ import graft.ops.Pin.PinSyntax
   *
   * Scale design (100 TB): candidate generation explodes each doc into a
   * few small (band, hash) keys and groups on them, emitting in-bucket
-  * pairs in ONE pass over the corpus (see [[Dedup.bucketPairs]] — a
+  * pairs in ONE pass over the corpus (see [[Dedup.sizeFilteredBucketPairs]] — a
   * banded self-join would scan and re-hash everything twice);
   * verification re-joins the pair list back to the docs table on id
   * (hash join on a compact pair list) instead of carrying shingle
@@ -86,24 +86,50 @@ object Dedup {
             x.getField("v").as("av"), y.getField("v").as("bv"))
         else struct(x.getField("id").as("a"), y.getField("id").as("b")))))
 
-  /** Candidate pairs (a_id < b_id, deduped) from an exploded (id, bk)
-    * banding frame: in-bucket combinations of each capped bucket's
-    * ascending id list (see [[cappedBuckets]] for the bounding and
-    * one-pass rationale). A bucket beyond `maxBucket` is a degenerate
-    * hash collision (band geometry keeps background-similarity buckets
-    * tiny); its pairs are deterministically truncated to the
-    * `maxBucket` smallest ids — O(maxBucket²) structs per row, never an
-    * unbounded single-row array. The strict a < b filter also drops
-    * self-pairs that duplicated input ids would produce. The in-bucket
-    * HOF lambdas run per bucket over a handful of ids — never on the
-    * hot per-document path. */
-  private def bucketPairs(banded: DataFrame, maxBucket: Int = 1024): DataFrame = {
-    cappedBuckets(banded, col("id"), maxBucket)
+  /** Candidate pairs (a_id < b_id, deduped) from an exploded
+    * (id, dsz, bk) banding frame: in-bucket combinations of each capped
+    * bucket's ascending id list (see [[cappedBuckets]] for the bounding
+    * and one-pass rationale). A bucket beyond `maxBucket` is a
+    * degenerate hash collision (band geometry keeps
+    * background-similarity buckets tiny); its pairs are
+    * deterministically truncated to the `maxBucket` smallest ids —
+    * O(maxBucket²) structs per row, never an unbounded single-row
+    * array. The strict a < b filter also drops self-pairs that
+    * duplicated input ids would produce. The in-bucket HOF lambdas run
+    * per bucket over a handful of ids — never on the hot per-document
+    * path.
+    *
+    * The EXACT Jaccard length filter is applied
+    * INSIDE the explode stage (round 14 — the q17 candidate-shrinking
+    * mandate, the same before-the-exchange discipline as
+    * [[prefilteredBucketPairs]]): the banded frame carries each doc's
+    * DISTINCT window-hash count (`dsz`, the exact |A| of the set the
+    * verify compares) as the bucket payload, and a candidate pair is
+    * dropped when tau·max(|A|,|B|) > min(|A|,|B|) — which PROVES
+    * j < tau, so the drop can never change a verified pair set (the
+    * prefix-filter family's length filter, Xiao et al. WWW'08; unlike
+    * the embedding prefilter's probabilistic tail this one is lossless
+    * by arithmetic, hence no false-drop budget to document). What it
+    * buys at scale: in-bucket pair explosion from saturated char-gram
+    * buckets is pruned before the dropDuplicates exchange AND before
+    * the per-pair exact-Jaccard verify — the verify is the q17 cost
+    * center once buckets fill (sf10 lane: 9.1×/decade), and roughly
+    * half of random-length candidate pairs fail the ratio at
+    * tau = 0.6 on the test corpus length spread. */
+  private def sizeFilteredBucketPairs(banded: DataFrame, tauMicro: Long,
+      maxBucket: Int = 1024): DataFrame = {
+    require(tauMicro > 0 && tauMicro <= 1000000L,
+      s"length filter tauMicro must be in (0, 1e6], got $tauMicro")
+    cappedBuckets(banded, col("dsz"), maxBucket)
       .drop("bk")
-      .select(explode(selfPairs(withPayload = false)).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-      .filter(col("a_id") < col("b_id"))
+      .select(explode(selfPairs(withPayload = true)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"),
+        col("p.av").as("sa"), col("p.bv").as("sb"))
+      .filter(col("a_id") < col("b_id") &&
+        lit(tauMicro) * greatest(col("sa"), col("sb")) <=
+          lit(1000000L) * least(col("sa"), col("sb")))
       .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Hyperplane-family offset for the 64-bit PREFILTER signature the
@@ -130,7 +156,7 @@ object Dedup {
     math.min(64, math.ceil(3.0 * mu).toInt + 3)
   }
 
-  /** [[bucketPairs]] with the simHashPairs discipline applied to
+  /** [[sizeFilteredBucketPairs]] with the simHashPairs discipline applied to
     * embeddings (round 13): the banded frame carries a 64-bit SRP
     * prefilter signature (`psig`, planes [[PrefilterPlaneOffset]]..)
     * as the bucket payload, and candidate pairs are Hamming-filtered
@@ -178,9 +204,13 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    // dsz = exact distinct-window count, computed once per doc in the
+    // same projection as the signature — fuels the in-explode length
+    // filter (see sizeFilteredBucketPairs)
     val banded = base.select(col("id"),
+      wordNgramDistinctCount(col("txt"), shingleLen).as("dsz"),
       explode(lshBandKeys(wordNgramMinHash(col("txt"), shingleLen, k), bands, rows)).as("bk"))
-    bucketPairs(banded)
+    sizeFilteredBucketPairs(banded, math.round(threshold * 1000000L))
       .join(base.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
       .join(base.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
       .withColumn("jaccard", wordNgramJaccard(col("a_txt"), col("b_txt"), shingleLen))
@@ -325,11 +355,17 @@ object Dedup {
       n: Int = 6, threshold: Double = 0.6,
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
-    // same fused cache-free shape as minHashPairs, over char n-grams
+    // same fused cache-free shape as minHashPairs, over char n-grams;
+    // dsz fuels the exact in-explode length filter. The EXACT-COMPLETE
+    // scale path for this kernel is [[graft.ops.SetSimilarity.jaccardJoinExact]]
+    // over char shingles (q225) — prefix-filtered, no banding recall
+    // loss — the q53-for-q18 relationship: same semantics, different
+    // candidate generator, measured side by side in the sf10 lane.
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val banded = base.select(col("id"),
+      charNgramDistinctCount(col("txt"), n).as("dsz"),
       explode(lshBandKeys(charNgramMinHash(col("txt"), n, k), bands, rows)).as("bk"))
-    bucketPairs(banded)
+    sizeFilteredBucketPairs(banded, math.round(threshold * 1000000L))
       .join(base.select(col("id").as("a_id"), col("txt").as("a_txt")), "a_id")
       .join(base.select(col("id").as("b_id"), col("txt").as("b_txt")), "b_id")
       .withColumn("jaccard", charNgramJaccard(col("a_txt"), col("b_txt"), n))

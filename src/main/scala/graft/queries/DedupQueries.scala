@@ -141,6 +141,25 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // EXACT char-6-gram Jaccard >= 0.6 via the same prefix-filtered
+    // join — q17's exact-complete SCALE PATH (round 14, the
+    // q53-for-q18 relationship): identical normalization + shingle set
+    // to q17's verify (charShingles: lowercase, trim, collapse
+    // whitespace), but candidates come from the LOSSLESS PPJoin prefix
+    // filter instead of LSH banding — no band-recall loss, and no
+    // saturated char-gram bucket can explode pairs (rare grams sort
+    // first, hub grams never enter a prefix). q17 stays the
+    // probabilistic constant-recall kernel; this is what a deployment
+    // swaps in when the corpus's char-gram diversity collapses (the
+    // sf10 lane measures both side by side). Oracle-exact at sf0.01.
+    "q225_setsim_char_exact" -> ((s, dir) => {
+      val tokens = corpusWithNearDups(s, dir)
+        .select(col("doc_id").as("id"),
+          explode(graft.functions.charShingles(col("text"), 6)).as("token"))
+      SetSimilarity.jaccardJoinExact(tokens, "id", "token", tauMicro = 600000L)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // LSH self-audit: q15's MinHash pair list scored against q170's
     // EXACT Jaccard truth on the same corpus — precision/recall of the
     // banding config, the gauge that says whether 32×8 bands are
@@ -336,6 +355,37 @@ object DedupQueries {
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
         |        FROM corpus),
         |       unnest(generate_series(1, len(t) - 2)) AS u(s)),
+        |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+        |i AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, inter,
+        |  CAST(sa.s + sb.s - inter AS BIGINT) AS uni,
+        |  CAST(inter * 1000000 // (sa.s + sb.s - inter) AS BIGINT) AS jac_micro
+        |FROM i JOIN sz sa ON i.a_id = sa.doc_id
+        |       JOIN sz sb ON i.b_id = sb.doc_id
+        |WHERE inter * 1000000 >= 600000 * (sa.s + sb.s - inter)
+        |ORDER BY a_id, b_id""".stripMargin,
+    // char-6 twin of the q170 brute force: same corpus, charShingles
+    // normalization mirrored (lower → trim → collapse inner runs; docs
+    // <= 6 chars collapse to one whole-text shingle — the len boundary
+    // agrees with Spark's because a 6-char doc has exactly one window)
+    "q225_setsim_char_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1099511627776, text || ' xq' FROM documents),
+        |norm AS (
+        |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |  FROM corpus),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, substr(t, s, 6) AS token
+        |  FROM norm, unnest(generate_series(1, len(t) - 5)) AS u(s)
+        |  WHERE len(t) > 6
+        |  UNION
+        |  SELECT DISTINCT doc_id, t AS token FROM norm WHERE len(t) <= 6),
         |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
         |i AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

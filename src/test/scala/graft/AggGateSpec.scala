@@ -49,6 +49,8 @@ class AggGateSpec extends SparkTestBase {
       "same per-document line list as q60 (Corpus.lineDedup shape)",
     "q170_setsim_exact" ->
       "PPJoin needs each doc's sorted token array (prefix filter) - bounded by document size",
+    "q225_setsim_char_exact" ->
+      "same PPJoin kernel over char-6 shingles - per-document token array, bounded by document size",
     "q211_containment" ->
       "same per-document token array as q170 (SetSimilarity kernel)",
     "q199_dedup_curve" ->
