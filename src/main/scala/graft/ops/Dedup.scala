@@ -356,11 +356,15 @@ object Dedup {
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
     // same fused cache-free shape as minHashPairs, over char n-grams;
-    // dsz fuels the exact in-explode length filter. The EXACT-COMPLETE
-    // scale path for this kernel is [[graft.ops.SetSimilarity.jaccardJoinExact]]
-    // over char shingles (q225) — prefix-filtered, no banding recall
-    // loss — the q53-for-q18 relationship: same semantics, different
-    // candidate generator, measured side by side in the sf10 lane.
+    // dsz fuels the exact in-explode length filter — the scale lever
+    // for this kernel (saturated char-gram buckets explode candidates,
+    // and each candidate pays an exact verify). Its exact-COMPLETENESS
+    // audit is [[graft.ops.SetSimilarity.jaccardJoinExact]] over the
+    // same char shingles (q225): lossless prefix filtering, so the
+    // banding's recall is measured, not assumed — but at tau = 0.6 the
+    // char-6 prefix is 40% of each doc's grams and the audit costs
+    // ~57x this kernel at sf1 (tools/sf10_text_lane.sh), so banding +
+    // length filter stays the production path at this threshold.
     val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
     val banded = base.select(col("id"),
       charNgramDistinctCount(col("txt"), n).as("dsz"),

@@ -142,16 +142,19 @@ object DedupQueries {
     }),
 
     // EXACT char-6-gram Jaccard >= 0.6 via the same prefix-filtered
-    // join — q17's exact-complete SCALE PATH (round 14, the
-    // q53-for-q18 relationship): identical normalization + shingle set
-    // to q17's verify (charShingles: lowercase, trim, collapse
-    // whitespace), but candidates come from the LOSSLESS PPJoin prefix
-    // filter instead of LSH banding — no band-recall loss, and no
-    // saturated char-gram bucket can explode pairs (rare grams sort
-    // first, hub grams never enter a prefix). q17 stays the
-    // probabilistic constant-recall kernel; this is what a deployment
-    // swaps in when the corpus's char-gram diversity collapses (the
-    // sf10 lane measures both side by side). Oracle-exact at sf0.01.
+    // join — q17's exact-COMPLETENESS AUDIT (round 14): identical
+    // normalization + shingle set to q17's verify (charShingles:
+    // lowercase, trim, collapse whitespace), but candidates come from
+    // the LOSSLESS PPJoin prefix filter instead of LSH banding, so the
+    // output is the full true pair set and q17's banding recall
+    // becomes a measured fact (1.0 on this corpus at both graded SFs).
+    // Honest scale note (tools/sf10_text_lane.sh): at tau = 0.6 over
+    // ~290-gram char-6 sets the prefix is 40% of every doc's grams, so
+    // the prefix join priced 570 s at sf1 vs q17's 10 s — the prefix
+    // discipline pays at dedup-grade thresholds (q170's word-3 sets:
+    // 2.6x/decade) and as this audit; the SCALE path at char-6/tau-0.6
+    // is q17's banding + the in-explode length filter. Oracle-exact at
+    // sf0.01 (DuckDB brute-force twin).
     "q225_setsim_char_exact" -> ((s, dir) => {
       val tokens = corpusWithNearDups(s, dir)
         .select(col("doc_id").as("id"),
