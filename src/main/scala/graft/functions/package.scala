@@ -290,6 +290,12 @@ package object functions {
   def wordNgramHashes(text: Column, n: Int): Column =
     expr2col(WordNgramHashes(col2expr(text), n))
 
+  /** |A ∩ B| of two SORTED-ascending array<long> columns — the
+    * per-candidate verify kernel of [[graft.ops.SetSimilarity]] (both
+    * inputs must be sorted; see [[SortedLongIntersectCount]]). */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    expr2col(SortedLongIntersectCount(col2expr(a), col2expr(b)))
+
   /** Distinct char n-gram window count — the exact |A| for the Jaccard
     * length filter ([[graft.ops.Dedup]]'s in-explode candidate prune). */
   def charNgramDistinctCount(text: Column, n: Int): Column =

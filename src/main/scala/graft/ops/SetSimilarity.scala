@@ -103,16 +103,22 @@ object SetSimilarity {
     // row-per-shared-token fanout through an exchange. Work is
     // |candidates| rows carrying two set-size arrays; for huge
     // documents (arrays too wide for a row) fall back to the
-    // fanout-and-count join on (id, token).
+    // fanout-and-count join on (id, token). The arrays are SORTED once
+    // per document so the per-candidate intersect is a primitive
+    // merge-count (graft.functions.sortedLongIntersectCount) instead
+    // of array_intersect's per-row hash set — at tau = 0.6 over
+    // char-gram sets the prefix filter passes tens of millions of
+    // candidates (22.8M at sf0.1 for q225), so this per-pair constant
+    // IS the query's cost center.
     val docArrs = tok.groupBy(col("id"))
-      .agg(collect_list(col("token")).as("toks"))
+      .agg(sort_array(collect_list(col("token"))).as("toks"))
     val inter = candidates
       .join(docArrs.select(col("id").as("a_id"), col("toks").as("__ta")),
         Seq("a_id"))
       .join(docArrs.select(col("id").as("b_id"), col("toks").as("__tb")),
         Seq("b_id"))
       .withColumn("inter",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        graft.functions.sortedLongIntersectCount(col("__ta"), col("__tb")))
 
     inter
       .withColumn("uni", col("sa") + col("sb") - col("inter"))
@@ -165,15 +171,16 @@ object SetSimilarity {
       .where(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), col("sa"))
       .distinct()
+    // same sorted-merge verify as jaccardJoinExact (see the note there)
     val docArrs = tok.groupBy(col("id"))
-      .agg(collect_list(col("token")).as("toks"))
+      .agg(sort_array(collect_list(col("token"))).as("toks"))
     candidates
       .join(docArrs.select(col("id").as("a_id"), col("toks").as("__ta")),
         Seq("a_id"))
       .join(docArrs.select(col("id").as("b_id"), col("toks").as("__tb")),
         Seq("b_id"))
       .withColumn("inter",
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+        graft.functions.sortedLongIntersectCount(col("__ta"), col("__tb")))
       .where(col("inter") * 1000000L >= lit(tauMicro) * col("sa"))
       .select(col("a_id"), col("b_id"), col("inter"), col("sa"),
         expr("(inter * 1000000 div sa)").as("cont_micro"))

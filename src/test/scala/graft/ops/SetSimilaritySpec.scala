@@ -131,4 +131,28 @@ class SetSimilaritySpec extends SparkTestBase {
       SetSimilarity.jaccardJoinExact(t, "id", "token", 1000001L)
     }
   }
+
+  test("sortedLongIntersectCount: differential vs array_intersect on " +
+    "random sorted sets, including empty/disjoint/identical") {
+    // the round-14 verify kernel (per-candidate merge-count over
+    // pre-sorted arrays) must count exactly what array_intersect counts
+    // on element-distinct sorted inputs — the property jaccardJoinExact
+    // and containmentJoinExact now rest on
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(421)
+    val rows = (0 until 200).map { i =>
+      def set() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
+        .distinct.sorted
+      (i.toLong, set(), set())
+    } ++ Seq(
+      (1000L, Seq.empty[Long], Seq(1L, 2L)), // empty side
+      (1001L, Seq(1L, 3L), Seq(2L, 4L)),     // disjoint
+      (1002L, Seq(5L, 6L, 7L), Seq(5L, 6L, 7L))) // identical
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.select(
+        graft.functions.sortedLongIntersectCount(col("a"), col("b")).as("got"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(bad === 0L)
+  }
 }
