@@ -48,6 +48,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, so it must ride the builder: the default 100-entry
+      // whole-stage-codegen class cache thrashes across this surface's
+      // 227 queries × dozens of unique stages, so every best-of-n pass
+      // re-runs janino on every stage (~50-300 ms each) — a fixed
+      // driver-side tax the guide's §1.2 step-2 bucket. Sized to hold
+      // the whole surface's generated classes; scale-independent (the
+      // cache is per-JVM and keyed on generated source, and executors
+      // at cluster scale benefit identically).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

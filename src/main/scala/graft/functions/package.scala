@@ -291,8 +291,13 @@ package object functions {
     expr2col(WordNgramHashes(col2expr(text), n))
 
   /** |A ∩ B| of two SORTED-ascending array<long> columns — the
-    * per-candidate verify kernel of [[graft.ops.SetSimilarity]] (both
-    * inputs must be sorted; see [[SortedLongIntersectCount]]). */
+    * per-candidate verify kernel of [[graft.ops.SetSimilarity]]. BOTH
+    * preconditions are the caller's: inputs must be sorted ascending
+    * AND element-distinct (the two-pointer merge counts every matched
+    * occurrence, so a duplicated element overcounts vs
+    * `array_intersect`'s set semantics — round-14 ADVICE #2; every
+    * in-repo call site feeds `sort_array(collect_list(...))` over a
+    * `.distinct()` token frame). See [[SortedLongIntersectCount]]. */
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     expr2col(SortedLongIntersectCount(col2expr(a), col2expr(b)))
 

@@ -198,12 +198,23 @@ object Dedup {
     * persisted materialized shingle arrays and leaked them; round 2
     * measured the fused kernel faster than the warm cache it replaced.
     * Verify re-reads only the candidate rows' text via two id equi-joins
-    * (AQE broadcasts the compact pair list). */
+    * (AQE broadcasts the compact pair list).
+    *
+    * `threshold` domain is (0, 1] — the in-explode length filter
+    * ([[sizeFilteredBucketPairs]]) raises at PLAN time for values
+    * outside it (round-14 ADVICE #3: previously any threshold built a
+    * valid plan; > 1 just verified to empty). Callers forwarding
+    * user-supplied thresholds (EventPipeline) must validate or clamp
+    * at their boundary. Same contract on [[ngramJaccardPairs]]. */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleLen: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    // widen: the fused signature kernel (rolling hash + k multiply-adds
+    // per window) is the scan stage's compute — single-split inputs
+    // would run it on one core (Fan.widen is a no-op at scale widths)
+    val base = Fan.widen(
+      docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     // dsz = exact distinct-window count, computed once per doc in the
     // same projection as the signature — fuels the in-explode length
     // filter (see sizeFilteredBucketPairs)
@@ -238,7 +249,7 @@ object Dedup {
     val rows = k / bands
     val cBase = corpus.select(col(idCol).as("id"), col(textCol).as("txt"))
     val pBase = probe.select(col(idCol).as("id"), col(textCol).as("txt"))
-    def banded(b: DataFrame) = b.select(col("id"),
+    def banded(b: DataFrame) = Fan.widen(b).select(col("id"),
       explode(lshBandKeys(wordNgramMinHash(col("txt"), shingleLen, k), bands, rows)).as("bk"))
     // minSize = 1: a single-member bucket still pairs with the OTHER side
     val cBuckets = cappedBuckets(banded(cBase), col("id"), maxBucket, minSize = 1)
@@ -280,7 +291,10 @@ object Dedup {
     // collectMinK long payload (8 bytes per banded row) so the corpus is
     // hashed exactly ONCE — re-joining sh by id would re-evaluate
     // simHash per branch
-    val base = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    // widen BEFORE hashing: the 64-bit simhash is the per-doc compute,
+    // so the exchange must sit between the scan and the hash projection
+    val base = Fan.widen(docs.select(col(idCol).as("id"), col(textCol).as("__txt")))
+      .select(col("id"), simHash(col("__txt")).as("sh"))
     val banded = base.select(col("id"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
@@ -318,7 +332,7 @@ object Dedup {
   def sharedWindowPairs(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 10, minShared: Int = 2, maxBucket: Int = 256): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    val banded = docs.select(col(idCol).as("id"), toks.as("t"))
+    val banded = Fan.widen(docs.select(col(idCol).as("id"), toks.as("t")))
       .select(col("id"), explode(array_distinct(
         graft.ops.Corpus.wordNgrams(col("t"), window))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("bk"))
@@ -365,7 +379,8 @@ object Dedup {
     // char-6 prefix is 40% of each doc's grams and the audit costs
     // ~57x this kernel at sf1 (tools/sf10_text_lane.sh), so banding +
     // length filter stays the production path at this threshold.
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val base = Fan.widen(
+      docs.select(col(idCol).as("id"), col(textCol).as("txt")))
     val banded = base.select(col("id"),
       charNgramDistinctCount(col("txt"), n).as("dsz"),
       explode(lshBandKeys(charNgramMinHash(col("txt"), n, k), bands, rows)).as("bk"))
@@ -528,7 +543,8 @@ object Dedup {
     // chunk collide — i.e. a silent full cross join
     require(rowsPerBand <= 63, s"bits/bands must be <= 63, got $rowsPerBand")
     val mask = (1L << rowsPerBand) - 1
-    base.select(col("id"), srpSignature(col("v"), bits).as("sig"),
+    // widen: both SRP signatures are per-row fused kernels in the scan
+    Fan.widen(base).select(col("id"), srpSignature(col("v"), bits).as("sig"),
         srpSignature(col("v"), 64, PrefilterPlaneOffset).as("psig"))
       .select(col("id"), col("psig"),
         explode(array((0 until bands).map(b =>
@@ -589,7 +605,9 @@ object Dedup {
   def exactCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    base.select(col("id").as("a_id"), col("v").as("a_v"))
+    // widen the STREAMED side: the O(n²) cosine verifies run where the
+    // a-side scans, and a single-split corpus would put them on one core
+    Fan.widen(base.select(col("id").as("a_id"), col("v").as("a_v")))
       .join(broadcast(base.select(col("id").as("b_id"), col("v").as("b_v"))),
         col("a_id") < col("b_id"))
       .withColumn("cosine", cosineSimilarity(col("a_v"), col("b_v")))
@@ -797,8 +815,10 @@ object Dedup {
       else Similarity.refineCentroids(base, seeds, "id", "v", kmeansIters)
     // the prefilter signature is computed ONCE per corpus row, before
     // the centroid cross join (it rides the scored rows as 8 bytes and
-    // comes out of the assignment aggregate as a per-id constant)
-    val assigned = base
+    // comes out of the assignment aggregate as a per-id constant).
+    // widened: the n·C scoring pass must not serialize on a
+    // single-split input (refineCentroids keeps the unwidened base)
+    val assigned = Fan.widen(base)
       .withColumn("psig", srpSignature(col("v"), 64, PrefilterPlaneOffset))
       .join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
@@ -851,7 +871,8 @@ object Dedup {
     // Materialized once: the scoring aggregate below is consumed by three
     // branches (bucket explode → pairs, members join, singles anti-join);
     // without this the full corpus×centroids scan recomputes per branch.
-    val assigned = base
+    // Widened like embeddingNearDupsIvf's assignment pass.
+    val assigned = Fan.widen(base)
       .withColumn("psig", srpSignature(col("v"), 64, PrefilterPlaneOffset))
       .join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))

@@ -89,12 +89,19 @@ object SetSimilarity {
     // nothing (the first-occurrence row always survives).
     val alpha = expr(s"(($tauMicro * (sa + sb) + ${1000000L + tauMicro} - 1)" +
       s" div ${1000000L + tauMicro})")
+    // the dedup exchange carries BARE (a_id, b_id) pairs: at char-gram
+    // operating points the prefix join emits one row per SHARED prefix
+    // token (22.8M rows at sf0.1 for q225) and that stream IS the
+    // query's dominant shuffle — sa/sb ride only the pre-exchange
+    // filters and are recovered after dedup as size(toks) from the doc
+    // arrays the verify joins in anyway (identical values: sz is the
+    // distinct-token count and toks is the distinct-token array)
     val candidates = a.join(b, Seq("token"))
       .where(col("a_id") < col("b_id") &&
         lit(tauMicro) * greatest(col("sa"), col("sb")) <=
           lit(1000000L) * least(col("sa"), col("sb")) &&
         lit(1L) + least(col("sa") - col("pa"), col("sb") - col("pb")) >= alpha)
-      .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
 
     // Exact verification restricted to candidates, PPJoin-style: each
@@ -121,7 +128,8 @@ object SetSimilarity {
         graft.functions.sortedLongIntersectCount(col("__ta"), col("__tb")))
 
     inter
-      .withColumn("uni", col("sa") + col("sb") - col("inter"))
+      .withColumn("uni",
+        (size(col("__ta")) + size(col("__tb"))).cast("long") - col("inter"))
       .where(col("inter") * 1000000L >= lit(tauMicro) * col("uni"))
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         expr("(inter * 1000000 div uni)").as("jac_micro"))
@@ -165,11 +173,13 @@ object SetSimilarity {
       .withColumn("pos", row_number().over(canonical))
       .where(col("pos") <= prefixLen)
       .select(col("id"), col("token"), col("sz"))
+    // bare-pair dedup exchange, same rationale as jaccardJoinExact:
+    // sa is recovered as size(__ta) after the verify join
     val candidates = prefixes
-      .select(col("id").as("a_id"), col("token"), col("sz").as("sa"))
+      .select(col("id").as("a_id"), col("token"))
       .join(tok.select(col("id").as("b_id"), col("token")), Seq("token"))
       .where(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sa"))
+      .select(col("a_id"), col("b_id"))
       .distinct()
     // same sorted-merge verify as jaccardJoinExact (see the note there)
     val docArrs = tok.groupBy(col("id"))
@@ -181,6 +191,7 @@ object SetSimilarity {
         Seq("b_id"))
       .withColumn("inter",
         graft.functions.sortedLongIntersectCount(col("__ta"), col("__tb")))
+      .withColumn("sa", size(col("__ta")).cast("long"))
       .where(col("inter") * 1000000L >= lit(tauMicro) * col("sa"))
       .select(col("a_id"), col("b_id"), col("inter"), col("sa"),
         expr("(inter * 1000000 div sa)").as("cont_micro"))
@@ -189,7 +200,8 @@ object SetSimilarity {
   /** Word-token view of a text column: distinct lowercase alphanumeric
     * runs per id — mirrored in SQL with DuckDB's string_split_regex. */
   def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    Fan.widen(df.select(col(idCol).as(idCol), col(textCol).as(textCol)))
+      .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("token"))
       .where(length(col("token")) > 0)
 
@@ -201,7 +213,9 @@ object SetSimilarity {
   def shingleTokens(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1 && n <= 16, s"shingle n must be in [1, 16], got $n")
-    df.select(col(idCol).as("id"),
+    // widen: tokenize+shingle is the scan stage's compute — see Fan
+    Fan.widen(df.select(col(idCol).as(idCol), col(textCol).as(textCol)))
+      .select(col(idCol).as("id"),
         split(trim(col(textCol)), "\\s+").as("t"))
       // guard: sequence(1, 0) counts BACKWARDS in Spark, so short texts
       // must take the empty-array branch, not a degenerate sequence

@@ -28,6 +28,11 @@ object Similarity {
     * shuffle instead of the full O(corpus × probes) scored set. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // deliberately NOT widened (round 15): with a handful of broadcast
+    // probes the per-row scoring is light, and the measured widen tax
+    // (one extra exchange+stage ≈ 0.2 s locally) exceeded the win on
+    // every ≤20-probe caller; the probes≈corpus callers widen the
+    // corpus argument at the call site (q73) or use exactSelfTopK
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(p))
@@ -66,8 +71,9 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+    // widen: same single-split hazard as bruteForceTopK
+    val c = Fan.widen(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")))
     val scored = c.join(broadcast(p))
       .withColumn("dist2", round(l2DistanceSquared(col("pv"), col("cv")), 6))
       .withColumn("score", -col("dist2"))
@@ -281,7 +287,11 @@ object Similarity {
     val centroids =
       if (kmeansIters <= 0) centroids0
       else refineCentroids(corpus, centroids0, idCol, vecCol, kmeansIters)
-    val corpusAssigned = assignIvfCluster(corpus, centroids, idCol, vecCol)
+    // widen ONLY the serving-side assignment: refineCentroids above must
+    // keep the original partitioning (its unrounded avg() is pinned by
+    // the q18/q20/q53 goldens; a different sum order could move a ULP)
+    val corpusAssigned = assignIvfCluster(Fan.widen(corpus), centroids,
+        idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("v").as("cv2"), col("cluster"))
     val probesAssigned = assignIvfCluster(probes, centroids, idCol, vecCol)
       .select(col("id").as("probe_id"), col("v").as("pv"), col("cluster"))
@@ -348,8 +358,12 @@ object Similarity {
       if (kmeansIters <= 0) seeds
       else refineCentroids(base, seeds, "id", "v", kmeansIters)
     // one scoring pass, one partial aggregate, both roles; pinned —
-    // the corpus-residence and probe-cell branches both consume it
-    val assigned = base.join(broadcast(centroids))
+    // the corpus-residence and probe-cell branches both consume it.
+    // widened: the n·C centroid-scoring pass otherwise runs at the
+    // input's split count (1 task on a single-file corpus); the
+    // aggregate is the order-free bounded heap, so the widen is
+    // value-neutral (refineCentroids above keeps the unwidened base)
+    val assigned = Fan.widen(base).join(broadcast(centroids))
       .withColumn("sim", round(cosineSimilarity(col("v"), col("cv")), 6))
       .groupBy(col("id"))
       .agg(first(col("v")).as("v"),
@@ -534,7 +548,9 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, dim: Int, m: Int,
       cb: DataFrame): DataFrame = {
     val subDim = dim / m
-    val codes = pqEncode(corpus, cb, idCol, vecCol, dim, m)
+    // widen the serving-side encode + ADC scan (codebook training above
+    // keeps its own bounded sample untouched)
+    val codes = pqEncode(Fan.widen(corpus), cb, idCol, vecCol, dim, m)
       .select(col("id").as("neighbor_id"), col("codes"))
     val tables = probes
       .select(col(idCol).as("probe_id"), col(vecCol).cast("array<double>").as("pv"))
@@ -570,8 +586,8 @@ object Similarity {
     * exchange is the bounded-heap O(probes × k). */
   def refineTopK(candidates: DataFrame, corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+    val c = Fan.widen(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")))
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).cast("array<double>").as("pv"))
     val scored = c
@@ -669,7 +685,10 @@ object Similarity {
   def exactSelfTopK(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     val p = vecs.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
-    val c = vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // widen: self-kNN is the worst single-split case — the full n²
+    // scoring pass lands in the corpus scan stage
+    val c = Fan.widen(
+      vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosineSimilarity(col("pv"), col("cv")), 6))
     rankTopK(scored, k)
@@ -730,7 +749,7 @@ object Similarity {
         x => round(x * 1e6).cast("long")).as("vm"))
     val dotL = (a: Column, b: Column) =>
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
-    val scored = vm.crossJoin(broadcast(protoArr))
+    val scored = Fan.widen(vm).crossJoin(broadcast(protoArr))
       .withColumn("dot", dotL(col("vm"), col("pvm")))
       .withColumn("vn", dotL(col("vm"), col("vm")))
       .withColumn("pn", dotL(col("pvm"), col("pvm")))

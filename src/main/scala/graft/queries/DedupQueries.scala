@@ -156,7 +156,9 @@ object DedupQueries {
     // is q17's banding + the in-explode length filter. Oracle-exact at
     // sf0.01 (DuckDB brute-force twin).
     "q225_setsim_char_exact" -> ((s, dir) => {
-      val tokens = corpusWithNearDups(s, dir)
+      // widened pre-explode: char-6 shingling of every doc is the scan
+      // stage's compute (see Fan) — the union reads two 1-split scans
+      val tokens = graft.ops.Fan.widen(corpusWithNearDups(s, dir))
         .select(col("doc_id").as("id"),
           explode(graft.functions.charShingles(col("text"), 6)).as("token"))
       SetSimilarity.jaccardJoinExact(tokens, "id", "token", tauMicro = 600000L)
@@ -179,11 +181,14 @@ object DedupQueries {
       val lsh = Dedup.minHashPairs(corpus, "doc_id", "text",
         k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
         .select(col("a_id"), col("b_id")).pinned
-      val tp = lsh.join(truth, Seq("a_id", "b_id"), "left_semi")
-        .agg(count(lit(1)).as("tp"))
-      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      // one left-join aggregation for (tp, n_lsh) — see knnIndexAudit's
+      // round-15 note; truth pairs are unique (a_id, b_id)
+      val tp = lsh
+        .join(truth.withColumn("__t", lit(1L)), Seq("a_id", "b_id"), "left")
+        .agg(coalesce(sum(col("__t")), lit(0L)).as("tp"),
+          count(lit(1)).as("n_lsh"))
       val nT = truth.agg(count(lit(1)).as("n_truth"))
-      tp.crossJoin(nL).crossJoin(nT)
+      tp.crossJoin(nT)
         .select(col("n_truth"), col("n_lsh"), col("tp"),
           (col("n_lsh") - col("tp")).as("fp"),
           (col("n_truth") - col("tp")).as("fn"),
@@ -253,12 +258,16 @@ object DedupQueries {
         threshold = 0.999)
         .select(col("a_id"), col("b_id")).pinned
       def score(method: String, found: DataFrame): DataFrame = {
+        // one left-join aggregation instead of semi-join + two count
+        // aggs + two crossJoins (round 15 — see knnIndexAudit's note;
+        // truth pairs are unique (a_id, b_id) by construction)
         val f = found.select(col("a_id"), col("b_id")).pinned
-        val tp = f.join(truth, Seq("a_id", "b_id"), "left_semi")
-          .agg(count(lit(1)).as("tp"))
-        val nF = f.agg(count(lit(1)).as("n_found"))
+        val tp = f
+          .join(truth.withColumn("__t", lit(1L)), Seq("a_id", "b_id"), "left")
+          .agg(coalesce(sum(col("__t")), lit(0L)).as("tp"),
+            count(lit(1)).as("n_found"))
         val nT = truth.agg(count(lit(1)).as("n_truth"))
-        tp.crossJoin(nF).crossJoin(nT)
+        tp.crossJoin(nT)
           .select(lit(method).as("method"), col("n_truth"), col("n_found"),
             col("tp"), (col("n_found") - col("tp")).as("fp"),
             (col("n_truth") - col("tp")).as("fn"),
@@ -388,7 +397,11 @@ object DedupQueries {
         |  FROM norm, unnest(generate_series(1, len(t) - 5)) AS u(s)
         |  WHERE len(t) > 6
         |  UNION
-        |  SELECT DISTINCT doc_id, t AS token FROM norm WHERE len(t) <= 6),
+        |  -- AND len(t) > 0 mirrors SetSimilarity's empty-token filter:
+        |  -- without it two empty/whitespace-only docs would pair at
+        |  -- j=1.0 in the oracle only (round-14 ADVICE #1)
+        |  SELECT DISTINCT doc_id, t AS token FROM norm
+        |  WHERE len(t) <= 6 AND len(t) > 0),
         |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
         |i AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

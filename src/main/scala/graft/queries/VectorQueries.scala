@@ -145,8 +145,14 @@ object VectorQueries {
     // ivfPqTopK output instead of brute force
     "q73_mutual_knn" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
+      // corpus side widened at the call site: with probes = corpus the
+      // n² scoring pass would otherwise serialize on the single scan
+      // split (round-15 profile: 4.6 s in ONE task of 32); the ≤20-probe
+      // bruteForceTopK callers deliberately stay unwidened (see the
+      // kernel's note)
       Similarity.mutualTopK(
-          Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4))
+          Similarity.bruteForceTopK(graft.ops.Fan.widen(vecs), vecs,
+            "vec_id", "embedding", k = 4))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -394,11 +400,18 @@ object VectorQueries {
       k = 4, nProbe = if (scanFraction > 0) 1 else 6, kmeansIters = 2,
       scanFraction = scanFraction).pinned
     def score(method: String, truth: DataFrame, found: DataFrame) = {
-      val tp = found.join(truth, Seq("a_id", "b_id"), "left_semi")
-        .agg(count(lit(1)).as("tp"))
-      val nF = found.agg(count(lit(1)).as("n_found"))
+      // round 15 (job-count reduction): truth keys are unique for every
+      // method (ranked kNN pairs, mutual edges, per-vector agreement
+      // rows), so a LEFT join marks true positives without changing
+      // found's cardinality — tp and n_found come out of ONE
+      // aggregation where the semi-join shape cost an extra agg, an
+      // extra crossJoin, and their AQE stages. Values are identical.
+      val tp = found
+        .join(truth.withColumn("__t", lit(1L)), Seq("a_id", "b_id"), "left")
+        .agg(coalesce(sum(col("__t")), lit(0L)).as("tp"),
+          count(lit(1)).as("n_found"))
       val nT = truth.agg(count(lit(1)).as("n_truth"))
-      tp.crossJoin(nF).crossJoin(nT)
+      tp.crossJoin(nT)
         .select(lit(method).as("method"), col("n_truth"), col("n_found"),
           col("tp"), (col("n_found") - col("tp")).as("fp"),
           (col("n_truth") - col("tp")).as("fn"),
