@@ -289,21 +289,27 @@ object Graph {
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .pinned // two consumers: the degree agg and the moment join
     val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // The symmetrized estimator's moments over BOTH orientations are
+    // pure algebra over ONE orientation (round 15 — the old union
+    // re-ran the whole und⋈deg⋈deg tree a second time just to swap
+    // columns): n = 2·cnt, sx = sy = Σ(du+dv), sxy = 2·Σ(du·dv),
+    // sxx = syy = Σ(du²+dv²) — exact integer identities, so the final
+    // float expression below sees bit-identical inputs.
     val dirDeg = und
       .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
-      .select(col("du").as("dx"), col("dv").as("dy"))
-      .unionByName(und
-        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
-        .select(col("dv").as("dx"), col("du").as("dy")))
-    val m = dirDeg.agg(count(lit(1)).as("n"),
-      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-      sum(col("dx") * col("dy")).as("sxy"),
-      sum(col("dx") * col("dx")).as("sxx"),
-      sum(col("dy") * col("dy")).as("syy"))
+      .select(col("du"), col("dv"))
+    val m = dirDeg.agg(count(lit(1)).as("cnt"),
+        sum(col("du") + col("dv")).as("s1"),
+        sum(col("du") * col("dv")).as("s2"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("s3"))
+      .select((col("cnt") * 2).as("n"),
+        col("s1").as("sx"), col("s1").as("sy"),
+        (col("s2") * 2).as("sxy"),
+        col("s3").as("sxx"), col("s3").as("syy"))
     m.select(col("n"),
       when((col("n") * col("sxx") - col("sx") * col("sx")) === 0L
           || (col("n") * col("syy") - col("sy") * col("sy")) === 0L,
@@ -480,6 +486,9 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .pinned // three consumers (deg, orientation join, n_edges) — an
+              // expensive caller-side edge derivation (q155's basket
+              // pair-support self-join) must not re-run per consumer
     val deg = und
       .select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))

@@ -96,6 +96,12 @@ object SetSimilarity {
     // filters and are recovered after dedup as size(toks) from the doc
     // arrays the verify joins in anyway (identical values: sz is the
     // distinct-token count and toks is the distinct-token array)
+    // NOT pinned (measured, round 15): the dedup aggregation does run
+    // twice at sf0.1 (AQE rebuilds it for the second verify join's
+    // broadcast), but an eager pin here priced 1.6x WORSE wall on every
+    // PPJoin consumer — the pin job serializes the pipeline and forfeits
+    // AQE's runtime join choices for the verify tail; the duplicate
+    // dedup is the cheaper evil at every measured size
     val candidates = a.join(b, Seq("token"))
       .where(col("a_id") < col("b_id") &&
         lit(tauMicro) * greatest(col("sa"), col("sb")) <=

@@ -266,6 +266,9 @@ object CoreQueries {
     // A2 — grouped distinct-set accumulation
     // (reference: scripts/bills/bills_federal.py:114-115,161)
     "q25_collect_set" -> ((s, dir) => {
+      // NOT widened (round 15, measured): same verdict as q45 — the
+      // scan-stage partial agg collapses rows cheaper than the widen
+      // exchange it would take to parallelize it (1.35x same-window)
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),

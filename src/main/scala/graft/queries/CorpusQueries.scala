@@ -130,7 +130,10 @@ object CorpusQueries {
     "q63_repetition" -> ((s, dir) => {
       val toks = split(trim(col("text")), "\\s+")
       val grams = Corpus.wordNgrams(col("t"), 3)
-      t(s, dir, "documents")
+      // widened (round 15): per-doc n-gram build + array_distinct is the
+      // single-split scan stage's compute — see ops/Fan
+      graft.ops.Fan.widen(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"), toks.as("t"))
         .select(col("doc_id"),
           size(grams).cast("long").as("n_grams"),

@@ -71,8 +71,12 @@ object GraphQueries {
       val corpus = docs.unionByName(docs
         .withColumn("doc_id", col("doc_id") + 1099511627776L)
         .withColumn("text", concat(col("text"), lit(" xq"))))
-      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text",
-        k = 32, bands = 8, shingleLen = 3, threshold = 0.5)
+      // pinned (round 15): the two batch filters below are separate
+      // consumers — unpinned they re-ran the whole LSH signature +
+      // bucket + verify pipeline twice
+      val pairs = graft.ops.Pin.pin(
+        Dedup.minHashPairs(corpus, "doc_id", "text",
+          k = 32, bands = 8, shingleLen = 3, threshold = 0.5))
       val batch1 = pairs.filter(col("b_id") < 1099511627776L)
       val batch2 = pairs.filter(col("b_id") >= 1099511627776L)
       val cc1 = Dedup.connectedComponents(batch1)
@@ -288,9 +292,13 @@ object GraphQueries {
         baskets, col("l_orderkey"), col("fam"), minSupport = 2)
       val nb = d.select(col("b")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
-      val edges = pairs.crossJoin(nb)
+      // pinned (round 15): edges has FOUR downstream evaluations — the
+      // modularity pin, and nodes/comm whose union+double community
+      // join re-ran the whole pairSupport self-join per branch (stage
+      // profile: four identical 4.6→10.7 MB stages, ~1.3 s each)
+      val edges = graft.ops.Pin.pin(pairs.crossJoin(nb)
         .filter(col("c_ab") >= greatest(lit(3L), expr("n_baskets DIV 25000")))
-        .select(col("item_a"), col("item_b"))
+        .select(col("item_a"), col("item_b")))
       val nodes = edges.select(col("item_a").as("node"))
         .unionByName(edges.select(col("item_b").as("node"))).distinct()
       val comm = nodes.withColumn("community", expr("node DIV 100"))

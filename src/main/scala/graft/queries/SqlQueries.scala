@@ -141,6 +141,10 @@ object SqlQueries {
     // Sketch-based distinct counting (HLL++) — approximate by design, so
     // rows-only; the scale story for COUNT(DISTINCT) at 100 TB
     "q45_approx_distinct" -> ((s, dir) => {
+      // NOT widened (round 15, measured): fanning the scan out before
+      // this aggregation traded a ~4 MB post-partial-agg exchange for a
+      // 53 MB pre-agg one — 1.48x worse same-window; the scan-stage
+      // partial agg IS the right place for this kernel
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),

@@ -55,8 +55,11 @@ object TextQueries {
     }),
 
     "q21_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+      // widened (round 15): the per-doc marker-vocabulary scan is the
+      // single-split scan stage's compute — see ops/Fan
+      graft.ops.Fan.widen(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")))
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
 
@@ -181,8 +184,11 @@ object TextQueries {
         when(col("o_orderkey") % 2 === 0,
           date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"))
           .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
-      raw.select(col("o_orderkey"),
-        parseFlexibleTimestamp(col("date_str")).as("parsed"))
+      // widened (round 15): the lenient multi-format parse is the
+      // single-split scan stage's compute — see ops/Fan
+      graft.ops.Fan.widen(raw.select(col("o_orderkey"), col("date_str")))
+        .select(col("o_orderkey"),
+          parseFlexibleTimestamp(col("date_str")).as("parsed"))
         .orderBy(col("o_orderkey"))
     }),
 

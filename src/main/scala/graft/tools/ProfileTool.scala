@@ -27,7 +27,10 @@ object ProfileTool {
     // drained via the bridge before reading)
     case class Job(id: Int, desc: String, start: Long, var end: Long = -1L,
       var stages: Int = 0, var tasks: Int = 0)
+    case class Stage(id: Int, name: String, tasks: Int, wallMs: Long,
+      cpuMs: Long, shufReadMB: Double, shufWriteMB: Double, outRows: Long)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[Stage]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val d = Option(j.properties)
@@ -38,11 +41,18 @@ object ProfileTool {
         val job = jobs.get(j.jobId); if (job != null) job.end = j.time
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        // attribute stages/tasks to the most recent open job (approximate,
-        // good enough for a dev profile)
+        val i = s.stageInfo
+        val m = i.taskMetrics
+        stages.add(Stage(i.stageId, i.name.takeWhile(_ != '\n'), i.numTasks,
+          (for (a <- i.completionTime; b <- i.submissionTime) yield a - b)
+            .getOrElse(-1L),
+          if (m == null) -1L else m.executorCpuTime / 1000000L,
+          if (m == null) 0 else m.shuffleReadMetrics.totalBytesRead / 1e6,
+          if (m == null) 0 else m.shuffleWriteMetrics.bytesWritten / 1e6,
+          if (m == null) -1L else m.outputMetrics.recordsWritten))
         val open = jobs.values().toArray(Array.empty[Job])
           .filter(_.end < 0).sortBy(-_.start).headOption
-        open.foreach { j => j.stages += 1; j.tasks += s.stageInfo.numTasks }
+        open.foreach { j => j.stages += 1; j.tasks += i.numTasks }
       }
     })
     // warmup identical to Bench
@@ -51,6 +61,7 @@ object ProfileTool {
       .write.format("noop").mode("overwrite").save()
     for (name <- names) {
       jobs.clear()
+      stages.clear()
       val t0 = System.nanoTime()
       val wall0 = System.currentTimeMillis()
       graft.SparkEntry.queries(name)(spark, sfDir)
@@ -70,6 +81,12 @@ object ProfileTool {
       }
       val tail = (wall0 + (sec * 1000).toLong - cursor) / 1e3
       if (tail > 0.005) println(f"   [driver tail ${tail}%6.3f s]")
+      println("   -- slowest stages --")
+      stages.toArray(Array.empty[Stage]).sortBy(-_.wallMs).take(12)
+        .foreach { st =>
+          println(f"   stage ${st.id}%4d ${st.wallMs / 1e3}%6.2f s cpu=${st.cpuMs / 1e3}%6.1f tasks=${st.tasks}%3d " +
+            f"shufR=${st.shufReadMB}%7.1f shufW=${st.shufWriteMB}%7.1f  ${st.name.take(60)}")
+        }
     }
     spark.stop()
   }
